@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check (sf0.001).
+``queries()``    — every implemented operator from SURVEY.md §2, as
+                   ``(spark, sf_dir) -> DataFrame`` callables.
+``oracle_sql()`` — matching DuckDB SQL for the hash-compare gate.
+
+The real implementations live in ``datapipelinedemo_spark``; this file
+only adapts its catalog to the driver's interface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datapipelinedemo_spark.plans import catalog
+from datapipelinedemo_spark.plans.catalog import ORACLES, QUERIES
+
+catalog.load_catalog()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's signature shape (SURVEY.md §2.5 A6): a monthly
+    pivoted aggregate — event_type × "YYYY-M" month columns, summed
+    value, missing cells zero-filled.
+    """
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.tables import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat(
+            F.year("ts").cast("string"), F.lit("-"), F.month("ts").cast("string")
+        ).alias("ym"),
+        "value",
+    )
+    labels = sorted(r[0] for r in ev.select("ym").distinct().collect())
+    return (
+        ev.groupBy("event_type")
+        .pivot("ym", labels)
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"))
+        .fillna(0.0)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query is materialized with ``collect()`` (results are small
+aggregates); a warmup query absorbs JVM/codegen startup so the numbers
+measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "brand_revenue",
+    "window_top3_orders_per_customer",
+    "events_tumbling_1h",
+    "monthly_event_type_pivot",
+    "asof_latest_order_before_event",
+    "a1_weighted_monthly_frequency",
+    "a2_smoothed_weighted_mean",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from datapipelinedemo_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+
+    # warmup: run the cheapest plan once to absorb JVM + codegen startup
+    try:
+        qs[names[0]](spark, sf_dir).limit(1).collect()
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).collect()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as ex:
+            times[name] = -1.0
+            print(f"# bench error {name}: {ex}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Query + oracle registry backing ``__spark_entry__.py``.
+
+Every operator from SURVEY.md §2 that is implemented gets:
+- a ``queries()`` entry: ``name -> (spark, sf_dir) -> DataFrame``
+- when SQL-expressible, an ``oracle_sql()`` entry: ANSI SQL DuckDB runs
+  on the same parquet tables (views pre-registered by the driver).
+
+Conventions that make the driver's hash comparison deterministic
+(order-insensitive value hash, columns sorted by name — see
+``functions.stable``):
+- every computed column aliased identically in Spark and SQL;
+- doubles aggregated across rows go through DECIMAL accumulators;
+- timestamps/dates presented as formatted strings;
+- ordering never relied upon (except LIMIT queries, which must use a
+  fully deterministic ORDER BY with unique tie-break).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optional DuckDB oracle) to the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_catalog() -> None:
+    """Import every registering module (idempotent)."""
+    from datapipelinedemo_spark.plans import relational  # noqa: F401
+    from datapipelinedemo_spark.plans import reference_pipeline  # noqa: F401
+    from datapipelinedemo_spark.plans import llm_ops  # noqa: F401

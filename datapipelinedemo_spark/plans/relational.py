@@ -1,0 +1,504 @@
+"""Core relational surface over the driver testdata.
+
+The reference itself exercises only scan/filter/withColumn/groupBy/
+pivot (SURVEY.md §2); this module covers that plus the §2.7 gap list
+(joins of every flavor, windows, set ops, rollup/cube, distinct aggs,
+as-of) so a reference user gets a complete relational engine.
+
+Every query is written for 100 TB shape:
+- filters/projections sit directly on the scan (pushdown visible in
+  ``explain('formatted')`` as PushedFilters/ReadSchema);
+- small dimensions are broadcast explicitly;
+- aggregations are plain ``groupBy().agg`` → partial aggregation;
+- LIMIT queries use fully deterministic ORDER BY with unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions.stable import dec_avg, dec_sum
+from datapipelinedemo_spark.operators.asof import asof_join_backward
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.tables import table
+
+
+def _dsum(expr: str, alias: str, scale: int = 4) -> str:
+    """DuckDB oracle twin of ``functions.stable.dec_sum``: fixed-point
+    floor-snap per value, exact BIGINT sum, presented as double."""
+    f = float(10**scale)
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {f} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {f} AS {alias}"
+    )
+
+
+def _davg(expr: str, alias: str, scale: int = 4) -> str:
+    f = float(10**scale)
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {f} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / (COUNT({expr}) * {f}) AS {alias}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation over the fact table (TPC-H Q1 shape: scan → filter → groupBy)
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity', 'sum_qty')},
+           {_dsum('l_extendedprice', 'sum_base_price')},
+           {_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {_davg('l_quantity', 'avg_qty')},
+           {_davg('l_extendedprice', 'avg_price')},
+           {_davg('l_discount', 'avg_disc', 6)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc", 6),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 3-way join + agg + deterministic top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# 6-way star join (TPC-H Q5 shape) — dims broadcast, fact tables shuffle
+# --------------------------------------------------------------------------
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    # dims (region⋈nation⋈customer, and supplier) broadcast; the only
+    # shuffle left is lineitem⋈orders on orderkey + the final agg.
+    dim = (
+        cust.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == dim.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast dimension join (part is small → map-side join, no shuffle)
+# --------------------------------------------------------------------------
+@register(
+    "brand_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           {_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS line_count
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (reference gap §2.7)
+# --------------------------------------------------------------------------
+@register(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "anti_join_orderless_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregates (reference gap §2.7)
+# --------------------------------------------------------------------------
+@register(
+    "distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+           COUNT(*) AS line_count
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_partkey")).alias("distinct_parts"),
+        F.count_distinct(F.col("l_suppkey")).alias("distinct_suppliers"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP / CUBE grouping sets (reference gap §2.7)
+# --------------------------------------------------------------------------
+@register(
+    "rollup_orders_year_priority",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+           {_dsum('o_totalprice', 'total_price')},
+           COUNT(*) AS order_count
+    FROM orders
+    GROUP BY ROLLUP(order_year, o_orderpriority)
+    """,
+)
+def rollup_orders_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return orders.rollup("order_year", "o_orderpriority").agg(
+        dec_sum("o_totalprice", "total_price"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS line_count
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (reference gap §2.7) — per-group top-k
+# --------------------------------------------------------------------------
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-window aggregation over the event stream (batch form of the
+# Structured Streaming tumbling window — same plan works under readStream)
+# --------------------------------------------------------------------------
+@register(
+    "events_tumbling_1h",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS event_count,
+           {_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON extraction from the event props column (reference gap §2.7)
+# --------------------------------------------------------------------------
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot — the reference's signature output shape (A6), explicit values
+# --------------------------------------------------------------------------
+@register(
+    "monthly_event_type_pivot",
+    oracle="""
+    SELECT * FROM (
+      PIVOT (SELECT event_type,
+                    CAST(year(ts) AS VARCHAR) || '-' || CAST(month(ts) AS VARCHAR) AS ym
+             FROM events)
+      ON ym USING COUNT(*) GROUP BY event_type
+    )
+    """,
+)
+def monthly_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat(
+            F.year("ts").cast("string"), F.lit("-"), F.month("ts").cast("string")
+        ).alias("ym"),
+    )
+    # explicit pivot values: one tiny distinct job up front instead of
+    # Catalyst's implicit one, and a deterministic column set
+    labels = sorted(r[0] for r in ev.select("ym").distinct().collect())
+    return ev.groupBy("event_type").pivot("ym", labels).count().fillna(0)
+
+
+# --------------------------------------------------------------------------
+# As-of join (reference gap §2.7): latest order at or before each event
+# --------------------------------------------------------------------------
+@register(
+    "asof_latest_order_before_event",
+    oracle="""
+    WITH ro AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, r.o_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS matched_orderdate
+    FROM events e
+    ASOF JOIN ro r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ro = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join_backward(
+        ev,
+        ro,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_id="event_id",
+        broadcast_right=False,
+    )
+    return joined.select(
+        "event_id",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("matched_orderdate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (reference gap §2.7): UNION / INTERSECT / EXCEPT
+# --------------------------------------------------------------------------
+@register(
+    "setops_customer_segments",
+    oracle="""
+    SELECT * FROM (
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        building.union(machinery).distinct().intersect(urgent).subtract(big)
+    )
