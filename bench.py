@@ -27,6 +27,11 @@ HEADLINE = [
     "asof_latest_order_before_event",
     "a1_weighted_monthly_frequency",
     "a2_smoothed_weighted_mean",
+    "a4_pair_frequency",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_neardups",
+    "similarity_topk_bruteforce",
+    "doc_fingerprints",
 ]
 
 

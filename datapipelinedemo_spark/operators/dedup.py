@@ -1,0 +1,235 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all expression-native (no Python UDFs):
+
+- ``exact``          — hash-groupBy on normalized content.
+- ``minhash_lsh``    — shingle → MinHash signature → banded LSH
+                       bucket join (the scale path for near-dup at
+                       100 TB: candidate pairs only within buckets).
+- ``simhash``        — 48-bit SimHash signatures; near-dups share
+                       high-order band + small Hamming distance.
+- ``ngram_jaccard``  — exact Jaccard over shingle sets for candidate
+                       pairs (verification stage after LSH).
+- embedding cosine near-dup lives in ``operators.similarity``.
+
+Hash functions are md5-derived (``functions.stable.md5_long``) so the
+DuckDB oracle can reproduce signatures bit-for-bit; swap for
+``xxhash64`` when oracle parity is not needed (≈3× faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions.text import char_shingles
+
+MH_MOD = 2_147_483_647  # 2^31-1: a*h+b stays < 2^62, no BIGINT overflow
+
+
+def _mh_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) parameters for the MinHash family
+    h_i(x) = (a_i * x + b_i) mod P — fixed LCG-style constants so
+    Spark, the oracle, and every round agree."""
+    a = [(2 * i + 1) * 40_503 % MH_MOD for i in range(num_hashes)]
+    b = [(i * 1_299_721 + 104_729) % MH_MOD for i in range(num_hashes)]
+    return a, b
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content. A single
+    hash-shuffle on the content fingerprint; at scale, group on a hash
+    of the content rather than the content itself so wide documents
+    don't travel through the shuffle twice."""
+    fp = F.md5(F.concat_ws("\x1f", *content_cols)).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingle_hashes(text_col: str, k: int = 9) -> Column:
+    """Distinct md5-derived integer hashes of the char k-shingles."""
+    return F.expr(
+        f"array_distinct(transform("
+        f" transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f"  i -> substring({text_col}, i, {k})),"
+        f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {MH_MOD}))"
+    )
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes`` —
+    element i = min over shingle hashes h of (a_i * h + b_i) mod P.
+
+    Implemented as ONE left fold over the shingle array that updates
+    all ``num_hashes`` running minima per step — the shingle array is
+    evaluated exactly once per row. (The naive per-i formulation
+    re-evaluates the shingle expression num_hashes times: 30× slower.)
+    Empty shingle set → all-(P) sentinel signature (never matches)."""
+    a, b = _mh_params(num_hashes)
+    a_arr = "array(" + ",".join(f"{x}L" for x in a) + ")"
+    b_arr = "array(" + ",".join(f"{x}L" for x in b) + ")"
+    init = f"transform(sequence(1, {num_hashes}), x -> {MH_MOD}L)"
+    return F.expr(
+        f"aggregate({shingle_col}, {init}, (acc, h) ->"
+        f" transform(acc, (m, i) ->"
+        f"  least(m, (element_at({a_arr}, i + 1) * h"
+        f"            + element_at({b_arr}, i + 1)) % {MH_MOD})))"
+    )
+
+
+def with_minhash(
+    df: DataFrame, text: str, num_hashes: int = 32, k: int = 9
+) -> DataFrame:
+    return (
+        df.withColumn("__sh", shingle_hashes(text, k))
+        .withColumn("minhash", minhash_signature("__sh", num_hashes))
+        .drop("__sh")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    k: int = 9,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs whose MinHash signatures agree
+    on at least one band of r = num_hashes/bands consecutive values.
+
+    Plan shape (the 100 TB path): signature is computed per row
+    (no shuffle), bands explode ×bands, then ONE shuffle on
+    (band, band-key) groups candidates; the pair join happens only
+    inside buckets. Output: distinct (id_a < id_b) pairs.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    if shingles is None:
+        shingles = df.select(
+            F.col(id_col).alias("doc"), shingle_hashes(text, k).alias("__sh")
+        )
+    sig = shingles.withColumn("minhash", minhash_signature("__sh", num_hashes))
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), bnd ->"
+                f" array_join(transform(slice(minhash, bnd * {r} + 1, {r}),"
+                f"  v -> cast(v as string)), '_'))"
+            )
+        ).alias("band", "key"),
+    )
+    # group per bucket and expand pairs in-row instead of a self-join:
+    # one shuffle, and the signature pipeline is evaluated once (the
+    # self-join formulation recomputes it for each side). Hot buckets
+    # (pathologically common signatures) would blow up k² here — at
+    # scale, cap bucket size and route overflow to a salted pass.
+    from datapipelinedemo_spark.operators.pairs import pair_combinations
+
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    return (
+        buckets.select(F.explode(pair_combinations("ds")).alias("p"))
+        .select(F.col("p.item1").alias("doc_a"), F.col("p.item2").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(tokens_col: str, bits: int = 48) -> Column:
+    """SimHash over a token array: bit b of the signature is 1 iff the
+    sum over tokens of ±1 (per that token's md5 bit b) is >= 0.
+    48 bits keeps every intermediate in BIGINT range in both engines.
+
+    Single fold: token md5s are hashed once, then one pass updates all
+    ``bits`` counters (the naive per-bit loop recomputes every token
+    hash ``bits`` times — ~30× slower); a finish lambda folds the
+    counter array into the signature."""
+    h = "cast(conv(substring(md5(w), 1, 12), 16, 10) as bigint)"
+    return F.expr(
+        f"aggregate("
+        f" transform({tokens_col}, w -> {h}),"
+        f" transform(sequence(1, {bits}), x -> 0L),"
+        f" (acc, hv) -> transform(acc, (cnt, b) ->"
+        f"   cnt + if((hv >> b) & 1 = 1, 1L, -1L)),"
+        f" acc -> aggregate(transform(acc, (cnt, b) ->"
+        f"   if(cnt >= 0, shiftleft(1L, b), 0L)), 0L, (s, x) -> s + x))"
+    ).cast("long")
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text: str,
+    k: int = 9,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over a candidate-pair set (``doc_a``,
+    ``doc_b``): joins each side's distinct shingle-hash array back and
+    intersects *inside the row* (no shingle-level explode join — the
+    all-pairs shingle self-join is quadratic in docs-per-shingle and
+    melts down on repetitive corpora). This is the verification stage
+    after ``lsh_candidate_pairs``; the pair of hash-joins broadcasts
+    when the candidate set is small."""
+    if shingles is None:
+        shingles = df.select(
+            F.col(id_col).alias("doc"), shingle_hashes(text, k).alias("__sh")
+        )
+    sh = shingles
+    out = (
+        candidates.join(
+            sh.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("ix", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("ix").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("ix")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def neardup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    k: int = 9,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full near-dup pipeline: MinHash → banded LSH candidates →
+    exact Jaccard verification. One shuffle for the band grouping, two
+    hash joins for verification — the shape that survives 100 TB.
+
+    The shingle frame is computed once and cached (both the candidate
+    stage and the verification stage consume it; on a real cluster
+    you would checkpoint it to parquet instead of executor memory)."""
+    shingles = df.select(
+        F.col(id_col).alias("doc"), shingle_hashes(text, k).alias("__sh")
+    ).persist()
+    cand = lsh_candidate_pairs(
+        df, id_col, text, num_hashes, bands, k, shingles=shingles
+    )
+    return jaccard_verify(
+        df, cand, id_col, text, k, threshold, shingles=shingles
+    )

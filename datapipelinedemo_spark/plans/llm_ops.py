@@ -1,8 +1,380 @@
-"""LLM-training-data pipeline operators (north star, BASELINE.json).
+"""LLM-training-data pipeline operators (north star, BASELINE.json):
+dedup, similarity search, and text analysis over ``documents`` /
+``embeddings``, each oracle-checked against DuckDB where expressible.
 
-Dedup / similarity / text-analysis queries over the ``documents`` and
-``embeddings`` tables. Filled in incrementally — see operators.dedup,
-operators.similarity, functions.text.
+Hash-parity notes: every hash is md5-derived (identical hex in both
+engines), every fold is an explicit left fold, and every double
+literal in oracle SQL is cast ::DOUBLE (DuckDB parses bare decimals as
+DECIMAL, which would change the arithmetic).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions import text as TX
+from datapipelinedemo_spark.operators import dedup as DD
+from datapipelinedemo_spark.operators import similarity as SIM
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.tables import table
+
+MOD = DD.MH_MOD
+_A, _B = DD._mh_params(32)
+_A_SQL = "[" + ",".join(f"{x}::BIGINT" for x in _A) + "]"
+_B_SQL = "[" + ",".join(f"{x}::BIGINT" for x in _B) + "]"
+
+# DuckDB twins of functions.text building blocks
+_TOK = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+# char 9-shingles: on a tiny-vocab corpus, 5-char shingles give a
+# shingle universe so small that every document's MinHash minima
+# coincide and LSH floods (48% of all pairs became candidates at
+# sf0.1); 9-char shingles span ~2 words and restore diversity.
+_SHINGLES = (
+    "list_distinct([CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647"
+    " for s in [substring(text, i, 9)"
+    "           for i in generate_series(1, greatest(length(text) - 8, 0))]])"
+)
+
+
+# --------------------------------------------------------------------------
+# Exact dedup — keep first (min doc_id) per identical text
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup_documents",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# --------------------------------------------------------------------------
+# Token statistics (whitespace + BPE-ish counts) per source
+# --------------------------------------------------------------------------
+@register(
+    "token_stats_per_source",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len({_TOK})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS subword_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(*) AS docs
+    FROM documents GROUP BY source
+    """,
+)
+def token_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.token_count("text")).alias("ws_tokens"),
+        F.sum(TX.word_token_count("text")).alias("subword_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document quality scores (length/punct/stopword/token-length)
+# --------------------------------------------------------------------------
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOK} AS toks, text FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                 ELSE CAST(length(text) - length(regexp_replace(text,
+                      '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / length(text)
+                 END, 6) AS punct_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+                 ELSE CAST(len(list_filter(toks,
+                      w -> w IN ('the','and','of','to','a','in','is','it','that','for')))
+                      AS DOUBLE) / len(toks) END, 6) AS stopword_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+                 ELSE CAST(list_reduce(list_prepend(0::BIGINT,
+                      list_transform(toks, w -> length(w))), (a, b) -> a + b)
+                      AS DOUBLE) / len(toks) END, 6) AS mean_token_len
+    FROM t
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(
+            TX.stopword_ratio(toks, TX.LANG_PROFILES["en"]), 6
+        ).alias("stopword_ratio"),
+        F.round(TX.mean_token_length(toks), 6).alias("mean_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic vs. the labeled lang column
+# --------------------------------------------------------------------------
+def _lang_score_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in TX.LANG_PROFILES[lang])
+    return (
+        f"len(list_filter(list_distinct({_TOK}), t -> t IN ({words})))"
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {_lang_score_sql('de')} AS s_de, {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es, {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('zh')} AS s_zh
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+                    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    ELSE 'de' END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS docs FROM pred GROUP BY lang, predicted
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the stopword-profile language-ID heuristic
+    against the labeled ``lang`` column (documents are synthetic word
+    soup, so most predict 'und' — the check is about determinism and
+    plumbing, not accuracy)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    return (
+        docs.select("lang", TX.lang_id(toks).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprints (rolling polynomial hash)
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(0::BIGINT,
+               list_transform({_TOK}, w ->
+                   CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % {TX.FP_MOD})),
+               (h, x) -> (h * {TX.FP_BASE} + x) % {TX.FP_MOD}) AS BIGINT)
+             AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", TX.tokenize("text"))
+        .select("doc_id", TX.fingerprint("toks").alias("fingerprint"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + banded LSH candidate pairs
+# --------------------------------------------------------------------------
+# Relational MinHash in DuckDB: unnest shingles × hash-index, groupBy
+# min — vectorized, evaluates the md5 shingle hashes exactly once
+# (the nested-list-comprehension formulation recomputes them per hash
+# function and is ~50× slower).
+_LSH_CTE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS hs FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(hs) AS h FROM sh
+    ), mins AS (
+        SELECT doc_id, i.i AS i,
+               MIN((({_A_SQL})[i.i + 1] * h + ({_B_SQL})[i.i + 1]) % {MOD}) AS m
+        FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+        GROUP BY doc_id, i.i
+    ), banded AS (
+        SELECT doc_id, i // 8 AS band,
+               string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
+        FROM mins GROUP BY doc_id, i // 8
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM banded a JOIN banded b2
+          ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+    )
+"""
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=_LSH_CTE + "SELECT doc_a, doc_b FROM cand",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH: 32 hashes in 4 bands of 8 — collision
+    probability 1-(1-j^8)^4, i.e. steep S-curve centered near j≈0.7,
+    sized so repetitive corpora don't flood the candidate set."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=4, k=9
+    ).select(F.col("doc_a"), F.col("doc_b"))
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures (48-bit)
+# --------------------------------------------------------------------------
+@register(
+    "simhash_signatures",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(0::BIGINT,
+             list_transform(generate_series(0, 47), b ->
+               CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                      list_transform(toks, w ->
+                        CASE WHEN ((CAST('0x' || substring(md5(w), 1, 12) AS BIGINT)
+                                    >> b) & 1) = 1
+                             THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+                      (a, x) -> a + x) >= 0
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)),
+             (a, x) -> a + x) AS BIGINT) AS simhash
+    FROM t
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("text")).withColumn(
+        "toks", TX.tokenize("text")
+    ).select("doc_id", DD.simhash("toks", bits=48).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-duplicate pairs (explode + co-group)
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_neardups",
+    oracle=_LSH_CTE
+    + """
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))),
+                 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+          / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5
+    """,
+)
+def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard —
+    the full near-dup pipeline (candidates bounded by LSH, exact
+    intersection evaluated per pair in-row, no shingle-level join)."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.neardup_pipeline(
+        docs, "doc_id", "text", num_hashes=32, bands=4, k=9, threshold=0.5
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (label-blocked)
+# --------------------------------------------------------------------------
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE,"
+    " [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    "  for i in generate_series(1, 64)]), (x, y) -> x + y)"
+)
+_NRM_A = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE,"
+    " [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+    "  for i in generate_series(1, 64)]), (x, y) -> x + y))"
+)
+_NRM_B = _NRM_A.replace("a.embedding", "b.embedding")
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT} / ({_NRM_A} * {_NRM_B}), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT} / ({_NRM_A} * {_NRM_B}) >= 0.3
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.3
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k similarity search
+# --------------------------------------------------------------------------
+_QDOT = _DOT.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")
+_QNRM = _NRM_A.replace("a.embedding", "q.embedding")
+_CNRM = _NRM_A.replace("a.embedding", "c.embedding")
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_QDOT} / ({_QNRM} * {_CNRM}) AS cs
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cs DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = SIM.cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=10)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed approximate top-k (scale path) — deterministic, but the
+# oracle SQL would be a page of hyperplane folds; driver records the
+# rows-only check, and pytest compares it against brute force recall.
+# --------------------------------------------------------------------------
+@register("similarity_topk_lsh")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = SIM.cosine_topk_lsh(
+        emb, queries, "vec_id", "embedding", k=10, planes=8, dim=64
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )

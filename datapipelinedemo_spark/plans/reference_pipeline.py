@@ -167,3 +167,106 @@ def a2_smoothed_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("smoothed_sentiment"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# F16 + A4 — ordered pair expansion & pair frequency: per (lang, w1, w2),
+# 1 + Σ_docs weight (the reference's setdefault(pair, 1) += w fold,
+# demo.py:436-442). Pairs are (i < j) over first-occurrence-ordered
+# distinct tokens — a pure array expression, zero extra shuffles.
+# --------------------------------------------------------------------------
+_PAIR_CTE = """
+    WITH tok AS (
+        SELECT doc_id, lang, n_chars,
+               unnest(toks) AS w,
+               unnest(generate_series(1, len(toks))) AS pos
+        FROM (SELECT doc_id, lang, n_chars,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+    ), dedup AS (
+        SELECT doc_id, lang, n_chars, w, MIN(pos) AS pos
+        FROM tok GROUP BY doc_id, lang, n_chars, w
+    ), pairs AS (
+        SELECT a.doc_id, a.lang, a.n_chars, a.w AS w1, b.w AS w2
+        FROM dedup a JOIN dedup b
+          ON a.doc_id = b.doc_id AND a.pos < b.pos
+    )
+"""
+
+
+@register(
+    "a4_pair_frequency",
+    oracle=_PAIR_CTE
+    + """
+    SELECT lang, w1, w2,
+           CAST(1 + SUM(CAST(round(log2(CAST(n_chars AS DOUBLE) + 1.0), 0)
+                             AS BIGINT) + 1) AS BIGINT) AS pair_freq,
+           COUNT(*) AS pair_docs
+    FROM pairs GROUP BY lang, w1, w2
+    """,
+)
+def a4_pair_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipelinedemo_spark.functions.text import distinct_tokens_in_order
+    from datapipelinedemo_spark.operators.pairs import explode_pairs
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        log2_bucket(F.col("n_chars")).cast("long").alias("w"),
+        distinct_tokens_in_order("text").alias("toks"),
+    )
+    pairs = explode_pairs(
+        docs, "toks", out1="w1", out2="w2", keep=["doc_id", "lang", "w"]
+    )
+    return pairs.groupBy("lang", "w1", "w2").agg(
+        (F.lit(1) + F.sum("w")).alias("pair_freq"),
+        F.count(F.lit(1)).alias("pair_docs"),
+    )
+
+
+@register(
+    "a3_pair_smoothed_sentiment",
+    oracle=_PAIR_CTE
+    + """
+    , scored AS (
+        SELECT lang, w1, w2,
+               CAST(n_chars % 200 - 100 AS DOUBLE) / 100.0 AS sent,
+               CAST(round(log2(CAST(n_chars AS DOUBLE) + 1.0), 0) AS BIGINT) + 1 AS w
+        FROM pairs
+    )
+    SELECT lang, w1, w2,
+           (CAST(SUM(CAST(FLOOR(sent * (w + 1) * 1000000.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1000000.0)
+               / CAST(SUM(w) + 1 AS DOUBLE) AS pair_sentiment
+    FROM scored GROUP BY lang, w1, w2
+    """,
+)
+def a3_pair_smoothed_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 semantics (demo.py:352-404): the A2 smoothed weighted mean,
+    keyed by ordered phrase pair. A deterministic pseudo-sentiment
+    derived from n_chars stands in for TextBlob polarity."""
+    from datapipelinedemo_spark.functions.text import distinct_tokens_in_order
+    from datapipelinedemo_spark.operators.pairs import explode_pairs
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang",
+        ((F.col("n_chars") % 200 - 100).cast("double") / 100.0).alias("sent"),
+        log2_bucket(F.col("n_chars")).cast("long").alias("w"),
+        distinct_tokens_in_order("text").alias("toks"),
+    )
+    pairs = explode_pairs(
+        docs, "toks", out1="w1", out2="w2", keep=["lang", "sent", "w"]
+    )
+    num = (
+        F.sum(
+            F.floor(
+                (F.col("sent") * (F.col("w") + 1)) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long")
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    den = (F.sum("w") + F.lit(1)).cast("double")
+    return pairs.groupBy("lang", "w1", "w2").agg(
+        (num / den).alias("pair_sentiment")
+    )

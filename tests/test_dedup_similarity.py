@@ -1,0 +1,102 @@
+"""Behavioral tests for dedup / similarity operators: planted
+duplicates must be found, unrelated content must not collide."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.operators import dedup as DD
+from datapipelinedemo_spark.operators import similarity as SIM
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the rain falls quietly outside"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("rain", "snow")),  # near dup of 1
+        (4, "completely different content about spark query optimization"),
+        (5, "another unrelated string mentioning broadcast hash joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = DD.exact_dedup(_docs(spark), ["text"], "doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 collapsed into doc 1
+
+
+def test_lsh_finds_planted_neardups(spark):
+    pairs = DD.lsh_candidate_pairs(_docs(spark), "doc_id", "text").collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got  # identical
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert (4, 5) not in got  # unrelated
+
+
+def test_jaccard_verify_scores(spark):
+    docs = _docs(spark)
+    cand = DD.lsh_candidate_pairs(docs, "doc_id", "text")
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.jaccard_verify(docs, cand, "doc_id", "text").collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.5 < out[(1, 3)] < 1.0
+
+
+def test_simhash_close_for_neardups(spark):
+    df = _docs(spark).withColumn("toks", F.split("text", " "))
+    sigs = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", DD.simhash("toks").alias("s")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    ham_13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_13 < ham_14
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0, 0.0], 0),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_bruteforce(spark):
+    emb = _vectors(spark)
+    out = SIM.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 1), k=2
+    ).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [2, 3]
+
+
+def test_embedding_neardup_pairs(spark):
+    out = SIM.embedding_neardup_pairs(
+        _vectors(spark), threshold=0.9, block_col="label"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
+    from datapipelinedemo_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = SIM.cosine_topk_bruteforce(emb, queries, k=50)
+    approx = SIM.cosine_topk_lsh(emb, queries, k=10, planes=8, dim=64)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = [(r.query_id, r.neighbor_id) for r in approx.collect()]
+    assert a, "LSH returned nothing"
+    # every LSH hit is a real scored pair; recall against top-50 is loose
+    hits = sum(1 for p in a if p in b)
+    assert hits / len(a) > 0.2
