@@ -378,3 +378,37 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary media columns + Arrow-batched mapInPandas feature
+# extraction. The oracle recomputes the deterministic stub features in
+# SQL — proving the Python-batch path produces exactly what the
+# declarative spec says.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           round(CAST(CAST('0x' || substring(md5(text), 1, 2) AS INT) AS DOUBLE)
+                 / 255.0, 6) AS f0
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipelinedemo_spark.multimodal import attach_fake_media, extract_features
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )

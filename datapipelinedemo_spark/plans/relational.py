@@ -502,3 +502,108 @@ def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         building.union(machinery).distinct().intersect(urgent).subtract(big)
     )
+
+
+# --------------------------------------------------------------------------
+# Session windows (batch form of streaming.session_aggregates; the
+# oracle is the classic gaps-and-islands formulation)
+# --------------------------------------------------------------------------
+@register(
+    "events_session_windows",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           {_dsum('value', 'sum_value')}
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipelinedemo_spark.streaming.windows import session_aggregates
+
+    ev = table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    return session_aggregates(ev, gap="5 minutes")
+
+
+# --------------------------------------------------------------------------
+# Sliding windows (2h window, 1h slide → each event in 2 windows)
+# --------------------------------------------------------------------------
+@register(
+    "events_sliding_2h_1h",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS event_count
+    FROM (
+        SELECT event_type,
+               unnest([time_bucket(INTERVAL '1 hour', ts),
+                       time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+                   AS ws
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipelinedemo_spark.streaming.windows import sliding_counts
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    return sliding_counts(ev, width="2 hours", slide="1 hour")
+
+
+# --------------------------------------------------------------------------
+# Streaming-style dedup: first event per (user, type) — keep-first
+# semantics identical to dropDuplicates under watermark
+# --------------------------------------------------------------------------
+@register(
+    "event_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def event_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P1 — the reference's random-sample-then-limit, seeded (demo.py:55,59).
+# rand(seed) has no cross-engine twin → driver records rows-only.
+# --------------------------------------------------------------------------
+@register("seeded_sample_orders")
+def seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.rand(42), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
