@@ -161,3 +161,23 @@ def fingerprint(tokens) -> Column:
         f"  + cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % {FP_MOD})"
         f" % {FP_MOD})"
     ).cast("long")
+
+
+def chunk_spans(tokens, size: int = 50, stride: int = 40) -> Column:
+    """Overlapping token-window chunks (training-data chunking): spans
+    start at 0, stride, 2·stride, … while start < n_tokens; each chunk
+    is up to ``size`` tokens rejoined with spaces. Pure expression —
+    the k-per-row blow-up happens in-row, then one explode.
+
+    DuckDB twin: slice + array_to_string over
+    ``generate_series(0, greatest(len-1, 0), stride)``.
+    """
+    name = _name(tokens)
+    return F.expr(
+        f"transform("
+        f" sequence(0, greatest(size({name}) - 1, 0), {stride}),"
+        f" s -> struct("
+        f"   cast(s / {stride} as int) AS chunk_idx,"
+        f"   array_join(slice({name}, s + 1, {size}), ' ') AS chunk_text,"
+        f"   least({size}, size({name}) - s) AS chunk_tokens))"
+    )

@@ -40,5 +40,6 @@ def register(name: str, oracle: str | None = None):
 def load_catalog() -> None:
     """Import every registering module (idempotent)."""
     from datapipelinedemo_spark.plans import relational  # noqa: F401
+    from datapipelinedemo_spark.plans import relational_ext  # noqa: F401
     from datapipelinedemo_spark.plans import reference_pipeline  # noqa: F401
     from datapipelinedemo_spark.plans import llm_ops  # noqa: F401

