@@ -270,3 +270,62 @@ def orders_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 shape via the SQL interface (the reference has no SQL surface at
+# all; Spark gives it for free over registered views)
+# --------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue_sql",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS matched
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressed through ``spark.sql`` over a registered view — the SQL
+    entry point into the same Catalyst plans the DataFrame API builds."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               COUNT(*) AS matched
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (both engines: sort + linear interpolation)
+# --------------------------------------------------------------------------
+@register(
+    "value_percentiles_per_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
