@@ -491,3 +491,165 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "user_id long, ewma double, n_events long"
     return ev.groupBy("user_id").applyInPandas(ewma, out_schema)
+
+
+# --------------------------------------------------------------------------
+# F8 — the NER dictionary matcher, oracle-checked. The pattern set uses
+# distinct first tokens and component unigrams that are not themselves
+# patterns, so span resolution is overlap-free and SQL-expressible;
+# the overlap/filter_spans semantics are pinned by pytest
+# (tests/test_tweets_pipeline.py::test_ner_semantics).
+# --------------------------------------------------------------------------
+_NER_PATTERNS = [
+    ("table", 1, "Term", "TableOp"),
+    ("join", 1, "Term", "JoinOp"),
+    ("window", 1, "Term", None),          # no id → surface form
+    ("hash value", 2, "Term", "HashValue"),
+    ("fast merge", 2, "Term", "FastMerge"),
+]
+# SQL-literal form: apostrophes doubled for the DuckDB string
+_NER_TOKRE = "[a-z0-9_'']+|[^a-z0-9_''\\s]"
+
+
+@register(
+    "ner_phrase_extraction",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{_NER_TOKRE}') AS t
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(generate_series(1, len(t))) AS pos, t
+        FROM toks
+    ), pat(first_tok, pattern, n_tok, ent_id) AS (
+        VALUES ('table', 'table', 1, 'TableOp'),
+               ('join', 'join', 1, 'JoinOp'),
+               ('window', 'window', 1, NULL),
+               ('hash', 'hash value', 2, 'HashValue'),
+               ('fast', 'fast merge', 2, 'FastMerge')
+    ), matched AS (
+        SELECT DISTINCT ex.doc_id,
+               coalesce(pat.ent_id, pat.pattern) AS phrase
+        FROM ex JOIN pat ON ex.tok = pat.first_tok
+        WHERE array_to_string(list_slice(ex.t, ex.pos, ex.pos + pat.n_tok - 1), ' ')
+              = pat.pattern
+    ), all_docs AS (SELECT doc_id FROM documents)
+    SELECT a.doc_id, coalesce(m.phrase, 'empty') AS phrase
+    FROM all_docs a LEFT JOIN matched m ON a.doc_id = m.doc_id
+    """,
+)
+def ner_phrase_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entity_ruler-equivalent extraction over documents: one row per
+    (doc, matched phrase id), ``empty`` sentinel for docs with no hit."""
+    from datapipelinedemo_spark.functions.ner import (
+        extract_phrases,
+        pattern_table_from_rows,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pats = pattern_table_from_rows(spark, _NER_PATTERNS)
+    out = extract_phrases(docs, "text", pats, "doc_id")
+    return out.select(
+        "doc_id", F.explode("All_phrases").alias("phrase")
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# F10 — lexicon sentiment, oracle-checked. Tenth-valued polarities are
+# snapped to ints so the per-doc mean is order-independent.
+# --------------------------------------------------------------------------
+_SENT_LEXICON = [
+    ("fast", 8), ("slow", -6), ("big", 3), ("small", -2),
+    ("merge", 5), ("error", -9), ("value", 2), ("filter", -1),
+]
+_SENT_VALUES = ", ".join(f"('{w}', {p})" for w, p in _SENT_LEXICON)
+
+
+@register(
+    "lexicon_sentiment_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ), lex(token, p10) AS (VALUES {_SENT_VALUES}),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(SUM(l.p10) AS BIGINT) AS sum_p10,
+               COUNT(*) AS hits
+        FROM toks t JOIN lex l ON t.tok = l.token
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           round(coalesce(CAST(s.sum_p10 AS DOUBLE) / (10.0 * s.hits), 0.0), 6)
+               AS sentiment,
+           coalesce(s.hits, 0) AS lexicon_hits
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def lexicon_sentiment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean lexicon polarity per document (0.0 when nothing matches),
+    integer-snapped so Spark's and DuckDB's fold orders can't drift."""
+    docs = table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_SENT_LEXICON, "token string, p10 int")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"[^a-z0-9']+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    scored = (
+        toks.join(F.broadcast(lex), toks.tok == lex.token)
+        .groupBy("doc_id")
+        .agg(F.sum("p10").alias("sum_p10"), F.count(F.lit(1)).alias("hits"))
+        .withColumnRenamed("doc_id", "sdoc")
+    )
+    return (
+        docs.join(scored, docs.doc_id == F.col("sdoc"), "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.col("sum_p10").cast("double")
+                    / (F.lit(10.0) * F.col("hits")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("sentiment"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("lexicon_hits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O2 — per-group top-k by weighted frequency (FreqDist.most_common)
+# --------------------------------------------------------------------------
+@register(
+    "top5_words_per_lang",
+    oracle="""
+    WITH w AS (
+        SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS word
+        FROM documents
+    ), counted AS (
+        SELECT lang, word, COUNT(*) AS freq FROM w GROUP BY lang, word
+    )
+    SELECT lang, word, freq, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY freq DESC, word) AS rnk
+        FROM counted
+    ) WHERE rnk <= 5
+    """,
+)
+def top5_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counted = (
+        docs.select("lang", F.explode(TX.tokenize("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

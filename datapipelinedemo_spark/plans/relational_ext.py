@@ -329,3 +329,94 @@ def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function depth: running totals, moving averages, lag deltas
+# --------------------------------------------------------------------------
+@register(
+    "running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+    FROM orders
+    """,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+@register(
+    "moving_avg_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(cents AS BIGINT) AS day_cents,
+           round(CAST(AVG(cents) OVER (ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+               AS avg7_cents
+    FROM daily
+    """,
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over exact integer day-cents; the AVG of
+    BIGINTs divides identically in both engines (sum exact, count
+    identical)."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cents").alias("day_cents"),
+        F.round(F.avg("cents").over(w), 4).alias("avg7_cents"),
+    )
+
+
+@register(
+    "order_gap_days_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(coalesce(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate), -1) AS BIGINT) AS gap_days
+    FROM orders
+    """,
+)
+def order_gap_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days since the customer's previous order (−1 for the first) —
+    LAG + datediff."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff(F.to_date("o_orderdate"), F.to_date(prev)),
+            F.lit(-1),
+        ).cast("long").alias("gap_days"),
+    )

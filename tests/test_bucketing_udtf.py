@@ -17,8 +17,15 @@ def _plan(df) -> str:
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    import shutil
+
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # a managed table's directory survives the previous session even
+    # after the in-memory catalog forgot the table — clear both
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     write_bucketed(orders, "orders_b", "o_orderkey", buckets=4)
     write_bucketed(
         li.withColumnRenamed("l_orderkey", "o_orderkey"),
