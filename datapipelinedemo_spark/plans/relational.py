@@ -607,3 +607,56 @@ def seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style continuous aggregate: daily totals derived FROM the
+# hourly aggregate (reuse of the finer rollup instead of re-scanning
+# raw events — at 100 TB the hourly table is ~10^4x smaller than raw)
+# --------------------------------------------------------------------------
+@register(
+    "two_level_time_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS v4
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(time_bucket(INTERVAL '1 day', h), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS event_count,
+           CAST(SUM(v4) AS DOUBLE) / 10000.0 AS sum_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def two_level_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 10000.0 + 0.5).cast("long")
+        ).alias("v4"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("event_count"),
+        (F.sum("v4").cast("double") / F.lit(10000.0)).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HLL). Sketches are engine-specific, so the
+# driver records rows-only; pytest bounds the error vs exact.
+# --------------------------------------------------------------------------
+@register("approx_distinct_users_per_type")
+def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("events"),
+    )
