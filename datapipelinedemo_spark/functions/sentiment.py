@@ -60,17 +60,29 @@ def score_sentiment(
 ) -> DataFrame:
     """Add ``out_col``: mean lexicon polarity of the row's tokens
     (every occurrence counts, like PatternAnalyzer), 0.0 when no
-    lexicon token appears. One broadcast join + one groupBy."""
+    lexicon token appears. One broadcast join + one groupBy.
+
+    The mean is computed as a fixed-point (1e-6-snapped) sum divided by
+    the count, so the value is independent of aggregation order and a
+    SQL oracle reproduces it bit-for-bit; for lexicons with ≤6-decimal
+    polarities it equals the exact average.
+    """
     toks = df.select(
         F.col(id_col).alias("__rid"),
         F.explode(
             F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
         ).alias("__tok"),
     ).filter(F.col("__tok") != "")
+    snapped = F.floor(F.col("polarity") * 1000000.0 + 0.5).cast("long")
     scored = (
         toks.join(F.broadcast(lexicon), toks["__tok"] == lexicon["token"])
         .groupBy("__rid")
-        .agg(F.avg("polarity").alias("__sent"))
+        .agg(
+            (
+                (F.sum(snapped).cast("double") / F.lit(1000000.0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__sent")
+        )
     )
     scored = scored.withColumnRenamed("__rid", "__sent_rid")
     return (
@@ -78,7 +90,7 @@ def score_sentiment(
         .drop("__sent_rid")
         .withColumn(
             out_col,
-            F.coalesce(F.col("__sent"), F.lit(0.0)).cast("float"),
+            F.coalesce(F.col("__sent"), F.lit(0.0)),
         )
         .drop("__sent")
     )

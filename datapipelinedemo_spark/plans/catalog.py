@@ -43,3 +43,4 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import relational_ext  # noqa: F401
     from datapipelinedemo_spark.plans import reference_pipeline  # noqa: F401
     from datapipelinedemo_spark.plans import llm_ops  # noqa: F401
+    from datapipelinedemo_spark.plans import tweets_catalog  # noqa: F401

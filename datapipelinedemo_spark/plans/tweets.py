@@ -168,7 +168,19 @@ def sentiments_monthly(enriched: DataFrame) -> DataFrame:
         .groupBy("Year", "Month", "Category2", "Topic")
         .agg(
             (
-                F.sum(F.col("Sentiment") * (F.col("Likes_log") + 1))
+                # fixed-point-snapped numerator: order-independent and
+                # oracle-reproducible (see functions.stable)
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("Sentiment")
+                            * (F.col("Likes_log") + 1)
+                            * F.lit(1000000.0)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                )
                 / (F.sum("Likes_log") + F.lit(1)).cast("double")
             ).alias("val")
         )
@@ -198,7 +210,19 @@ def sentiment2d_monthly(enriched: DataFrame) -> DataFrame:
         .groupBy("Year", "Month", "Category2", "Topic", "Topic2")
         .agg(
             (
-                F.sum(F.col("Sentiment") * (F.col("Likes_log") + 1))
+                # fixed-point-snapped numerator: order-independent and
+                # oracle-reproducible (see functions.stable)
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("Sentiment")
+                            * (F.col("Likes_log") + 1)
+                            * F.lit(1000000.0)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                )
                 / (F.sum("Likes_log") + F.lit(1)).cast("double")
             ).alias("val")
         )
