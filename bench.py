@@ -42,6 +42,9 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     qs = e.queries()
+    # tweets_* run on a fixed-size committed fixture (correctness
+    # showpieces) — excluded from the sf-scaled timing set
+    qs = {n: f for n, f in qs.items() if not n.startswith("tweets_")}
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
