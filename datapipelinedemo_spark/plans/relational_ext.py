@@ -420,3 +420,113 @@ def order_gap_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).cast("long").alias("gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Range/interval join (reference gap §2.7): purchases attributed to the
+# user's signup windows (ts ∈ [signup, signup+6h)). Spark side uses the
+# bucketed-equi-join pattern (operators/rangejoin.py); the oracle is
+# the plain inequality join.
+# --------------------------------------------------------------------------
+@register(
+    "range_join_purchase_attribution",
+    oracle="""
+    WITH sg AS (
+        SELECT user_id, ts AS s, ts + INTERVAL '6 hours' AS e,
+               event_id AS signup_id
+        FROM events WHERE event_type = 'signup'
+    ), pu AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT pu.purchase_id, sg.signup_id,
+           strftime(pu.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM pu JOIN sg
+      ON pu.user_id = sg.user_id AND sg.s <= pu.ts AND pu.ts < sg.e
+    """,
+)
+def range_join_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipelinedemo_spark.operators.rangejoin import interval_join_bucketed
+
+    ev = table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su_user"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("e"),
+        F.col("event_id").alias("signup_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = interval_join_bucketed(
+        purchases,
+        signups,
+        left_key="user_id",
+        right_key="su_user",
+        left_ts="ts",
+        right_start="s",
+        right_end="e",
+        bucket_seconds=3600,
+    )
+    return joined.select(
+        "purchase_id",
+        "signup_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column statistics with order-independent variance (snapped-moment
+# formula — identical arithmetic both engines)
+# --------------------------------------------------------------------------
+@register(
+    "events_value_stats",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS s1,
+               CAST(SUM(CAST(FLOOR(value * value * 10000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 10000.0 AS s2,
+               MIN(value) AS min_v, MAX(value) AS max_v
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, min_v, max_v,
+           round(s1 / n, 6) AS mean_v,
+           round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_v
+    FROM s
+    """,
+)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        F.sum(F.floor(F.col("value") * 10000.0 + 0.5).cast("long")).cast("double")
+        / 10000.0
+    )
+    s2 = (
+        F.sum(
+            F.floor(F.col("value") * F.col("value") * 10000.0 + 0.5).cast("long")
+        ).cast("double")
+        / 10000.0
+    )
+    n = F.count(F.lit(1))
+    agg = ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "min_v",
+        "max_v",
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean_v"),
+        F.round(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("var_v"),
+    )
