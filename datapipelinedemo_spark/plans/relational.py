@@ -660,3 +660,30 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Map type + from_json: parse props into map<string,bigint>, explode
+# entries (generic over any key set, unlike get_json_object)
+# --------------------------------------------------------------------------
+@register(
+    "events_props_map_explode",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key)
+                         AS BIGINT)) AS BIGINT) AS total,
+           COUNT(*) AS n
+    FROM kv GROUP BY prop_key
+    """,
+)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+    )

@@ -108,3 +108,46 @@ def test_multimodal_real_decoder_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
+
+
+def test_stream_static_join(spark, sf_dir, events_dir):
+    """Streaming events joined to a static dimension (customer →
+    nation) with a windowed count — the stream-static broadcast join
+    pattern; results must equal the batch plan."""
+    from datapipelinedemo_spark.tables import table as load
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    batch_df = spark.read.parquet(events_dir)
+
+    def plan(ev):
+        return (
+            ev.join(F.broadcast(cust), "user_id")
+            .groupBy(F.window("ts", "6 hours").alias("w"), "c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "c_nationkey",
+                "n",
+            )
+        )
+
+    expected = {(r.ws, r.c_nationkey): r.n for r in plan(batch_df).collect()}
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    q = (
+        plan(stream)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.ws, r.c_nationkey): r.n
+            for r in spark.sql("SELECT * FROM ssj_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
