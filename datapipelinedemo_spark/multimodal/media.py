@@ -108,3 +108,57 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 
     pruned = media.select("media_id", "kind", "content")
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 1000, stride: int = 2
+) -> DataFrame:
+    """Video frame sampling plumbing: split content into fixed-size
+    "frames", keep every ``stride``-th — a 1:N mapInPandas (each input
+    row yields multiple frame rows). Real ffmpeg decode would replace
+    the byte-slicing inside the same loop."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    fb = b[i * frame_size : (i + 1) * frame_size]
+                    out_rows.append(
+                        (mid, i, len(fb), hashlib.md5(fb).hexdigest())
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["media_id", "frame_idx", "frame_bytes", "frame_checksum"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Image "resize" plumbing: truncate content to ``max_bytes`` and
+    update metadata — stands in for a PIL thumbnail inside the same
+    mapInPandas loop. Pure-expression here (truncation IS expressible
+    natively; a real resize would not be)."""
+    resized = F.expr(f"substring(content, 1, {max_bytes})")
+    return media.withColumn("content", resized).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
+        ),
+    )

@@ -675,3 +675,34 @@ def top5_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling: 1:N mapInPandas (every 2nd 1000-byte
+# "frame" per media item), verified against SQL recomputation
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               CAST(ceil(length(text) / 1000.0) AS INT) AS n_frames
+        FROM documents
+    ), idx AS (
+        SELECT media_id, text, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+        FROM m
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substring(text, frame_idx * 1000 + 1, 1000)) AS BIGINT)
+               AS frame_bytes,
+           md5(substring(text, frame_idx * 1000 + 1, 1000)) AS frame_checksum
+    FROM idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipelinedemo_spark.multimodal import attach_fake_media
+    from datapipelinedemo_spark.multimodal.media import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return sample_frames(media, frame_size=1000, stride=2)

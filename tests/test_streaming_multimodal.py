@@ -151,3 +151,32 @@ def test_stream_static_join(spark, sf_dir, events_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_frame_sampling_and_resize(spark, sf_dir):
+    import hashlib
+
+    from datapipelinedemo_spark.multimodal import attach_fake_media
+    from datapipelinedemo_spark.multimodal.media import resize_stub, sample_frames
+    from datapipelinedemo_spark.tables import table as load
+
+    docs = load(spark, sf_dir, "documents").limit(10)
+    media = attach_fake_media(docs, "doc_id", "text")
+    frames = sample_frames(media, frame_size=100, stride=2).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, fs in by_media.items():
+        raw = texts[mid].encode()
+        n = (len(raw) + 99) // 100
+        assert sorted(f.frame_idx for f in fs) == list(range(0, n, 2))
+        for f in fs:
+            chunk = raw[f.frame_idx * 100 : (f.frame_idx + 1) * 100]
+            assert f.frame_bytes == len(chunk)
+            assert f.frame_checksum == hashlib.md5(chunk).hexdigest()
+
+    resized = resize_stub(media, max_bytes=64).collect()
+    for r in resized:
+        assert len(bytes(r.content)) <= 64
+        assert r.meta.n_bytes == len(bytes(r.content))
