@@ -180,3 +180,47 @@ def test_frame_sampling_and_resize(spark, sf_dir):
     for r in resized:
         assert len(bytes(r.content)) <= 64
         assert r.meta.n_bytes == len(bytes(r.content))
+
+
+def test_streaming_checkpoint_resume(spark, sf_dir, tmp_path):
+    """File-sink exactly-once with checkpoint resume: stop the query,
+    add more source data, restart with the same checkpoint — the sink
+    must contain each input row exactly once."""
+    from datapipelinedemo_spark.tables import table as load
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    # append the second half as new files, resume from checkpoint
+    second.coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
