@@ -687,3 +687,59 @@ def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prop_key")
         .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Array aggregation: deterministic collected lists (sorted, joined)
+# --------------------------------------------------------------------------
+@register(
+    "suppliers_per_nation_list",
+    oracle="""
+    SELECT n.n_name,
+           array_to_string(list_sort(list(DISTINCT s.s_name)), ',')
+               AS supplier_names,
+           COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def suppliers_per_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("s_name")), ","
+            ).alias("supplier_names"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Datetime function depth: ISO weekday, end-of-month, date shift
+# --------------------------------------------------------------------------
+@register(
+    "order_date_features",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_part('isodow', o_orderdate) AS INT) AS weekday_iso,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL '30 days', '%Y-%m-%d')
+               AS ship_by
+    FROM orders
+    """,
+)
+def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        # Spark weekday(): 0=Monday … 6=Sunday; ISO dow = weekday+1
+        (F.weekday("o_orderdate") + 1).cast("int").alias("weekday_iso"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("eom"),
+        F.date_format(
+            F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd"
+        ).alias("ship_by"),
+    )
