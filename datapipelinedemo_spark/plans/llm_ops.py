@@ -706,3 +706,94 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     return sample_frames(media, frame_size=1000, stride=2)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: email/URL redaction (training-data hygiene). The
+# fixture-free trick: deterministically append synthetic PII to the
+# corpus in BOTH engines, then verify the redaction pass removes it.
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || CASE doc_id % 5
+                 WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now'
+                 WHEN 1 THEN ' see https://example.com/d/'
+                             || CAST(doc_id AS VARCHAR) || ' today'
+                 WHEN 2 THEN ' mail a@b.io or visit http://x.io/page'
+                 ELSE '' END AS text
+        FROM documents
+    ), red AS (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_URL_RE}', '[URL]', 'g') AS clean
+        FROM dirty
+    )
+    SELECT CAST(SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_redacted,
+           CAST(SUM(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT)
+               AS emails_found,
+           CAST(SUM(len(regexp_extract_all(text, '{_URL_RE}'))) AS BIGINT)
+               AS urls_found,
+           CAST(SUM(CASE WHEN regexp_matches(clean, '{_EMAIL_RE}')
+                           OR regexp_matches(clean, '{_URL_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS leaks_after
+    FROM red
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL redaction over a corpus with deterministically planted
+    PII; output counts what was found, what was scrubbed, and that
+    nothing leaks through the cleaned text."""
+    docs = table(spark, sf_dir, "documents")
+    pii = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit(" see https://example.com/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.lit(" mail a@b.io or visit http://x.io/page"),
+        )
+        .otherwise(F.lit(""))
+    )
+    dirty = docs.select(
+        "doc_id", F.concat(F.col("text"), pii).alias("text")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _URL_RE,
+        "[URL]",
+    )
+    red = dirty.withColumn("clean", clean)
+    return red.agg(
+        F.sum((F.col("clean") != F.col("text")).cast("long")).alias(
+            "docs_redacted"
+        ),
+        F.sum(F.regexp_count("text", F.lit(_EMAIL_RE))).alias("emails_found"),
+        F.sum(F.regexp_count("text", F.lit(_URL_RE))).alias("urls_found"),
+        F.sum(
+            (
+                F.col("clean").rlike(_EMAIL_RE) | F.col("clean").rlike(_URL_RE)
+            ).cast("long")
+        ).alias("leaks_after"),
+    )
