@@ -797,3 +797,51 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("leaks_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (training batch prep): stream docs per language in
+# id order into ~2000-token bins via windowed cumulative counts — the
+# shuffle-free approximation of greedy packing (bin id is a pure
+# window expression, no sequential state needed).
+# --------------------------------------------------------------------------
+@register(
+    "pack_documents_bins",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, toks,
+               SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - toks AS before
+        FROM t
+    )
+    SELECT lang, CAST(FLOOR(before / 2000.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS docs_in_bin,
+           CAST(SUM(toks) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY lang, bin_id
+    """,
+)
+def pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "toks", F.size(TX.tokenize("text"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("before", F.sum("toks").over(w) - F.col("toks"))
+    return (
+        c.withColumn(
+            "bin_id", F.floor(F.col("before") / F.lit(2000.0)).cast("long")
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in_bin"),
+            F.sum("toks").cast("long").alias("bin_tokens"),
+        )
+    )
