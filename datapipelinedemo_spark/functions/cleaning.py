@@ -95,16 +95,18 @@ def keyword_from_url(c) -> Column:
     return F.when(kw == "", F.lit(None).cast("string")).otherwise(kw)
 
 
-# F7 — the 7-keyword dict (demo.py:117-135). Kept as data, not code, so
-# it can also be broadcast-joined as a mapping table at scale.
+# F7 — the reference's exact 7-keyword dict (demo.py:122-131:
+# SODA=[fizzy drink, soda, sparkling water], TONIC=[tonic],
+# GINGERALE=[ginger ale, coke, pop]). Kept as data, not code, so it can
+# also be broadcast-joined as a mapping table at scale.
 KEYWORD_CATEGORIES: dict[str, str] = {
-    "soda": "soda",
-    "club soda": "soda",
-    "soda water": "soda",
-    "sparkling water": "soda",
     "fizzy drink": "soda",
+    "soda": "soda",
+    "sparkling water": "soda",
     "tonic": "tonic",
     "ginger ale": "ginger ale",
+    "coke": "ginger ale",
+    "pop": "ginger ale",
 }
 
 

@@ -139,8 +139,9 @@ def lang_id(tokens, profiles: dict[str, list[str]] | None = None) -> Column:
         )
         for lang, ws in sorted(profiles.items())
     ]
-    # array_max on (score, lang) structs orders by score then lang — to get
-    # "then SMALLER lang" we compare on (score, reversed-rank) instead:
+    # greatest() on (score, lang) structs compares score first, then lang:
+    # ties resolve to the lexicographically GREATER language code (the
+    # DuckDB oracle's CASE chain zh→fr→es→en→de encodes the same order).
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
     return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
 

@@ -67,10 +67,23 @@ def enrich(
         .filter(F.col("Page_URL").isNotNull())
         .withColumn("Keyword", keyword_from_url("Page_URL"))
         .filter(F.col("Keyword").isNotNull())
-        .withColumn("Category2", keyword_to_category("Keyword"))
-        .filter(F.col("Category2").isNotNull())
+        # Unknown keyword → null category in the reference (demo.py:135);
+        # those rows are KEPT and every output consumes Category2 only via
+        # str(key) in the month/category UDFs (demo.py:219, str(None) →
+        # 'None'), so coalescing to the literal 'None' here is
+        # observationally equivalent and keeps the group key non-null.
+        .withColumn(
+            "Category2",
+            F.coalesce(keyword_to_category("Keyword"), F.lit("None")),
+        )
         .withColumn("__rid", F.monotonically_increasing_id())
     )
+    # __rid feeds TWO reattach joins (phrases, sentiment) below.
+    # monotonically_increasing_id is only stable for a fixed partition
+    # layout + row order, so pin it by materializing the frame once
+    # (lineage truncation: retries and both join branches reread the
+    # same blocks instead of regenerating ids). Lazy: first action pays.
+    df = df.localCheckpoint(eager=False)
     df = extract_phrases(df, "Text", patterns, "__rid", out_col="All_phrases")
     # CheckEmpty != 1 (demo.py:157's intended semantics): drop sentinel rows
     df = df.filter(F.col("All_phrases") != F.array(F.lit("empty")))

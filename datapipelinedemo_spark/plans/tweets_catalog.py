@@ -89,10 +89,15 @@ WITH raw AS (
                ' lang%3Aen', '')), '') AS keyword
     FROM dated WHERE d IS NOT NULL AND Page_URL IS NOT NULL
 ), cat AS (
-    SELECT *, CASE WHEN keyword IN ('soda','club soda','soda water',
-                                    'sparkling water','fizzy drink') THEN 'soda'
+    -- demo.py:122-131 exact map; unknown keyword -> null category, KEPT
+    -- (str(None) -> 'None' in the reference's output keys, demo.py:219)
+    SELECT *, coalesce(
+              CASE WHEN keyword IN ('fizzy drink','soda','sparkling water')
+                     THEN 'soda'
                    WHEN keyword = 'tonic' THEN 'tonic'
-                   WHEN keyword = 'ginger ale' THEN 'ginger ale' END AS cat2
+                   WHEN keyword IN ('ginger ale','coke','pop')
+                     THEN 'ginger ale' END,
+              'None') AS cat2
     FROM kw WHERE keyword IS NOT NULL
 ), nums AS (
     SELECT rid, Text, cat2, year(d) AS y, month(d) AS m,
@@ -110,7 +115,7 @@ WITH raw AS (
                 WHEN regexp_matches(rts_s, '^\\s*[0-9]*\\.?[0-9]+\\s*$')
                   THEN CAST(FLOOR(CAST(rts_s AS DOUBLE)) AS BIGINT)
                 ELSE 0 END AS rts
-    FROM cat WHERE cat2 IS NOT NULL
+    FROM cat
 ), logs AS (
     SELECT *, CAST(round(log2(likes + 1.0), 0) AS BIGINT) + 1 AS llog,
               CAST(round(log2(rts + 1.0), 0) AS BIGINT) + 1 AS rlog

@@ -78,10 +78,13 @@ def test_keyword_from_url(spark):
 def test_keyword_to_category(spark):
     out = _vals(
         spark,
-        [("soda",), ("tonic",), ("ginger ale",), ("coffee",), (None,)],
+        [("soda",), ("tonic",), ("ginger ale",), ("coke",), ("pop",),
+         ("club soda",), ("coffee",), (None,)],
         C.keyword_to_category("v"),
     )
-    assert out == ["soda", "tonic", "ginger ale", None, None]
+    # demo.py:122-131: coke/pop → ginger ale; club soda is NOT mapped
+    assert out == ["soda", "tonic", "ginger ale", "ginger ale", "ginger ale",
+                   None, None, None]
 
 
 def test_empty_sentinel_flag(spark):

@@ -48,7 +48,9 @@ ROWS = [
     (None, "soda good", "1", "1", "1", URL.format(kw="soda")),  # null ts→dropped
     ("not a date", "soda good", "1", "1", "1", URL.format(kw="soda")),  # unparseable→dropped
     ("Apr 1, 2019", "soda good", "1", "1", "1", "https://x.com/nomatch"),  # no keyword→dropped
-    ("Apr 2, 2019", "soda good", "1", "1", "1", URL.format(kw="coffee")),  # unknown kw→dropped
+    ("Apr 2, 2019", "soda good", "1", "1", "1", URL.format(kw="coffee")),  # unknown kw→Category2 'None', KEPT
+    ("May 3, 2019", "love coke and soda", "2", "12", "5", URL.format(kw="coke")),  # coke→ginger ale
+    ("May 4, 2019", "pop with butter flat", "0", "3", "2", URL.format(kw="pop")),  # pop→ginger ale
 ]
 
 
@@ -92,9 +94,10 @@ def _keyword(url):
         return None
 
 
-CATS = {"soda": "soda", "tonic": "tonic", "ginger ale": "ginger ale",
-        "sparkling water": "soda", "fizzy drink": "soda", "club soda": "soda",
-        "soda water": "soda"}
+# demo.py:122-131 exact map; unknown keyword → None → str(None)='None'
+CATS = {"fizzy drink": "soda", "soda": "soda", "sparkling water": "soda",
+        "tonic": "tonic",
+        "ginger ale": "ginger ale", "coke": "ginger ale", "pop": "ginger ale"}
 
 
 def _phrases(text):
@@ -139,8 +142,9 @@ def _oracle_rows():
         except ValueError:
             continue
         kw = _keyword(url)
-        if kw is None or kw not in CATS:
+        if kw is None:
             continue
+        cat = CATS.get(kw, "None")  # unknown kept, like the reference
         likes = _parse_num(l)
         rts = _parse_num(r)
         phrases = _phrases(text)
@@ -150,7 +154,7 @@ def _oracle_rows():
             {
                 "year": d.year,
                 "month": d.month,
-                "cat": CATS[kw],
+                "cat": cat,
                 "likes_log": _round_half_even_log2(likes),
                 "rts_log": _round_half_even_log2(rts),
                 "phrases": phrases,

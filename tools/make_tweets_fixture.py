@@ -26,12 +26,15 @@ LONG_DATES = [
 ]
 SHORT_MONTHS = ["Mar", "Sep"]
 
+# demo.py:122-131 exact map: coke/pop -> ginger ale; club soda /
+# soda water are NOT mapped (unknown -> Category2 'None', rows kept)
 KEYWORDS = [
-    ("soda", "soda"), ("club%20soda", "soda"), ("soda%20water", "soda"),
-    ("sparkling%20water", "soda"), ("fizzy%20drink", "soda"),
-    ("tonic", "tonic"), ("ginger%20ale", "ginger ale"),
+    ("soda", "soda"), ("sparkling%20water", "soda"),
+    ("fizzy%20drink", "soda"), ("tonic", "tonic"),
+    ("ginger%20ale", "ginger ale"), ("coke", "ginger ale"),
+    ("pop", "ginger ale"),
 ]
-UNKNOWN_KW = ["coffee", "tea%20leaf"]
+UNKNOWN_KW = ["coffee", "tea%20leaf", "club%20soda", "soda%20water"]
 
 # phrase vocab (tweets_catalog.PATTERNS must match): unigrams
 # soda/tonic/sugar/butter/olive/ginger, bigrams "ginger ale"/"olive oil"
@@ -89,7 +92,7 @@ def make_rows(n: int = 1400, seed: int = 42):
         elif r3 < 0.12:
             url = "https://x.example/nomatch"
         elif r3 < 0.2:
-            kw = UNKNOWN_KW[rng.randrange(2)]
+            kw = UNKNOWN_KW[rng.randrange(len(UNKNOWN_KW))]
             url = f"https://x.example/search?searchq={kw}%20until%202020-01-01"
         else:
             kw, _ = KEYWORDS[rng.randrange(len(KEYWORDS))]
