@@ -100,6 +100,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     k: int = 9,
     shingles: DataFrame | None = None,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs whose MinHash signatures agree
     on at least one band of r = num_hashes/bands consecutive values.
@@ -108,6 +109,21 @@ def lsh_candidate_pairs(
     (no shuffle), bands explode ×bands, then ONE shuffle on
     (band, band-key) groups candidates; the pair join happens only
     inside buckets. Output: distinct (id_a < id_b) pairs.
+
+    Hot-bucket bound: web crawls have pathologically common signatures
+    (boilerplate / near-constant docs), and an uncapped bucket means one
+    k² task and one OOM. With ``bucket_cap`` = c, docs in a bucket are
+    ranked by id (window over the same shuffle partitioning — no extra
+    exchange) and
+      * the first c docs expand all-pairs in-row (≤ C(c,2) per bucket);
+      * every doc past the cap emits ONE pair with the bucket's minimum
+        doc (star expansion) — per-task memory is O(c), output is
+        O(n·c) per bucket instead of O(n²), and duplicate-cluster
+        connectivity is preserved for union-find downstream (overflow
+        docs in a hot bucket are near-identical boilerplate, so the
+        star edges survive Jaccard verification together).
+    Buckets at or under the cap produce the identical pair set as
+    ``bucket_cap=None`` (the uncapped path).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -128,21 +144,37 @@ def lsh_candidate_pairs(
     )
     # group per bucket and expand pairs in-row instead of a self-join:
     # one shuffle, and the signature pipeline is evaluated once (the
-    # self-join formulation recomputes it for each side). Hot buckets
-    # (pathologically common signatures) would blow up k² here — at
-    # scale, cap bucket size and route overflow to a salted pass.
+    # self-join formulation recomputes it for each side).
     from datapipelinedemo_spark.operators.pairs import pair_combinations
 
+    if bucket_cap is None:
+        head = banded
+    else:
+        w = Window.partitionBy("band", "key").orderBy(F.col("doc").asc())
+        ranked = banded.withColumn("__rn", F.row_number().over(w))
+        head = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+
     buckets = (
-        banded.groupBy("band", "key")
+        head.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    return (
+    pairs = (
         buckets.select(F.explode(pair_combinations("ds")).alias("p"))
         .select(F.col("p.item1").alias("doc_a"), F.col("p.item2").alias("doc_b"))
-        .distinct()
     )
+    if bucket_cap is not None:
+        rep = ranked.filter(F.col("__rn") == 1).select(
+            "band", "key", F.col("doc").alias("doc_a")
+        )
+        overflow = ranked.filter(F.col("__rn") > bucket_cap).select(
+            "band", "key", F.col("doc").alias("doc_b")
+        )
+        # rep is the bucket minimum and overflow ranks past it, so
+        # doc_a < doc_b holds by construction; co-partitioned join.
+        star = overflow.join(rep, ["band", "key"]).select("doc_a", "doc_b")
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def simhash(tokens_col: str, bits: int = 48) -> Column:
@@ -216,6 +248,7 @@ def neardup_pipeline(
     bands: int = 4,
     k: int = 9,
     threshold: float = 0.5,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """The full near-dup pipeline: MinHash → banded LSH candidates →
     exact Jaccard verification. One shuffle for the band grouping, two
@@ -228,7 +261,8 @@ def neardup_pipeline(
         F.col(id_col).alias("doc"), shingle_hashes(text, k).alias("__sh")
     ).persist()
     cand = lsh_candidate_pairs(
-        df, id_col, text, num_hashes, bands, k, shingles=shingles
+        df, id_col, text, num_hashes, bands, k,
+        shingles=shingles, bucket_cap=bucket_cap,
     )
     return jaccard_verify(
         df, cand, id_col, text, k, threshold, shingles=shingles

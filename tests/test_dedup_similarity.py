@@ -39,6 +39,52 @@ def test_lsh_finds_planted_neardups(spark):
     assert (4, 5) not in got  # unrelated
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """A planted hot bucket (40 identical boilerplate docs) must not
+    k²-explode: with bucket_cap=10 the candidate set is the full pairs
+    of the first 10 docs plus one star edge per overflow doc, while
+    buckets under the cap keep the exact uncapped pair set."""
+    hot = [(100 + i, BASE) for i in range(40)]  # one bucket, all bands
+    normal = [
+        (1, "unique text alpha about catalyst optimizer internals"),
+        (2, "unique text alpha about catalyst optimizer internals!!"),
+        (3, "totally different content mentioning shuffle partitions"),
+    ]
+    df = spark.createDataFrame(hot + normal, "doc_id long, text string")
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_pairs(
+            df, "doc_id", "text", bucket_cap=10
+        ).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_pairs(
+            df, "doc_id", "text", bucket_cap=None
+        ).collect()
+    }
+
+    hot_ids = [d for d, _ in hot]
+    full_hot = {(a, b) for a in hot_ids for b in hot_ids if a < b}
+    assert full_hot <= uncapped  # 780 pairs without the cap
+
+    hot_capped = {(a, b) for (a, b) in capped if a >= 100}
+    head = hot_ids[:10]
+    expect = {(a, b) for a in head for b in head if a < b} | {
+        (100, d) for d in hot_ids[10:]
+    }
+    assert hot_capped == expect  # C(10,2)=45 + 30 star edges, not 780
+    # every overflow doc stays connected to the cluster representative
+    assert all(any(p in capped for p in [(100, d)]) for d in hot_ids[10:])
+
+    # normal (under-cap) buckets: identical pair sets with and without cap
+    assert {(a, b) for (a, b) in capped if a < 100} == {
+        (a, b) for (a, b) in uncapped if a < 100
+    }
+    assert (1, 2) in capped and (1, 3) not in capped
+
+
 def test_jaccard_verify_scores(spark):
     docs = _docs(spark)
     cand = DD.lsh_candidate_pairs(docs, "doc_id", "text")
