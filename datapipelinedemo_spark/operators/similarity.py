@@ -85,29 +85,107 @@ def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.98,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) above a
-    threshold. ``block_col`` bounds the quadratic blow-up (pairs are
-    only formed inside a block — at scale use an LSH bucket instead of
-    a semantic label)."""
-    cols = [
+    threshold.
+
+    Default blocking is banded hyperplane LSH: each vector gets a
+    ``planes``-bit random-hyperplane signature, sliced into ``bands``
+    bands of planes/bands bits; two vectors become a candidate pair iff
+    they agree on at least one whole band. Candidate generation is ONE
+    shuffle on (band, key) with in-row pair expansion — no all-pairs
+    join anywhere, which is what survives 100 TB (a semantic block
+    column is quadratic within each block). Recall for cos ≥ t pairs is
+    (1 - (1 - (1 - θ/π)^r)^bands), θ = arccos(t) — ≈0.99+ at the 0.98
+    default with 4×4 banding; pinned by tests against the exact answer.
+
+    ``block_col`` switches to legacy semantic blocking (pairs only
+    inside equal block values, exact within the block). Scores are
+    exact cosine either way; only candidate generation differs.
+    """
+    base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(vec_col).alias("nrm"),
-    ]
-    if block_col:
-        cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    pairs = a.join(b, cond).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        (dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+    )
+    if block_col is not None:
+        a = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            norm(vec_col).alias("nrm"), F.col(block_col).alias("blk"),
+        ).alias("a")
+        b = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            norm(vec_col).alias("nrm"), F.col(block_col).alias("blk"),
+        ).alias("b")
+        cond = (F.col("a.id") < F.col("b.id")) & (
+            F.col("a.blk") == F.col("b.blk")
+        )
+        pairs = a.join(b, cond).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+        return pairs.filter(F.col("cos_sim") >= threshold)
+
+    # LSH path: signature per row (no shuffle) → explode bands → bucket
+    # group → in-row pair expansion → distinct ids → score exact cosine.
+    from datapipelinedemo_spark.operators.pairs import pair_combinations
+
+    r = planes // bands
+    assert planes % bands == 0
+    banded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            hyperplane_signs(vec_col, planes, dim).alias("sig"),
+        )
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" b -> (sig >> (b * {r})) & {(1 << r) - 1})"
+                )
+            ).alias("band", "key"),
+        )
+    )
+    cand = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_combinations("ds")).alias("p"))
+        .select(F.col("p.item1").alias("id_a"), F.col("p.item2").alias("id_b"))
+        .distinct()
+    )
+    emb = base
+    pairs = (
+        cand.join(
+            emb.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            emb.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
 

@@ -326,20 +326,57 @@ _NRM_A = (
 _NRM_B = _NRM_A.replace("a.embedding", "b.embedding")
 
 
+# banded hyperplane LSH mirror: per plane p (0..15), the dot against
+# the deterministic ±1 pseudo-hyperplane (md5(p_i) parity) as the SAME
+# left fold Spark runs; bit p = sign >= 0; band key b (0..3) packs bits
+# 4b..4b+3. Candidates = distinct pairs sharing any (band, key).
+_HPW = (
+    "(CASE WHEN CAST('0x' || substring(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 8)"
+    " AS BIGINT) % 2 = 0 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)"
+)
+_PLANE_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE,"
+    f" [CAST(embedding[i + 1] AS DOUBLE) * {_HPW}"
+    "  for i in generate_series(0, 63)]), (x, y) -> x + y)"
+)
+
+
 @register(
     "embedding_neardup_pairs",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH sg AS (
+        SELECT vec_id,
+               [CASE WHEN {_PLANE_DOT} >= 0.0 THEN 1 ELSE 0 END
+                for p in generate_series(0, 15)] AS bits
+        FROM embeddings
+    ), keys AS (
+        SELECT vec_id, g.b AS band,
+               bits[g.b*4 + 1] + 2*bits[g.b*4 + 2]
+               + 4*bits[g.b*4 + 3] + 8*bits[g.b*4 + 4] AS key
+        FROM sg, generate_series(0, 3) g(b)
+    ), cand AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM keys x JOIN keys y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b,
            round({_DOT} / ({_NRM_A} * {_NRM_B}), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
     WHERE {_DOT} / ({_NRM_A} * {_NRM_B}) >= 0.3
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with the default banded hyperplane-LSH blocking
+    (operators/similarity.py): no all-pairs join anywhere — candidate
+    generation is one shuffle on (band, key). The 0.3 threshold is set
+    by the synthetic data (no true near-dup pairs exist above 0.5);
+    recall vs the exact answer is pinned in tests and PERF.md."""
     emb = table(spark, sf_dir, "embeddings")
     pairs = SIM.embedding_neardup_pairs(
-        emb, "vec_id", "embedding", block_col="label", threshold=0.3
+        emb, "vec_id", "embedding", threshold=0.3,
+        planes=16, bands=4, dim=64,
     )
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")

@@ -127,10 +127,56 @@ def test_cosine_topk_bruteforce(spark):
 
 
 def test_embedding_neardup_pairs(spark):
+    # legacy semantic blocking
     out = SIM.embedding_neardup_pairs(
         _vectors(spark), threshold=0.9, block_col="label"
     ).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    # default LSH blocking finds the same pair with the exact score
+    lsh = SIM.embedding_neardup_pairs(
+        _vectors(spark), threshold=0.9, dim=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in lsh} == {(1, 2)}
+
+
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    """Planted near-dups (deterministically perturbed copies of real
+    embeddings, cos >= 0.98) must be recovered by the banded-LSH
+    blocking at >= 0.9 recall, with scores identical to the exact
+    all-pairs answer (LSH changes candidate generation only)."""
+    from datapipelinedemo_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    # copy ids +10000 with a small deterministic per-index perturbation:
+    # cos(v, v + 0.02*e_i pattern) stays > 0.99 for unit-ish vectors
+    pert = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " cast(x + 0.002 * ((i % 5) - 2) as float))"
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    both = emb.unionByName(pert)
+
+    found = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_neardup_pairs(
+            both, "vec_id", "embedding", threshold=0.98
+        ).collect()
+    }
+    planted = {(i, i + 10000) for i in range(50)}
+    # ground truth: which planted pairs really clear the threshold
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_neardup_pairs(
+            both, "vec_id", "embedding", block_col="label", threshold=0.98
+        ).collect()
+        if (r.id_a, r.id_b) in planted
+    }
+    assert len(exact) >= 40, "perturbation too large — test setup broken"
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
 
 
 def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
