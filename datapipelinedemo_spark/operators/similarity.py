@@ -210,34 +210,94 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    planes: int = 8,
+    planes: int = 16,
     dim: int = 64,
+    bands: int = 4,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's hyperplane
-    bucket are scored. Recall < 1 by design; the 100 TB path (bucket
-    count scales with corpus size, probe multiple buckets for recall).
+    """Approximate top-k cosine neighbors: banded hyperplane buckets
+    with query-side multiprobe.
+
+    The ``planes``-bit signature is sliced into ``bands`` bands of
+    r = planes/bands bits (band match ⇒ candidate, like MinHash-LSH).
+    The query side additionally probes every band key within Hamming
+    distance ``probe_hamming`` (0 = exact bucket only; 1 = also flip
+    each of the r bits), which multiplies query rows by 1 + r — cheap,
+    the query side is broadcast — while the corpus is signed once and
+    NEVER shuffles for candidate generation. Candidates are scored at
+    the join (exact cosine), deduped per (query, neighbor), then
+    windowed to top-k.
+
+    Recall/candidate-rate trade-off is data-dependent: on clustered
+    real embeddings the bands prune hard; on uniform-random vectors
+    (the synthetic test data — top-10 "neighbors" at θ≈70°) reaching
+    ≥0.9 recall costs a high candidate rate (measured in PERF.md).
+    Tighten r / lower probe_hamming when the corpus has real structure.
     """
+    assert planes % bands == 0
+    r = planes // bands
+    mask = (1 << r) - 1
     sig = hyperplane_signs(vec_col, planes, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(vec_col).alias("qn"),
-        sig.alias("bkt"),
+    band_keys = (
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> (__sig >> (b * {r})) & {mask})"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(vec_col).alias("cn"),
-        sig.alias("bkt"),
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm(vec_col).alias("cn"),
+            sig.alias("__sig"),
+        )
+        .select(
+            "neighbor_id",
+            "cv",
+            "cn",
+            F.posexplode(F.expr(band_keys)).alias("band", "key"),
+        )
+    )
+    if probe_hamming >= 1:
+        # key itself + r single-bit flips per band (Hamming-1 ball)
+        probe = (
+            f"array_union(array(key), transform(sequence(0, {r - 1}),"
+            f" j -> cast(key as bigint) ^ shiftleft(1L, j)))"
+        )
+    else:
+        probe = "array(key)"
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(vec_col).alias("qn"),
+            sig.alias("__sig"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.posexplode(F.expr(band_keys)).alias("band", "key"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "band",
+            F.explode(F.expr(probe)).alias("key"),
+        )
     )
     scored = (
-        c.join(F.broadcast(q), ["bkt"])
+        c.join(F.broadcast(q), ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
+        # a pair can match in several (band, probe) cells — dedup before
+        # ranking (values are identical, max() is just the dedup)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

@@ -429,7 +429,8 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     topk = SIM.cosine_topk_lsh(
-        emb, queries, "vec_id", "embedding", k=10, planes=8, dim=64
+        emb, queries, "vec_id", "embedding", k=10,
+        planes=16, dim=64, bands=4, probe_hamming=1,
     )
     return topk.select(
         "query_id",

@@ -179,16 +179,32 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
 
 
-def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Banded multiprobe LSH (16 planes, 4 bands, Hamming-1 probe) must
+    recover >= 0.9 of the exact top-10 — on uniform-random synthetic
+    embeddings, the hardest case for LSH (top neighbors sit at θ≈70°;
+    measured candidate rate for this config is in PERF.md)."""
+    import os
+
     from datapipelinedemo_spark.tables import table
 
-    emb = table(spark, sf_dir, "embeddings")
+    # recall is pinned at sf0.1 (2000 vectors) — the sf the driver
+    # benches at; falls back to the session sf_dir if 0.1 is absent
+    sf01 = "/root/testdata/sf0.1"
+    emb = table(spark, sf01 if os.path.isdir(sf01) else sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    brute = SIM.cosine_topk_bruteforce(emb, queries, k=50)
-    approx = SIM.cosine_topk_lsh(emb, queries, k=10, planes=8, dim=64)
+    brute = SIM.cosine_topk_bruteforce(emb, queries, k=10)
+    approx = SIM.cosine_topk_lsh(
+        emb, queries, k=10, planes=16, dim=64, bands=4, probe_hamming=1
+    )
     b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
-    a = [(r.query_id, r.neighbor_id) for r in approx.collect()]
-    assert a, "LSH returned nothing"
-    # every LSH hit is a real scored pair; recall against top-50 is loose
-    hits = sum(1 for p in a if p in b)
-    assert hits / len(a) > 0.2
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.9, f"multiprobe LSH recall {recall:.2f} < 0.9"
+    # without the probe the same banding recovers far less — the probe
+    # is what buys the recall
+    noprobe = SIM.cosine_topk_lsh(
+        emb, queries, k=10, planes=16, dim=64, bands=4, probe_hamming=0
+    )
+    n = {(r.query_id, r.neighbor_id) for r in noprobe.collect()}
+    assert len(n & b) / len(b) < recall
