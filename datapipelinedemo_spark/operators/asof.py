@@ -48,3 +48,85 @@ def asof_join_backward(
         .filter(F.col("__asof_rn") == 1)
         .drop("__asof_rn")
     )
+
+
+def asof_join_sorted(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of backward join without the per-key fan-out: union-tag both
+    sides, shuffle ONCE on the key, and resolve matches with a running
+    ``last(ignorenulls)`` window inside each key partition.
+
+    Why it scales where ``asof_join_backward`` doesn't: the backward
+    variant materializes every (left row × preceding right row) pair
+    before the window keeps one — with m matches per key that is an
+    O(n·m) intermediate. Here each row exists exactly once in the
+    union; the sort inside the key partition lines right rows up
+    before the left rows they serve, and the running frame carries the
+    latest right payload forward in O(n). One shuffle per side, no
+    fan-out, whole-stage codegen throughout (no Python).
+
+    Semantics match ``asof_join_backward`` (greatest ``right_ts`` <=
+    ``left_ts`` per key; ties on the timestamp favor the right row —
+    inclusive match). The right side must be unique per (key, ts).
+    Output columns: all of ``left``'s, then all of ``right``'s;
+    overlapping names raise (rename before joining).
+    ``how``: 'inner' drops left rows with no preceding right row,
+    'left' keeps them with nulls.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join_sorted: overlapping column names {sorted(overlap)}; "
+            "rename one side first"
+        )
+    # a common orderable timestamp type for the union sort key
+    lt_type = dict(left.dtypes)[left_ts]
+    rt_type = dict(right.dtypes)[right_ts]
+    ts_type = lt_type if lt_type == rt_type else "timestamp"
+
+    r_struct = F.struct(*[F.col(c) for c in right.columns])
+    r_struct_type = right.select(r_struct.alias("s")).schema["s"].dataType
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_struct_type = left.select(l_struct.alias("s")).schema["s"].dataType
+
+    # side 0 = right, 1 = left: at equal (key, ts) the right row sorts
+    # first, so an equal-timestamp right row IS visible to the left row.
+    rt = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).cast(ts_type).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_struct_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    lt = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).cast(ts_type).alias("__ts"),
+        F.lit(1).alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        rt.unionByName(lt)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if how == "inner":
+        filled = filled.filter(F.col("__match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join_sorted: unsupported how={how!r}")
+    return filled.select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c) for c in right.columns],
+    )

@@ -469,6 +469,47 @@ def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "asof_sorted_latest_order",
+    oracle="""
+    WITH ro AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, r.o_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS matched_orderdate
+    FROM events e
+    ASOF JOIN ro r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_sorted_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of query as ``asof_latest_order_before_event`` but via
+    the sorted (union + single shuffle + running-last) variant — the
+    long-per-key-history scale path: no (left × matches) fan-out is
+    ever materialized (operators/asof.py:asof_join_sorted)."""
+    from datapipelinedemo_spark.operators.asof import asof_join_sorted
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ro = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join_sorted(
+        ev,
+        ro,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+    )
+    return joined.select(
+        "event_id",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("matched_orderdate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations (reference gap §2.7): UNION / INTERSECT / EXCEPT
 # --------------------------------------------------------------------------
