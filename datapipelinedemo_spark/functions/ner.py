@@ -39,6 +39,11 @@ REFERENCE_PATTERNS = "/root/reference/NER_model/entity_ruler/patterns.jsonl"
 # spaCy-ish tokenization for dictionary matching: words (incl. digits)
 # or single punctuation marks; lowercased.
 TOKEN_RE = r"[a-z0-9_']+|[^a-z0-9_'\s]"
+# same boundaries over the ORIGINAL casing (used to reconstruct the
+# surface form the reference emits for id-less patterns — ent.text,
+# demo.py:28-29); lower() of these tokens equals TOKEN_RE over
+# lower(text) for ASCII input.
+TOKEN_RE_CASED = r"[A-Za-z0-9_']+|[^A-Za-z0-9_'\s]"
 
 try:  # fidelity path — not installed in this container
     import spacy  # noqa: F401
@@ -116,10 +121,14 @@ def extract_phrases(
     all-(position × pattern-length) n-gram generation materializes
     ~max_len strings per token — 16× more work with this dictionary.
     """
+    # original-casing tokens: matching compares lowercased, but id-less
+    # patterns emit the SURFACE form like the reference's ent.text
+    # (demo.py:28-29) — original casing, inter-token whitespace
+    # normalized to single spaces (documented fidelity delta).
     toks = df.select(
         F.col(id_col).alias("__rid"),
         F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+            F.col(text_col), F.lit(TOKEN_RE_CASED), F.lit(0)
         ).alias("__toks"),
     )
     pats = patterns.withColumn(
@@ -130,21 +139,26 @@ def extract_phrases(
         "__rid", F.posexplode("__toks").alias("start", "__tok")
     )
     cand = ex.join(
-        F.broadcast(pats), ex["__tok"] == pats["__ftok"]
+        F.broadcast(pats), F.lower(ex["__tok"]) == pats["__ftok"]
     ).select("__rid", "start", "pattern", "n_tokens", "ent_id")
     # verify the full span: rejoin the token array (equi-join on the row
     # id — co-partitioned, no fan-out beyond real candidates)
     matched = (
         cand.join(toks, "__rid")
         .filter(
-            F.expr("array_join(slice(__toks, start + 1, n_tokens), ' ')")
+            F.lower(
+                F.expr("array_join(slice(__toks, start + 1, n_tokens), ' ')")
+            )
             == F.col("pattern")
         )
         .select(
             "__rid",
             "start",
             F.col("n_tokens").alias("len"),
-            F.coalesce(F.col("ent_id"), F.col("pattern")).alias("phrase"),
+            F.coalesce(
+                F.col("ent_id"),
+                F.expr("array_join(slice(__toks, start + 1, n_tokens), ' ')"),
+            ).alias("phrase"),
         )
     )
     # per row: spaCy filter_spans — sort by (len desc, start asc), keep a

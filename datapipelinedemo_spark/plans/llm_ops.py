@@ -616,6 +616,96 @@ def ner_phrase_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F8 at dictionary scale: the REAL entity_ruler dictionary (25,456
+# pattern lines -> 12,299 unique (pattern, id) rows, ~0.6 MB broadcast;
+# /root/reference/NER_model/entity_ruler/patterns.jsonl) over the
+# documents table. The DuckDB oracle parses the same jsonl
+# (read_json_auto + LOWER/lower key coalesce -- verified identical to
+# functions/ner.py:load_pattern_rows) and replays spaCy filter_spans
+# greedy overlap resolution with a RECURSIVE CTE: matches ranked
+# (len DESC, start ASC) per doc, rank i kept iff it overlaps nothing
+# already kept. Recursion depth = max matches per doc (8 at sf0.01).
+# --------------------------------------------------------------------------
+_NER_FULL_ORACLE = r"""
+WITH RECURSIVE praw AS (
+    SELECT list_transform(pattern,
+             t -> lower(coalesce(t.LOWER, t."lower", ''))) AS ptoks,
+           id AS ent_id
+    FROM read_json_auto('/root/reference/NER_model/entity_ruler/patterns.jsonl')
+), pat AS (
+    SELECT DISTINCT array_to_string(ptoks, ' ') AS pattern,
+           len(ptoks) AS n_tok, ptoks[1] AS first_tok, ent_id
+    FROM praw
+    WHERE len(ptoks) > 0 AND len(list_filter(ptoks, x -> x = '')) = 0
+), toks AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9_'']+|[^a-z0-9_''\s]') AS t
+    FROM documents
+), ex AS (
+    SELECT doc_id, unnest(t) AS tok,
+           unnest(generate_series(1, len(t))) AS pos, t
+    FROM toks
+), m AS (
+    SELECT ex.doc_id, ex.pos AS s, p.n_tok AS l,
+           coalesce(p.ent_id, p.pattern) AS phrase
+    FROM ex JOIN pat p ON ex.tok = p.first_tok
+    WHERE array_to_string(list_slice(ex.t, ex.pos, ex.pos + p.n_tok - 1), ' ')
+          = p.pattern
+), ranked AS (
+    SELECT doc_id, s, l, phrase,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY l DESC, s ASC) AS rnk
+    FROM m
+), greedy AS (
+    SELECT doc_id, 0 AS i,
+           CAST([] AS STRUCT(s BIGINT, l BIGINT)[]) AS kept,
+           CAST([] AS VARCHAR[]) AS phrases
+    FROM (SELECT DISTINCT doc_id FROM ranked)
+  UNION ALL
+    SELECT g.doc_id, g.i + 1,
+           CASE WHEN len(list_filter(g.kept,
+                      x -> r.s < x.s + x.l AND x.s < r.s + r.l)) = 0
+                THEN list_append(g.kept, {'s': r.s, 'l': r.l})
+                ELSE g.kept END,
+           CASE WHEN len(list_filter(g.kept,
+                      x -> r.s < x.s + x.l AND x.s < r.s + r.l)) = 0
+                THEN list_append(g.phrases, r.phrase)
+                ELSE g.phrases END
+    FROM greedy g
+    JOIN ranked r ON r.doc_id = g.doc_id AND r.rnk = g.i + 1
+), final AS (
+    SELECT doc_id, phrases
+    FROM greedy
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i DESC) = 1
+), hits AS (
+    SELECT DISTINCT doc_id, unnest(phrases) AS phrase FROM final
+)
+SELECT d.doc_id, coalesce(h.phrase, 'empty') AS phrase
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("ner_full_dictionary", oracle=_NER_FULL_ORACLE)
+def ner_full_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entity_ruler extraction with the full reference dictionary —
+    longest-match resolution, broadcast size, and first-token-index
+    selectivity exercised at real scale (12,299 patterns, max 16
+    tokens). Same output shape as ``ner_phrase_extraction``."""
+    from datapipelinedemo_spark.functions.ner import (
+        extract_phrases,
+        pattern_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pats = pattern_table(spark)
+    out = extract_phrases(docs, "text", pats, "doc_id")
+    return out.select(
+        "doc_id", F.explode("All_phrases").alias("phrase")
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
 # F10 — lexicon sentiment, oracle-checked. Tenth-valued polarities are
 # snapped to ints so the per-doc mean is order-independent.
 # --------------------------------------------------------------------------
