@@ -93,14 +93,17 @@ def enrich(
 
 
 def _month_labels(df: DataFrame, prefix: str) -> list[str]:
-    """Distinct (Year, Month) labels in chronological order — the
-    explicit pivot value list (one tiny job instead of Catalyst's
-    hidden distinct, and a deterministic column order)."""
-    ym = sorted(
+    """Distinct (Year, Month) labels — the explicit pivot value list
+    (one tiny job instead of Catalyst's hidden distinct, and a
+    deterministic column order). Sorted LEXICOGRAPHICALLY by label
+    string (2018-1 < 2018-10 < 2018-2), matching the golden headers:
+    the reference's value-less pivot sorts the distinct labels as
+    strings (Frequency_monthly_demo.csv:1)."""
+    ym = {
         (r["Year"], r["Month"])
         for r in df.select("Year", "Month").distinct().collect()
-    )
-    return [f"{prefix}_{y}-{m}" for y, m in ym]
+    }
+    return sorted(f"{prefix}_{y}-{m}" for y, m in ym)
 
 
 def _pivot(
