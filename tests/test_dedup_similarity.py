@@ -85,6 +85,24 @@ def test_lsh_hot_bucket_cap(spark):
     assert (1, 2) in capped and (1, 3) not in capped
 
 
+def test_xxhash64_path_finds_same_neardups(spark):
+    """The production hash (xxhash64 JVM intrinsic) must find the same
+    planted near-dups as the md5 oracle-parity path — signatures
+    differ, detection semantics don't. Jaccard scores are hash-set
+    based, so exact-dup pairs score 1.0 under either hash."""
+    docs = _docs(spark)
+    for h in ("md5", "xxhash64"):
+        out = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in DD.neardup_pipeline(
+                docs, "doc_id", "text", hash=h
+            ).collect()
+        }
+        assert (1, 2) in out and out[(1, 2)] == 1.0, h
+        assert (1, 3) in out and 0.5 < out[(1, 3)] < 1.0, h
+        assert not any(a == 4 or a == 5 for a, _ in out), h
+
+
 def test_jaccard_verify_scores(spark):
     docs = _docs(spark)
     cand = DD.lsh_candidate_pairs(docs, "doc_id", "text")
