@@ -311,6 +311,101 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic stratified sampling: per-language hash-mod rates (the
+# reproducible replacement for rand() sampling in corpus builds). A
+# pure narrow filter — no shuffle, pushes to the scan.
+# --------------------------------------------------------------------------
+_STRATA_RATES = {"en": 0.05, "de": 0.5, "es": 0.2, "fr": 1.0, "zh": 0.1}
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{v}' THEN {round(f * 10000)}"
+    for v, f in sorted(_STRATA_RATES.items())
+)
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#s0'), 1, 15)
+               AS BIGINT) % 10000
+          < (CASE {_STRATA_CASE} ELSE 0 END)
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic sample: keep 5% of dominant en,
+    100% of low-resource fr, etc. Same rows on every run, every
+    partitioning, and every engine (md5 bucket on doc_id)."""
+    from datapipelinedemo_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", _STRATA_RATES
+    ).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over the verified
+# near-dup pairs (the union-find stage after LSH + Jaccard verify).
+# Spark runs iterative min-label propagation (operators/cluster.py);
+# the oracle replays it as a DuckDB RECURSIVE CTE (labels flow along
+# edges to a fixpoint, MIN per node = component id).
+# --------------------------------------------------------------------------
+_CC_ORACLE = (
+    _LSH_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """
+    , vp AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+              / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+              >= 0.5
+    ), ed AS (
+        SELECT doc_a AS a, doc_b AS b FROM vp
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM vp
+    ), cc AS (
+        SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+        SELECT e.b AS id, cc.comp AS comp
+        FROM cc JOIN ed e ON cc.id = e.a
+    )
+    SELECT id AS doc_id, MIN(comp) AS comp FROM cc GROUP BY id
+    """
+)
+
+
+@register("neardup_clusters", oracle=_CC_ORACLE)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's duplicate-cluster id (min doc_id reachable via
+    Jaccard>=0.5 verified near-dup pairs; singletons map to
+    themselves). The canonical-doc choice a training pipeline keeps."""
+    from datapipelinedemo_spark.operators.cluster import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    cand = DD.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=4, k=9, shingles=sh
+    )
+    verified = DD.jaccard_verify(
+        docs, cand, "doc_id", "text", k=9, threshold=0.5, shingles=sh
+    )
+    return connected_components(
+        docs.select("doc_id"),
+        verified,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (label-blocked)
 # --------------------------------------------------------------------------
 _DOT = (
