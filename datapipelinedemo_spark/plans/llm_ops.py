@@ -235,6 +235,25 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_MEMO[key]
 
 
+# same idea one stage later: the banded-LSH candidate pairs (MinHash
+# fold + banding + bucket grouping) feed three queries
+# (minhash_lsh_candidates, ngram_jaccard_neardups, neardup_clusters);
+# the pair set is tiny (hundreds of rows) but deriving it is seconds,
+# so persist one copy per (session, sf_dir)
+_LSH_CAND_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _LSH_CAND_MEMO:
+        docs = table(spark, sf_dir, "documents")
+        _LSH_CAND_MEMO[key] = DD.lsh_candidate_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=4, k=9,
+            shingles=_doc_shingles(spark, sf_dir),
+        ).persist()
+    return _LSH_CAND_MEMO[key]
+
+
 @register(
     "minhash_lsh_candidates",
     oracle=_LSH_CTE + "SELECT doc_a, doc_b FROM cand",
@@ -243,11 +262,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH: 32 hashes in 4 bands of 8 — collision
     probability 1-(1-j^8)^4, i.e. steep S-curve centered near j≈0.7,
     sized so repetitive corpora don't flood the candidate set."""
-    docs = table(spark, sf_dir, "documents")
-    return DD.lsh_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=4, k=9,
-        shingles=_doc_shingles(spark, sf_dir),
-    ).select(F.col("doc_a"), F.col("doc_b"))
+    return _lsh_candidates(spark, sf_dir).select(
+        F.col("doc_a"), F.col("doc_b")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -302,9 +319,7 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection evaluated per pair in-row, no shingle-level join)."""
     docs = table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
-    cand = DD.lsh_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=4, k=9, shingles=sh
-    )
+    cand = _lsh_candidates(spark, sf_dir)
     return DD.jaccard_verify(
         docs, cand, "doc_id", "text", k=9, threshold=0.5, shingles=sh
     )
@@ -390,9 +405,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
-    cand = DD.lsh_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=4, k=9, shingles=sh
-    )
+    cand = _lsh_candidates(spark, sf_dir)
     verified = DD.jaccard_verify(
         docs, cand, "doc_id", "text", k=9, threshold=0.5, shingles=sh
     )
