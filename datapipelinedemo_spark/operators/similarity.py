@@ -204,6 +204,122 @@ def hyperplane_signs(vec_col: str, planes: int = 16, dim: int = 64) -> Column:
     )
 
 
+def _dot_lit(vec_col: str, lit_arr: Column) -> Column:
+    """Left fold of vec_col against a literal double array — the same
+    ZipWith+Aggregate shape as dot(), so scores stay bit-identical
+    with engines that fold left in double."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col), lit_arr, lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    salt: str = "ivf",
+) -> DataFrame:
+    """IVF-flat approximate top-k cosine neighbors.
+
+    Centroids are the ``nlist`` corpus vectors with the smallest
+    md5(id + salt) — a deterministic uniform sample, reproducible in
+    any engine (no trained model to ship; Lloyd iterations would
+    refine quality but break engine-reproducibility). The centroid
+    table is driver-collected and inlined into expressions — the
+    FAISS layout: centroids are tiny and replicated everywhere, the
+    corpus never moves. Assignment (argmax cosine over centroids) and
+    query-side probe selection (top ``nprobe`` lists) are in-row
+    expressions — ZERO shuffle over the corpus; the only shuffles are
+    the candidate join (probe side broadcast) and the final per-query
+    top-k window over candidates.
+
+    At 100 TB with nlist ≥ ~10k, swap the inlined expression argmax
+    for an Arrow-batched pandas UDF doing a BLAS matmul against the
+    broadcast centroid matrix — same plan shape, same zero-shuffle
+    assignment.
+
+    Recall on structureless (uniform-random) vectors is ≈ nprobe /
+    nlist — the no-cluster worst case; on clustered data the probed
+    lists contain the true neighbors (pinned by the planted-cluster
+    test).
+    """
+    from datapipelinedemo_spark.functions.stable import md5_long
+
+    cent_rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            md5_long(
+                F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))
+            ).alias("__hv"),
+        )
+        .orderBy("__hv", "cid")
+        .limit(nlist)
+        .collect()
+    )
+
+    def _cent_sim(vec: str, vn: Column, row) -> Column:
+        arr = F.array(*[F.lit(float(x)).cast("double") for x in row.cv])
+        cn = F.sqrt(
+            F.aggregate(
+                F.transform(arr, lambda x: x * x),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+        )
+        return _dot_lit(vec, arr) / (vn * cn)
+
+    def _best_lists(vec: str, vn: Column, n: int) -> Column:
+        """Array of the n best centroid ids for vec (desc sim, ties →
+        smaller cid), as one in-row expression."""
+        cells = F.array(
+            *[
+                F.struct(
+                    (-_cent_sim(vec, vn, r)).alias("ns"),
+                    F.lit(int(r.cid)).alias("cid"),
+                )
+                for r in cent_rows
+            ]
+        )
+        return F.slice(F.array_sort(cells), 1, n).getField("cid")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+    ).withColumn("cid", _best_lists("cv", F.col("cn"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+    ).withColumn(
+        "cid", F.explode(_best_lists("qv", F.col("qn"), nprobe))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

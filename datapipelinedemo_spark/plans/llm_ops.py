@@ -549,6 +549,80 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-flat approximate top-k (the other scale path, FAISS layout):
+# deterministic sampled centroids -> in-row assignment/probing -> exact
+# cosine within probed lists. Fully deterministic, so the oracle
+# replays every stage in SQL (centroid sample, argmax assignment,
+# nprobe probe set, final top-k).
+# --------------------------------------------------------------------------
+_TDOT = _DOT.replace("a.embedding", "c.embedding").replace(
+    "b.embedding", "t.embedding"
+)
+_TNRM = _NRM_A.replace("a.embedding", "t.embedding")
+_QTDOT = _DOT.replace("a.embedding", "q.embedding").replace(
+    "b.embedding", "t.embedding"
+)
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding
+        FROM embeddings
+        ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '#ivf'),
+                      1, 15) AS BIGINT), vec_id
+        LIMIT 8
+    ), asg AS (
+        SELECT neighbor_id, cid FROM (
+            SELECT c.vec_id AS neighbor_id, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_TDOT} / ({_CNRM} * {_TNRM}) DESC, t.cid
+                   ) AS r
+            FROM embeddings c CROSS JOIN cent t
+        ) WHERE r = 1
+    ), probes AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_QTDOT} / ({_QNRM} * {_TNRM}) DESC, t.cid
+                   ) AS r
+            FROM embeddings q CROSS JOIN cent t
+            WHERE q.vec_id % 50 = 0
+        ) WHERE r <= 2
+    ), scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_QDOT} / ({_QNRM} * {_CNRM}) AS cs
+        FROM probes p
+        JOIN asg a ON a.cid = p.cid AND a.neighbor_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cs DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 10
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (operators/similarity.py:cosine_topk_ivf): the
+    corpus never shuffles for assignment — centroids are inlined
+    driver-side (FAISS layout) and each row argmaxes in-row."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = SIM.cosine_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=10, nlist=8, nprobe=2
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal: binary media columns + Arrow-batched mapInPandas feature
 # extraction. The oracle recomputes the deterministic stub features in
 # SQL — proving the Python-batch path produces exactly what the

@@ -226,3 +226,41 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     )
     n = {(r.query_id, r.neighbor_id) for r in noprobe.collect()}
     assert len(n & b) / len(b) < recall
+
+
+def test_ivf_topk_clustered_recall(spark):
+    """IVF-flat on data WITH cluster structure (the case IVF exists
+    for): 4 tight clusters, nlist=4. A single probe must beat the
+    no-structure expectation (nprobe/nlist = 0.25) by a wide margin —
+    it is not 1.0 because two sampled centroids can land inside the
+    same tight cluster and split it across lists (known IVF behavior;
+    Lloyd refinement or more probes is the standard remedy). Probing
+    ALL lists degenerates to exhaustive search and must equal brute
+    force exactly (search within lists is exact cosine)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(100):
+        v = base[i % 4] + 0.02 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    brute = SIM.cosine_topk_bruteforce(emb, queries, k=5)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    assert len(b) == 50
+    ivf1 = SIM.cosine_topk_ivf(emb, queries, k=5, nlist=4, nprobe=1)
+    a1 = {(r.query_id, r.neighbor_id) for r in ivf1.collect()}
+    recall1 = len(a1 & b) / len(b)
+    assert recall1 >= 0.5, f"IVF nprobe=1 recall {recall1:.2f} < 0.5"
+    # nprobe = nlist probes every list -> identical to brute force,
+    # scores included (exact cosine within lists)
+    ivf_all = SIM.cosine_topk_ivf(emb, queries, k=5, nlist=4, nprobe=4)
+    bs = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    asr = {
+        (r.query_id, r.neighbor_id): r.cos_sim for r in ivf_all.collect()
+    }
+    assert set(asr) == set(bs)
+    assert all(asr[key] == bs[key] for key in bs)
