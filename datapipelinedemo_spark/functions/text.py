@@ -42,6 +42,22 @@ def tokenize(c) -> Column:
     )
 
 
+def ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams (space-joined) from a token array, as one in-row
+    expression. ANSI-safe: the index sequence is empty when the doc has
+    fewer than n tokens (``sequence(0, size-n)`` would otherwise count
+    DOWN for short docs and index out of bounds)."""
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(0), F.size(tokens) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(tokens, i + j) for j in range(n)]
+        ),
+    )
+
+
 def distinct_tokens_in_order(c) -> Column:
     """First-occurrence-ordered distinct tokens (the reference's F8
     applies a Python ``set()`` per tweet — demo.py:35; we keep the

@@ -121,6 +121,83 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Gopher-style repetition signals: most-frequent-word fraction, top
+# bigram fraction, duplicated-trigram fraction. Plan shape is the 100 TB
+# one — explode n-grams once, then two partial-agg shuffles
+# ((doc_id, n, gram) counts → per-doc conditional rollup); no in-row
+# O(tokens²) counting.
+# --------------------------------------------------------------------------
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, 1 AS n, u.tok AS gram FROM t, unnest(toks) AS u(tok)
+        UNION ALL
+        SELECT doc_id, 2, u.gram
+        FROM t, unnest([toks[i] || ' ' || toks[i+1]
+                        for i in generate_series(1, len(toks) - 1)]) u(gram)
+        UNION ALL
+        SELECT doc_id, 3, u.gram
+        FROM t, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in generate_series(1, len(toks) - 2)]) u(gram)
+    ), c AS (
+        SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram
+    ), m AS (
+        SELECT doc_id, n, MAX(cnt) AS mx, CAST(SUM(cnt) AS BIGINT) AS tot,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+        FROM c GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           MAX(CASE WHEN n = 1 THEN tot END) AS n_words,
+           round(MAX(CASE WHEN n = 1 THEN CAST(mx AS DOUBLE) / tot END), 6)
+               AS max_word_frac,
+           round(MAX(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 6)
+               AS top_bigram_frac,
+           round(MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / tot END), 6)
+               AS dup_trigram_frac
+    FROM m GROUP BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters (the Gopher rules adapted to
+    unstructured token soup): a doc dominated by one word / bigram, or
+    whose trigrams mostly repeat, is boilerplate. Short docs (< n
+    tokens) get null for that n's signal — same as the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokenize("text").alias("t"))
+    grams = None
+    for n in (1, 2, 3):
+        gn = toks.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(TX.ngrams(F.col("t"), n)).alias("gram"),
+        )
+        grams = gn if grams is None else grams.unionByName(gn)
+    per_gram = grams.groupBy("doc_id", "n", "gram").count()
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.max("count").alias("mx"),
+        F.sum("count").alias("tot"),
+        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
+            "dup"
+        ),
+    )
+    frac = lambda num: F.round(num.cast("double") / F.col("tot"), 6)  # noqa: E731
+    return per_n.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("n_words"),
+        F.max(F.when(F.col("n") == 1, frac(F.col("mx")))).alias(
+            "max_word_frac"
+        ),
+        F.max(F.when(F.col("n") == 2, frac(F.col("mx")))).alias(
+            "top_bigram_frac"
+        ),
+        F.max(F.when(F.col("n") == 3, frac(F.col("dup")))).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Language-ID heuristic vs. the labeled lang column
 # --------------------------------------------------------------------------
 def _lang_score_sql(lang: str) -> str:

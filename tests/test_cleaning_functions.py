@@ -111,3 +111,20 @@ def test_weighted_sentiment(spark):
     df = spark.createDataFrame([(0.5, 3)], "s double, w int")
     out = df.select(C.weighted_sentiment("s", "w")).collect()[0][0]
     assert math.isclose(out, 2.0)
+
+
+def test_ngrams_edges(spark):
+    from datapipelinedemo_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("a",), ("",)], ["text"]
+    ).withColumn("t", TX.tokenize("text"))
+    out = df.select(
+        TX.ngrams(F.col("t"), 2).alias("g2"),
+        TX.ngrams(F.col("t"), 3).alias("g3"),
+    ).collect()
+    assert out[0].g2 == ["a b", "b c", "c d"]
+    assert out[0].g3 == ["a b c", "b c d"]
+    assert out[1].g2 == ["a b"] and out[1].g3 == []
+    assert out[2].g2 == [] and out[2].g3 == []
+    assert out[3].g2 == [] and out[3].g3 == []
