@@ -166,14 +166,22 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens) get null for that n's signal — same as the oracle."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.tokenize("text").alias("t"))
-    grams = None
-    for n in (1, 2, 3):
-        gn = toks.select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(TX.ngrams(F.col("t"), n)).alias("gram"),
-        )
-        grams = gn if grams is None else grams.unionByName(gn)
+    # all three gram sizes from ONE scan + ONE explode (a union of
+    # per-n frames would re-scan and re-tokenize three times)
+    # NB: the tag lambda must take exactly ONE arg — a second arg
+    # (even a bound default) makes pyspark pass the array INDEX to it
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(
+        *[
+            F.transform(TX.ngrams(F.col("t"), n), _tag(n))
+            for n in (1, 2, 3)
+        ]
+    )
+    grams = toks.select(
+        "doc_id", F.explode(tagged).alias("x")
+    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.gram").alias("gram"))
     per_gram = grams.groupBy("doc_id", "n", "gram").count()
     per_n = per_gram.groupBy("doc_id", "n").agg(
         F.max("count").alias("mx"),
