@@ -47,9 +47,19 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from datapipelinedemo_spark.session import get_spark
 
-    spark = get_spark(app_name="correctness-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-sim: the external harness uses a bare SparkSession with
+        # no config — catches hidden dependencies on our tuned session
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "correctness-check-vanilla"
+        ).getOrCreate()
+    else:
+        from datapipelinedemo_spark.session import get_spark
+
+        spark = get_spark(app_name="correctness-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.sql(
