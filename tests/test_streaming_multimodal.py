@@ -224,3 +224,40 @@ def test_streaming_checkpoint_resume(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir, tmp_path):
+    """A re-delivered batch of events (same keys, within the watermark)
+    must come out exactly once; the stream result equals batch
+    dropDuplicates on the same keys."""
+    from datapipelinedemo_spark.streaming.dedup import (
+        dedup_within_watermark,
+    )
+
+    batch_df = spark.read.parquet(events_dir)
+    # simulate at-least-once delivery: the source dir contains every
+    # event twice (two identical parquet copies)
+    dup_dir = str(tmp_path / "dup_events")
+    batch_df.write.mode("overwrite").parquet(dup_dir)
+    batch_df.write.mode("append").parquet(dup_dir)
+
+    keys = ["user_id", "event_type", "ts"]
+    expected = spark.read.parquet(dup_dir).dropDuplicates(keys).count()
+    assert expected == batch_df.dropDuplicates(keys).count()
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(dup_dir)
+    q = (
+        dedup_within_watermark(stream, keys)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT count(*) AS n FROM dedup_test"
+        ).collect()[0].n
+    finally:
+        q.stop()
+    assert got == expected
