@@ -1,0 +1,73 @@
+"""Count-min sketch as a relational plan.
+
+A CMS is just a d×w counter table — so build it AS a table:
+``(i, bucket, cnt)`` with one partial-agg groupBy, instead of merging
+opaque binary blobs. Properties that matter:
+
+- **Distributed by construction**: the heavy explode (d rows per
+  token) is map-side; the groupBy partial-aggregates before the one
+  shuffle; the result is d·w rows (tiny — broadcastable) no matter how
+  big the input.
+- **Deterministic / engine-reproducible**: bucket = md5_long(token#i)
+  mod w, same in DuckDB — the sketch itself is oracle-checkable, not
+  just its estimates.
+- **Classic CMS guarantees**: estimate(key) = min over d rows ≥ true
+  count (only overestimates; error ≤ εN with w = ⌈e/ε⌉ at confidence
+  1-(1/2)^d). Pinned in tests.
+
+At 100 TB: w·d stays a few thousand rows; point estimates are a
+broadcast join of the sketch against the query keys. The same shape
+gives conservative-update variants or per-window sketches (add the
+window to the groupBy key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions.stable import md5_long
+
+
+def _bucket(col: Column, i: Column | int, w: int) -> Column:
+    istr = F.lit(str(i)) if isinstance(i, int) else i.cast("string")
+    return F.pmod(
+        md5_long(F.concat(col.cast("string"), F.lit("#"), istr)), F.lit(w)
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Sketch table ``(i, bucket, cnt)`` over the rows' key column
+    (pre-explode multi-valued keys upstream)."""
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: _bucket(F.col(key_col), i, w),
+    )
+    return (
+        df.select(F.posexplode(hashes).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point estimates for each distinct key in ``keys``: min over the
+    d counters. The sketch side is tiny — broadcast it."""
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: _bucket(F.col(key_col), i, w),
+            )
+        ).alias("i", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

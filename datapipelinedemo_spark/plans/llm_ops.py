@@ -206,6 +206,64 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-min sketch heavy hitters: the sketch is a (i, bucket, cnt)
+# TABLE (operators/sketch.py) — one partial-agg shuffle to build, a
+# broadcast join to probe, and fully oracle-replayable because the
+# hash is md5-derived. CMS only overestimates: cms_est >= exact_cnt.
+# --------------------------------------------------------------------------
+_CMS_BUCKET = (
+    "CAST('0x' || substring(md5(token || '#' || i::VARCHAR), 1, 15)"
+    " AS BIGINT) % 1024"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT u.token
+        FROM (SELECT {_TOK} AS toks FROM documents), unnest(toks) u(token)
+    ), exact AS (
+        SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+    ), top AS (
+        SELECT * FROM exact ORDER BY exact_cnt DESC, token LIMIT 20
+    ), sk AS (
+        SELECT i, bucket, COUNT(*) AS cnt FROM (
+            SELECT i, {_CMS_BUCKET} AS bucket
+            FROM tok, generate_series(0, 3) s(i)
+        ) GROUP BY i, bucket
+    ), probes AS (
+        SELECT token, i, {_CMS_BUCKET} AS bucket
+        FROM top, generate_series(0, 3) s(i)
+    ), est AS (
+        SELECT p.token, MIN(sk.cnt) AS cms_est
+        FROM probes p JOIN sk USING (i, bucket) GROUP BY p.token
+    )
+    SELECT top.token, top.exact_cnt, est.cms_est
+    FROM top JOIN est USING (token)
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens with their count-min estimates alongside
+    the exact counts (est >= exact always; equality when no bucket
+    collisions among 4 hash rows of width 1024)."""
+    from datapipelinedemo_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(TX.tokenize("text")).alias("token"))
+    exact = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
+    sketch = cms_build(tokens, "token", d=4, w=1024)
+    est = cms_estimate(sketch, top.select("token"), "token", d=4, w=1024)
+    return top.join(est, "token").select("token", "exact_cnt", "cms_est")
+
+
+# --------------------------------------------------------------------------
 # Language-ID heuristic vs. the labeled lang column
 # --------------------------------------------------------------------------
 def _lang_score_sql(lang: str) -> str:

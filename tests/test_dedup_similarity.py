@@ -264,3 +264,30 @@ def test_ivf_topk_clustered_recall(spark):
     }
     assert set(asr) == set(bs)
     assert all(asr[key] == bs[key] for key in bs)
+
+
+def test_cms_overestimate_and_bound(spark, sf_dir):
+    """CMS guarantees: est >= exact for every key, and with d=4, w=1024
+    the expected overestimate is N/w per hash row — check the classic
+    eps*N bound (eps = e/w) holds for all probed keys."""
+    import math
+
+    from datapipelinedemo_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from datapipelinedemo_spark.tables import table
+    from datapipelinedemo_spark.functions import text as TX
+
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(TX.tokenize("text")).alias("token"))
+    n_total = tokens.count()
+    exact = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = cms_build(tokens, "token", d=4, w=1024)
+    est = cms_estimate(sketch, exact.select("token"), "token", d=4, w=1024)
+    joined = exact.join(est, "token").collect()
+    assert len(joined) > 0
+    eps_n = math.e / 1024 * n_total
+    for r in joined:
+        assert r.cms_est >= r.exact_cnt, r
+        assert r.cms_est - r.exact_cnt <= eps_n, r
