@@ -671,11 +671,46 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed approximate top-k (scale path) — deterministic, but the
-# oracle SQL would be a page of hyperplane folds; driver records the
-# rows-only check, and pytest compares it against brute force recall.
+# LSH-bucketed approximate top-k (scale path): banded hyperplane
+# signatures + query-side Hamming-1 multiprobe, replayed end-to-end in
+# SQL (same md5-parity hyperplanes as embedding_neardup_pairs, same
+# left folds, same probe set).
 # --------------------------------------------------------------------------
-@register("similarity_topk_lsh")
+@register(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH sg AS (
+        SELECT vec_id,
+               [CASE WHEN {_PLANE_DOT} >= 0.0 THEN 1 ELSE 0 END
+                for p in generate_series(0, 15)] AS bits
+        FROM embeddings
+    ), keys AS (
+        SELECT vec_id, g.b AS band,
+               bits[g.b*4 + 1] + 2*bits[g.b*4 + 2]
+               + 4*bits[g.b*4 + 3] + 8*bits[g.b*4 + 4] AS key
+        FROM sg, generate_series(0, 3) g(b)
+    ), probes AS (
+        SELECT k.vec_id, k.band, u.pk AS key
+        FROM keys k, unnest([k.key, xor(k.key, 1), xor(k.key, 2),
+                             xor(k.key, 4), xor(k.key, 8)]) u(pk)
+        WHERE k.vec_id % 50 = 0
+    ), cand AS (
+        SELECT DISTINCT p.vec_id AS query_id, c2.vec_id AS neighbor_id
+        FROM probes p JOIN keys c2 ON c2.band = p.band AND c2.key = p.key
+        WHERE c2.vec_id <> p.vec_id
+    ), scored AS (
+        SELECT query_id, neighbor_id, {_QDOT} / ({_QNRM} * {_CNRM}) AS cs
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cs DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 10
+    """,
+)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
