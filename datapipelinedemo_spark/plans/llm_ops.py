@@ -206,6 +206,68 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hourly gap-fill / resample (the hypertable-rollup companion): a dense
+# (event_type × hour) grid over the observed range, zero-filled where
+# no events landed. The grid is generated — sequence + explode — never
+# scanned; the only fact-side work is the same partial-agg hourly
+# rollup the tumbling query does, then a join against the (tiny,
+# broadcast) grid.
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ), hours AS (
+        SELECT u.h AS hour
+        FROM b, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) u(h)
+    ), grid AS (
+        SELECT t.event_type, hours.hour
+        FROM (SELECT DISTINCT event_type FROM events) t, hours
+    ), agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type,
+           strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(agg.cnt, 0) AS event_count
+    FROM grid g
+    LEFT JOIN agg ON agg.event_type = g.event_type AND agg.hour = g.hour
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type, zeros where the hour had no
+    events — what a downstream charting/forecast consumer expects
+    (sparse rollups silently skip empty buckets)."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        grid.join(F.broadcast(agg), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("event_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Count-min sketch heavy hitters: the sketch is a (i, bucket, cnt)
 # TABLE (operators/sketch.py) — one partial-agg shuffle to build, a
 # broadcast join to probe, and fully oracle-replayable because the
