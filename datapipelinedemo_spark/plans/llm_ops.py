@@ -268,6 +268,92 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LOCF gap-fill: hourly mean value per type with gaps carried forward
+# from the last observed hour (nulls before the first observation stay
+# null). Same generated grid as events_hourly_gapfill; the fill is one
+# window per type over the (tiny) grid, not over the facts.
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_locf",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ), hours AS (
+        SELECT u.h AS hour
+        FROM b, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) u(h)
+    ), grid AS (
+        SELECT t.event_type, hours.hour
+        FROM (SELECT DISTINCT event_type FROM events) t, hours
+    ), agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / (COUNT(value) * 1000000.0) AS avg_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           filled_value
+    FROM (
+        SELECT g.event_type, g.hour,
+               last_value(agg.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g
+        LEFT JOIN agg ON agg.event_type = g.event_type
+                     AND agg.hour = g.hour
+    )
+    """,
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly mean event value per type, gaps filled by carrying the
+    last observed hour forward (LOCF) — the standard sensor/metrics
+    resample. Mean is fixed-point so the carried values are the same
+    doubles in both engines."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / (F.count("value").cast("double") * F.lit(1000000.0))
+        ).alias("avg_value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(agg), ["event_type", "hour"], "left")
+        .withColumn(
+            "filled_value", F.last("avg_value", ignorenulls=True).over(w)
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "filled_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Count-min sketch heavy hitters: the sketch is a (i, bucket, cnt)
 # TABLE (operators/sketch.py) — one partial-agg shuffle to build, a
 # broadcast join to probe, and fully oracle-replayable because the
