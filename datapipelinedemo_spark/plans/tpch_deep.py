@@ -311,6 +311,35 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# NTILE decile binning (feature bucketization): each order's value
+# decile within its priority class — one window shuffle on the
+# partition key, the standard quantile-binning featurizer.
+# --------------------------------------------------------------------------
+@register(
+    "order_value_deciles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+    FROM orders
+    """,
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic: the NTILE order includes the unique key as
+    tie-break, otherwise equal prices straddling a bucket edge land in
+    engine-dependent deciles."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q17: revenue from small-quantity orders of one brand's parts
 # --------------------------------------------------------------------------
 @register(
