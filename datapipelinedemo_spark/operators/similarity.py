@@ -268,13 +268,16 @@ def cosine_topk_ivf(
 
     def _cent_sim(vec: str, vn: Column, row) -> Column:
         arr = F.array(*[F.lit(float(x)).cast("double") for x in row.cv])
-        cn = F.sqrt(
-            F.aggregate(
-                F.transform(arr, lambda x: x * x),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            )
-        )
+        # centroid norm precomputed driver-side with the SAME left-fold
+        # order as the engine folds (Python sum is sequential), so the
+        # double is bit-identical to an in-engine fold — and the
+        # codegen'd expression halves
+        import math
+
+        acc = 0.0
+        for x in row.cv:
+            acc = acc + float(x) * float(x)
+        cn = F.lit(math.sqrt(acc)).cast("double")
         return _dot_lit(vec, arr) / (vn * cn)
 
     def _best_lists(vec: str, vn: Column, n: int) -> Column:
