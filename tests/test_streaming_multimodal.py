@@ -261,3 +261,67 @@ def test_streaming_dedup_within_watermark(spark, events_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: an event arriving
+    AFTER the watermark passed its window is dropped, one arriving
+    within the delay is counted. This pins the bounded-state contract
+    the 100 TB stream relies on."""
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    from datetime import datetime as dt
+
+    # batch 1: events up to 12:00 -> watermark (delay 1h) ends at 11:00
+    _write("b1", [
+        (dt(2024, 1, 1, 9, 30), 1, "click", 1.0),
+        (dt(2024, 1, 1, 12, 0), 2, "click", 1.0),
+    ])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event (11:30, within delay) and one very
+        # late event for the long-closed 9:00 window
+        _write("b2", [
+            (dt(2024, 1, 1, 11, 30), 3, "click", 1.0),
+            (dt(2024, 1, 1, 9, 45), 4, "click", 1.0),  # LATE: dropped
+        ])
+        q.processAllAvailable()
+        # advance the watermark past every open window so they emit
+        _write("b3", [(dt(2024, 1, 1, 15, 0), 5, "click", 1.0)])
+        q.processAllAvailable()
+        _time.sleep(0.5)
+        got = {
+            r.ws.hour: r.n
+            for r in spark.sql("SELECT * FROM late_test").collect()
+        }
+    finally:
+        q.stop()
+    # 9:00 window counts ONLY the on-time 9:30 event (the 9:45 replay
+    # was behind the watermark); 11:00 window has the 11:30 event
+    assert got.get(9) == 1
+    assert got.get(11) == 1
+    assert got.get(12) == 1
