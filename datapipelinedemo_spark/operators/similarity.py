@@ -226,6 +226,7 @@ def cosine_topk_ivf(
     nlist: int = 8,
     nprobe: int = 2,
     salt: str = "ivf",
+    assignment: str = "expr",
 ) -> DataFrame:
     """IVF-flat approximate top-k cosine neighbors.
 
@@ -241,10 +242,19 @@ def cosine_topk_ivf(
     the candidate join (probe side broadcast) and the final per-query
     top-k window over candidates.
 
-    At 100 TB with nlist ≥ ~10k, swap the inlined expression argmax
-    for an Arrow-batched pandas UDF doing a BLAS matmul against the
-    broadcast centroid matrix — same plan shape, same zero-shuffle
-    assignment.
+    ``assignment="expr"`` (default) does assignment and probe
+    selection as in-row Catalyst expressions — right for small nlist,
+    and the oracle-parity path (left folds, bit-reproducible).
+    ``assignment="pandas"`` routes both through one Arrow
+    ``mapInPandas`` stage doing a BLAS matmul against the closure-
+    shipped centroid matrix — the 100 TB path once nlist reaches
+    thousands (the expression tree and per-row interpreted fold stop
+    scaling; a matmul is one vectorized call). Same plan shape, same
+    zero-shuffle assignment; scores within probed lists are identical
+    (the search stage is shared) but BLAS sums in a different order
+    than a strict left fold, so list assignment may differ on exact
+    centroid-similarity ties — equivalence on real data is pinned in
+    tests, oracle queries keep "expr".
 
     Recall on structureless (uniform-random) vectors is ≈ nprobe /
     nlist — the no-cluster worst case; on clustered data the probed
@@ -294,18 +304,67 @@ def cosine_topk_ivf(
         )
         return F.slice(F.array_sort(cells), 1, n).getField("cid")
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(vec_col).alias("cn"),
-    ).withColumn("cid", _best_lists("cv", F.col("cn"), 1)[0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(vec_col).alias("qn"),
-    ).withColumn(
-        "cid", F.explode(_best_lists("qv", F.col("qn"), nprobe))
-    )
+    if assignment == "pandas":
+        import numpy as np
+
+        order = sorted(range(len(cent_rows)), key=lambda j: int(cent_rows[j].cid))
+        cids = np.array([int(cent_rows[j].cid) for j in order])
+        cmat = np.array(
+            [[float(x) for x in cent_rows[j].cv] for j in order],
+            dtype=np.float64,
+        )
+        cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+
+        def _assign(n_lists, id_name, vec_name, norm_name):
+            def fn(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    v = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+                    vn = np.sqrt((v * v).sum(axis=1))
+                    sims = (v @ cmat.T) / np.outer(vn, cnorms)
+                    # top n_lists per row, desc sim; ties -> smaller
+                    # cid (cmat rows are cid-sorted, argsort is stable)
+                    top = np.argsort(-sims, axis=1, kind="stable")[:, :n_lists]
+                    out = pdf.loc[pdf.index.repeat(n_lists)].copy()
+                    out[norm_name] = np.repeat(vn, n_lists)
+                    out["cid"] = cids[top].ravel()
+                    yield out
+
+            return fn
+
+        # norms are RE-derived with the shared fold expression after
+        # the Arrow stage so the scoring arithmetic is bit-identical
+        # to the expr path (only list assignment may differ, on ties)
+        c_schema = "neighbor_id long, cv array<float>, cn double, cid long"
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.lit(0.0).alias("cn"),
+        ).mapInPandas(
+            _assign(1, "neighbor_id", "cv", "cn"), c_schema
+        ).withColumn("cn", norm("cv"))
+        q_schema = "query_id long, qv array<float>, qn double, cid long"
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.lit(0.0).alias("qn"),
+        ).mapInPandas(
+            _assign(nprobe, "query_id", "qv", "qn"), q_schema
+        ).withColumn("qn", norm("qv"))
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm(vec_col).alias("cn"),
+        ).withColumn("cid", _best_lists("cv", F.col("cn"), 1)[0])
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(vec_col).alias("qn"),
+        ).withColumn(
+            "cid", F.explode(_best_lists("qv", F.col("qn"), nprobe))
+        )
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -291,3 +291,23 @@ def test_cms_overestimate_and_bound(spark, sf_dir):
     for r in joined:
         assert r.cms_est >= r.exact_cnt, r
         assert r.cms_est - r.exact_cnt <= eps_n, r
+
+
+def test_ivf_pandas_assignment_equals_expr(spark, sf_dir):
+    """The BLAS mapInPandas assignment path (the large-nlist plan) must
+    produce the same top-k as the expression path on real embeddings —
+    assignment ties are measure-zero here, and the shared scoring
+    stage makes matching pairs' scores bit-identical."""
+    from datapipelinedemo_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    a = SIM.cosine_topk_ivf(
+        emb, queries, k=10, nlist=8, nprobe=2, assignment="expr"
+    ).collect()
+    b = SIM.cosine_topk_ivf(
+        emb, queries, k=10, nlist=8, nprobe=2, assignment="pandas"
+    ).collect()
+    ka = {(r.query_id, r.neighbor_id): (r.rank, r.cos_sim) for r in a}
+    kb = {(r.query_id, r.neighbor_id): (r.rank, r.cos_sim) for r in b}
+    assert ka == kb
