@@ -217,6 +217,79 @@ def _dot_lit(vec_col: str, lit_arr: Column) -> Column:
     )
 
 
+def lloyd_refine(
+    corpus: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    iters: int = 2,
+) -> list[list[float]]:
+    """Spherical k-means refinement of an initial centroid set.
+
+    Each iteration: (1) one Arrow mapInPandas pass assigns every
+    vector to its nearest (cosine) centroid and emits PER-BATCH
+    partial sums — (cid, Σvec, n) — so the shuffle carries
+    batches×nlist rows, never the corpus; (2) partial sums reduce in
+    one tiny groupBy; (3) the driver rebuilds means (L2-normalized —
+    spherical k-means, the cosine-metric variant) from nlist·dim
+    numbers. Refined centroids fix the sampled-init failure mode where
+    two samples land in one tight cluster and split it across lists.
+    Deterministic given the init (no RNG), but NOT oracle-replayable
+    (BLAS sum order) — production path, like assignment="pandas".
+    """
+    import numpy as np
+
+    cents = np.array(centroids, dtype=np.float64)
+    for _ in range(iters):
+        cmat = cents
+        cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+
+        def partial_sums(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                vn = np.sqrt((v * v).sum(axis=1))
+                best = np.argmax(
+                    (v @ cmat.T) / np.outer(vn, cnorms), axis=1
+                )
+                rows = []
+                for cid in np.unique(best):
+                    sel = v[best == cid]
+                    rows.append(
+                        (int(cid), sel.sum(axis=0).tolist(), len(sel))
+                    )
+                yield pd.DataFrame(rows, columns=["cid", "s", "n"])
+
+        parts = corpus.select(F.col(vec_col).alias(vec_col)).mapInPandas(
+            partial_sums, "cid long, s array<double>, n long"
+        )
+        reduced = (
+            parts.select(
+                "cid", "n", F.posexplode("s").alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("sv"), F.sum("n").alias("sn"))
+            .collect()
+        )
+        new = cents.copy()
+        by_cid: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in reduced:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.sv
+            counts[r.cid] = r.sn
+        for cid, vals in by_cid.items():
+            m = np.array(
+                [vals[p] for p in range(len(vals))], dtype=np.float64
+            ) / counts[cid]
+            nrm = np.sqrt((m * m).sum())
+            if nrm > 0:
+                new[cid] = m / nrm
+        cents = new
+    return cents.tolist()
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -227,6 +300,7 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     salt: str = "ivf",
     assignment: str = "expr",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k cosine neighbors.
 
@@ -263,18 +337,28 @@ def cosine_topk_ivf(
     """
     from datapipelinedemo_spark.functions.stable import md5_long
 
-    cent_rows = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cv"),
-            md5_long(
-                F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))
-            ).alias("__hv"),
+    if centroids is not None:
+        # explicit centroid set (e.g. lloyd_refine output); cid is just
+        # the bucket key, so positional ids serve
+        from types import SimpleNamespace
+
+        cent_rows = [
+            SimpleNamespace(cid=i, cv=list(v))
+            for i, v in enumerate(centroids)
+        ]
+    else:
+        cent_rows = (
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                md5_long(
+                    F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))
+                ).alias("__hv"),
+            )
+            .orderBy("__hv", "cid")
+            .limit(nlist)
+            .collect()
         )
-        .orderBy("__hv", "cid")
-        .limit(nlist)
-        .collect()
-    )
 
     def _cent_sim(vec: str, vn: Column, row) -> Column:
         arr = F.array(*[F.lit(float(x)).cast("double") for x in row.cv])

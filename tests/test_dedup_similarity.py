@@ -311,3 +311,47 @@ def test_ivf_pandas_assignment_equals_expr(spark, sf_dir):
     ka = {(r.query_id, r.neighbor_id): (r.rank, r.cos_sim) for r in a}
     kb = {(r.query_id, r.neighbor_id): (r.rank, r.cos_sim) for r in b}
     assert ka == kb
+
+
+def test_ivf_lloyd_refinement_recovers_clusters(spark):
+    """Lloyd refinement fixes the sampled-init failure: with 4 tight
+    clusters and 4 sampled centroids, two samples can land in one
+    cluster and split it (nprobe=1 recall ~0.66 on this fixture);
+    after spherical k-means iterations every cluster owns one
+    centroid and a single probe recovers the full exact top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(100):
+        v = base[i % 4] + 0.02 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    brute = SIM.cosine_topk_bruteforce(emb, queries, k=5)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+
+    # init = the deterministic hash-sample the default path uses
+    from datapipelinedemo_spark.functions.stable import md5_long
+
+    init = [
+        list(r.embedding)
+        for r in emb.select(
+            "embedding",
+            md5_long(
+                F.concat(F.col("vec_id").cast("string"), F.lit("#ivf"))
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(4)
+        .collect()
+    ]
+    refined = SIM.lloyd_refine(emb, "embedding", init, iters=3)
+    out = SIM.cosine_topk_ivf(
+        emb, queries, k=5, nlist=4, nprobe=1, centroids=refined
+    )
+    a = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    recall = len(a & b) / len(b)
+    assert recall == 1.0, f"refined IVF recall {recall:.2f} < 1.0"
