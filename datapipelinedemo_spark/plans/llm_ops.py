@@ -710,6 +710,53 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The end-to-end corpus build, as ONE query: near-dup removal (keep
+# each duplicate-cluster's canonical doc) → per-language stratified
+# downsampling → token accounting. Every stage is an operator already
+# proven above; this pins their COMPOSITION against a single composed
+# oracle (the thing a real pipeline actually runs).
+# --------------------------------------------------------------------------
+@register(
+    "training_corpus_pipeline",
+    oracle=f"""
+    SELECT d.doc_id, d.lang,
+           CAST(len({_TOK}) AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN (
+        SELECT doc_id FROM ({_CC_ORACLE})
+        WHERE doc_id = comp
+    ) canon USING (doc_id)
+    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '#s0'),
+               1, 15) AS BIGINT) % 10000
+          < (CASE {_STRATA_CASE} ELSE 0 END)
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What ships to the trainer: canonical (non-near-dup) documents,
+    language-rebalanced, with their token counts. LSH candidates →
+    Jaccard verify → connected components pick the canonical doc;
+    the deterministic hash-mod sampler applies per-language rates;
+    everything before the final projection is shuffle-bounded by the
+    candidate set, never all-pairs."""
+    from datapipelinedemo_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = neardup_clusters(spark, sf_dir)
+    canon = clusters.filter(F.col("doc_id") == F.col("comp")).select(
+        "doc_id"
+    )
+    kept = docs.join(canon, "doc_id")
+    sampled = stratified_hash_sample(kept, "doc_id", "lang", _STRATA_RATES)
+    return sampled.select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokenize("text")).cast("long").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (label-blocked)
 # --------------------------------------------------------------------------
 _DOT = (
