@@ -42,6 +42,7 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import relational  # noqa: F401
     from datapipelinedemo_spark.plans import relational_ext  # noqa: F401
     from datapipelinedemo_spark.plans import tpch_deep  # noqa: F401
+    from datapipelinedemo_spark.plans import tpch_rest  # noqa: F401
     from datapipelinedemo_spark.plans import reference_pipeline  # noqa: F401
     from datapipelinedemo_spark.plans import llm_ops  # noqa: F401
     from datapipelinedemo_spark.plans import tweets_catalog  # noqa: F401
