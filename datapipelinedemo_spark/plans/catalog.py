@@ -45,4 +45,5 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import tpch_rest  # noqa: F401
     from datapipelinedemo_spark.plans import reference_pipeline  # noqa: F401
     from datapipelinedemo_spark.plans import llm_ops  # noqa: F401
+    from datapipelinedemo_spark.plans import corpus_ops  # noqa: F401
     from datapipelinedemo_spark.plans import tweets_catalog  # noqa: F401

@@ -1,0 +1,271 @@
+"""Corpus-analytics batch 2: decontamination, TF-IDF keyword
+extraction, and behavioral analytics (weekly cohort retention, a
+time-bounded conversion funnel).
+
+Same conventions as plans/llm_ops.py: every query is a pure
+DataFrame/Catalyst expression plan with a DuckDB oracle twin;
+doubles that cross an aggregation go through the fixed-point grid
+(functions/stable.py) or are presentation-rounded (round6) when the
+value is genuinely continuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions.stable import round6
+from datapipelinedemo_spark.operators.decontamination import (
+    contamination_counts,
+)
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.tables import table
+
+# Tokenizer twin of functions.text.tokenize for DuckDB oracles.
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB twin of operators.decontamination.word_ngrams."""
+    return f"""
+        CASE WHEN len(t) >= {n}
+             THEN list_transform(generate_series(1, len(t) - {n - 1}),
+                                 i -> array_to_string(t[i:i+{n - 1}], ' '))
+             ELSE [] END
+    """
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (word n-gram overlap with an eval split)
+# --------------------------------------------------------------------------
+# The eval "benchmark" is a deterministic 2% slice of the corpus
+# (doc_id % 50 = 0) — stand-in for a real benchmark table. n=4 at test
+# scale so the synthetic word-soup corpus produces a non-trivial
+# overlap set; production text uses the customary n=13 (the operator
+# is parameterized, the plan identical).
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, {_grams_sql(4)} AS gs FROM tok),
+    eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+    tg AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram
+           FROM g WHERE doc_id % 50 <> 0)
+    SELECT tg.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM tg JOIN eg USING (gram)
+    GROUP BY 1
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 word 4-gram with the eval slice.
+
+    The eval gram set is broadcast; the corpus side's only shuffle is
+    the final per-doc count (map-side partial first). See
+    operators/decontamination.py for the 100 TB shape discussion.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_counts(train, bench, "doc_id", "text", n=4)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 terms per document
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tc AS (
+        SELECT doc_id, unnest(t) AS term FROM tok
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tc GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term AS term,
+               tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)
+                            DESC, tf.term) AS rank
+        FROM tf, df AS d, n
+        WHERE tf.term = d.term
+    )
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF (sklearn's
+    ``ln((1+N)/(1+df)) + 1`` idf).
+
+    Plan: one explode + two partial-agg groupBys (term counts, then
+    document frequency), the global N as a 1-row broadcast cross join,
+    and a per-doc window top-k. The df table is small (vocabulary
+    sized) → broadcast back onto term counts; the corpus-side shuffles
+    are keyed on (doc_id, term) and doc_id only. The raw double score
+    orders the window (cross-engine ulp noise can't flip an order
+    unless two DISTINCT products land within ~1e-15 relative — ties
+    that matter are exact-equal and broken by term); round6 is
+    presentation-only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    tc = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+    tf = tc.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log(
+                    (1.0 + F.col("n_docs")) / (1.0 + F.col("df"))
+                )
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tfidf").desc(), F.col("term")
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return scored.filter(F.col("rank") <= 3).select(
+        "doc_id", "term", round6("tfidf", "tfidf"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention over the events stream
+# --------------------------------------------------------------------------
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('week', ts) AS w,
+               MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id)
+                   AS cohort_w
+        FROM events
+    )
+    SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_w, w) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort matrix: users grouped by first-seen week, counted
+    in each subsequent week they were active.
+
+    The per-user first week is a window MIN keyed on user_id (one
+    shuffle); the cohort count is a distinct-agg on the (cohort,
+    offset) pair. Both Mondays are exact week-truncations so the /7 is
+    exact integer math. At 100× the user-window shuffle is the natural
+    partitioning; no driver-side state.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = F.date_trunc("week", F.col("ts"))
+    e = ev.select(
+        "user_id",
+        w.alias("w"),
+        F.min(w).over(Window.partitionBy("user_id")).alias("cohort_w"),
+    )
+    return (
+        e.groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("w", "cohort_w") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-bounded conversion funnel: view → click → purchase within 1 h
+# --------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE event_type = 'click'
+          AND ts > t1 AND ts <= t1 + INTERVAL 1 HOUR
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE event_type = 'purchase'
+          AND ts > t2 AND ts <= t2 + INTERVAL 1 HOUR
+        GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full_funnel
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel with a 1-hour conversion window per step:
+    first view, then first click within an hour of it, then a purchase
+    within an hour of that.
+
+    Three conditional-min aggregations, each keyed on user_id — AQE
+    reuses the partitioning across the chain, so at scale this is one
+    logical repartition of the event stream by user. The final counts
+    are 1-row aggregates cross-joined (no collect).
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel"))
+    return nv.crossJoin(nc).crossJoin(np_)

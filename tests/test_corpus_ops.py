@@ -1,0 +1,104 @@
+"""Decontamination, TF-IDF, cohort/funnel analytics (plans/corpus_ops.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.operators.decontamination import (
+    contamination_counts,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_basic(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("x y",), ("",)], ["text"]
+    ).select(word_ngrams("text", 3).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []  # shorter than n → empty, not a descending sequence
+    assert rows[2] == []
+
+
+def test_contamination_counts_planted(spark):
+    # train doc 1 shares the 3-gram "red fox jumps" with the benchmark;
+    # train doc 2 shares nothing; repeats inside one doc count ONCE.
+    train = spark.createDataFrame(
+        [
+            (1, "the red fox jumps high red fox jumps"),
+            (2, "completely different words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a red fox jumps over benchmarks")], ["doc_id", "text"]
+    )
+    out = contamination_counts(train, bench, "doc_id", "text", n=3).collect()
+    got = {r.doc_id: r.n_shared_grams for r in out}
+    assert got == {1: 1}  # the one shared distinct gram: "red fox jumps"
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        funnel_view_click_purchase,
+    )
+
+    row = funnel_view_click_purchase(spark, sf_dir).collect()[0]
+    assert row.n_view >= row.n_view_click >= row.n_full_funnel >= 0
+
+
+def test_cohort_week0_counts_all_users(spark, sf_dir):
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        cohort_retention_weekly,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    out = cohort_retention_weekly(spark, sf_dir)
+    # every user appears in their own cohort's week 0
+    week0_total = (
+        out.filter(F.col("week_offset") == 0)
+        .agg(F.sum("n_users"))
+        .collect()[0][0]
+    )
+    n_users = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert week0_total == n_users
+
+
+def test_tfidf_rare_term_beats_common(spark):
+    # 'rare' appears in 1 of 3 docs, 'the' in all 3 with equal tf —
+    # the rare term must outrank the ubiquitous one in doc 1.
+    from pyspark.sql import Window
+    from datapipelinedemo_spark.functions.text import tokenize
+    from datapipelinedemo_spark.functions.stable import round6
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the rare word word"),
+            (2, "the word word other other"),
+            (3, "the other word word common"),
+        ],
+        ["doc_id", "text"],
+    )
+    tc = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = tc.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+        )
+    )
+    d1 = {
+        r.term: r.tfidf
+        for r in scored.filter(F.col("doc_id") == 1).collect()
+    }
+    assert d1["rare"] > d1["the"]
