@@ -62,3 +62,53 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(round(frac * DENOM))
         ).otherwise(thr)
     return df.filter(_bucket(F.col(key_col), salt) < thr)
+
+
+def target_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights_bp: dict[str, int],
+    budget: int,
+    salt: str = "mix0",
+) -> DataFrame:
+    """Domain-mixing sampler: hit TARGET corpus proportions, with
+    rates computed FROM the data (unlike ``stratified_hash_sample``,
+    where rates are given).
+
+    LLM corpus builds mix heterogeneous domains (web / books / code)
+    to target weights rather than to whatever the crawl happened to
+    contain. Given per-group target weights in basis points and a
+    total row ``budget``, the per-group keep-threshold is
+
+        t_g   = (budget * bp_g) div 10000          -- target rows
+        thr_g = min(DENOM, t_g * DENOM div n_g)    -- hash threshold
+
+    pure integer arithmetic (exact in every engine; under-represented
+    groups cap at keep-everything rather than upsampling). The group
+    counts are one partial-agg groupBy; the thresholds broadcast back,
+    so the corpus-side plan stays a narrow filter — same 100 TB shape
+    as the fixed-rate samplers above.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    wrows = [(g, bp) for g, bp in sorted(weights_bp.items())]
+    wdf = df.sparkSession.createDataFrame(
+        wrows, f"{group_col} string, __bp long"
+    )
+    thr = (
+        counts.join(wdf, group_col)
+        .select(
+            group_col,
+            F.least(
+                F.lit(DENOM),
+                F.expr(
+                    f"(({budget} * __bp) div 10000) * {DENOM} div __n"
+                ),
+            ).alias("__thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(_bucket(F.col(key_col), salt) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -269,3 +269,70 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
     np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+# --------------------------------------------------------------------------
+# Domain mixing: sample the corpus to TARGET domain proportions
+# --------------------------------------------------------------------------
+# Three synthetic "domains" partition the 20 sources; targets are
+# 60/30/10 over a 200-row budget. web is under-represented relative
+# to its target → rate caps at keep-all; code is over-represented →
+# heavy downsample. All threshold math is exact integer arithmetic.
+_MIX_CASE = """
+    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 'web'
+         WHEN source IN ('src4', 'src5', 'src6', 'src7', 'src8', 'src9')
+              THEN 'books'
+         ELSE 'code' END
+"""
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+    WITH lab AS (
+        SELECT doc_id, {_MIX_CASE} AS mix_group FROM documents
+    ),
+    cnt AS (
+        SELECT mix_group, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab GROUP BY 1
+    ),
+    wts AS (
+        SELECT * FROM (VALUES ('web', 6000), ('books', 3000),
+                              ('code', 1000)) AS v(mix_group, bp)
+    ),
+    thr AS (
+        SELECT cnt.mix_group,
+               LEAST(10000, ((200 * bp) // 10000) * 10000 // n) AS t
+        FROM cnt JOIN wts USING (mix_group)
+    )
+    SELECT doc_id, lab.mix_group AS mix_group
+    FROM lab JOIN thr ON lab.mix_group = thr.mix_group
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#mix0'),
+               1, 15) AS BIGINT) % 10000 < t
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix the corpus to target web/books/code proportions (60/30/10
+    of a 200-doc budget) with data-driven deterministic rates — see
+    ``operators.sampling.target_mix_sample`` for the threshold math
+    and the 100 TB plan shape (broadcast thresholds, narrow filter).
+    """
+    from datapipelinedemo_spark.operators.sampling import target_mix_sample
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "mix_group",
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3"), "web"
+        )
+        .when(
+            F.col("source").isin(
+                "src4", "src5", "src6", "src7", "src8", "src9"
+            ),
+            "books",
+        )
+        .otherwise("code"),
+    )
+    return target_mix_sample(
+        docs, "doc_id", "mix_group", {"web": 6000, "books": 3000, "code": 1000},
+        budget=200,
+    ).select("doc_id", "mix_group")

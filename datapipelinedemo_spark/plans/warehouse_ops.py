@@ -1,0 +1,247 @@
+"""Warehouse staples batch: SCD2 history build (gaps-and-islands),
+unpivot/melt, time-RANGE window frames, and a one-pass data-quality
+constraint report.
+
+Each query is a classic warehouse/lakehouse operation a user of a
+batch analytics engine reaches for weekly; all are pure Catalyst
+expression plans with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions.stable import _scaled
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.tables import table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_OPEN_END = "9999-12-31 00:00:00"
+
+
+# --------------------------------------------------------------------------
+# SCD2: per-user event_type history intervals (gaps-and-islands)
+# --------------------------------------------------------------------------
+@register(
+    "scd2_user_type_history",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, event_type)
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id, event_type
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM x
+    ),
+    islands AS (
+        SELECT user_id, grp, event_type,
+               MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM g GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(COALESCE(
+               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp),
+               TIMESTAMP '{_OPEN_END}'), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           n_events
+    FROM islands
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream into [valid_from, valid_to) intervals of constant
+    event_type, via the gaps-and-islands pattern (change flag → running
+    island id → per-island MIN/COUNT → LEAD for the closing edge).
+
+    All three windows and the groupBy share the user_id partitioning,
+    so the whole build is ONE repartition of the stream (AQE reuses
+    the exchange). The ORDER BY tie-break includes event_id AND
+    event_type: the events table contains duplicate (ts, event_id)
+    rows, and without the full tie-break the island assignment would
+    be engine-dependent.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    islands = g.groupBy("user_id", "grp", "event_type").agg(
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("grp")
+    return islands.select(
+        "user_id",
+        "event_type",
+        F.date_format("vf", _FMT).alias("valid_from"),
+        F.date_format(
+            F.coalesce(
+                F.lead("vf").over(w2),
+                F.lit(_OPEN_END).cast("timestamp"),
+            ),
+            _FMT,
+        ).alias("valid_to"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt: the wide monthly pivot back to long form
+# --------------------------------------------------------------------------
+@register(
+    "unpivot_monthly_events",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT CAST(year(ts) AS VARCHAR) || '-' ||
+                        CAST(month(ts) AS VARCHAR) AS ym
+        FROM events
+    ),
+    t AS (SELECT DISTINCT event_type FROM events),
+    base AS (
+        SELECT event_type,
+               CAST(year(ts) AS VARCHAR) || '-' ||
+               CAST(month(ts) AS VARCHAR) AS ym,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, m.ym, COALESCE(base.cnt, 0) AS cnt
+    FROM t CROSS JOIN m
+    LEFT JOIN base ON base.event_type = t.event_type AND base.ym = m.ym
+    """,
+)
+def unpivot_monthly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` (melt): the wide month×type matrix from
+    ``monthly_event_type_pivot`` back to tidy long form — the inverse
+    transform users need when a wide export has to feed a relational
+    consumer. Zero-filled cells survive the round trip (the oracle
+    cross-joins the label domains to prove it).
+    """
+    from datapipelinedemo_spark.plans.relational import (
+        monthly_event_type_pivot,
+    )
+
+    wide = monthly_event_type_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["event_type"],
+        values=[c for c in wide.columns if c != "event_type"],
+        variableColumnName="ym",
+        valueColumnName="cnt",
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-RANGE window frame: trailing 7-day revenue, per day
+# --------------------------------------------------------------------------
+@register(
+    "trailing_7d_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 1e4 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_scaled
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(rev_scaled) OVER (
+               ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 1e4 AS rev_7d
+    FROM daily
+    """,
+)
+def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue with a true time-RANGE frame (not a row
+    frame — gaps in the calendar shrink the window, exactly like the
+    SQL standard's RANGE INTERVAL).
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    runs over epoch seconds with a ±6-day offset. The daily aggregate
+    is a partial-agg groupBy; the unpartitioned window then sorts only
+    the DAILY grain (a few thousand rows at any corpus size), so the
+    global window is not a scale hazard. Sums stay on the fixed-point
+    grid until presentation.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(_scaled("o_totalprice", 4)).alias("rev_scaled"))
+    secs = F.col("day").cast("timestamp").cast("long")
+    w = (
+        Window.orderBy(secs)
+        .rangeBetween(-6 * 86400, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.sum("rev_scaled").over(w).cast("double") / 1e4).alias("rev_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-pass data-quality constraint report (Deequ-style)
+# --------------------------------------------------------------------------
+@register(
+    "dq_orders_report",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_custkey,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_orderkey,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('P', 'O', 'F')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonpositive_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_orderdate,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_orderdate
+    FROM orders
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint metrics in ONE scan + one aggregate:
+    completeness (null count), uniqueness (distinct vs total), domain
+    membership (status whitelist), value bounds, and freshness range.
+    A pipeline gates on this row before publishing a partition; at
+    100 TB it is still a single pass with map-side partials (the
+    distinct-count is the only exchange-heavy term; swap in
+    approx_count_distinct when exactness isn't required).
+    """
+    orders = table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_custkey"),
+        F.countDistinct("o_orderkey").alias("n_distinct_orderkey"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad_status"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+            "min_orderdate"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+            "max_orderdate"
+        ),
+    )
