@@ -47,4 +47,5 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import llm_ops  # noqa: F401
     from datapipelinedemo_spark.plans import corpus_ops  # noqa: F401
     from datapipelinedemo_spark.plans import warehouse_ops  # noqa: F401
+    from datapipelinedemo_spark.plans import graph_ops  # noqa: F401
     from datapipelinedemo_spark.plans import tweets_catalog  # noqa: F401
