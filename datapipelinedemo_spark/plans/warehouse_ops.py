@@ -245,3 +245,38 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_orderdate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching: supplier names within edit distance 1
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_supplier_names",
+    oracle="""
+    WITH v AS (SELECT DISTINCT s_name AS t FROM supplier),
+    ex AS (
+        SELECT t,
+               unnest(list_distinct(list_append(
+                   list_transform(generate_series(1, len(t)),
+                                  i -> substring(t, 1, i - 1)
+                                       || substring(t, i + 1)),
+                   t))) AS var
+        FROM v
+    )
+    SELECT DISTINCT a.t AS name_a, b.t AS name_b
+    FROM ex a JOIN ex b ON a.var = b.var AND a.t < b.t
+    WHERE levenshtein(a.t, b.t) <= 1
+    """,
+)
+def fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical supplier names (edit distance ≤ 1) via SymSpell
+    deletion-neighborhood blocking — the entity-resolution primitive
+    for catalog/vendor dedup. See ``operators.fuzzy`` for why the
+    blocking is exact at distance 1 and how it avoids the V² cross
+    join.
+    """
+    from datapipelinedemo_spark.operators.fuzzy import fuzzy_self_pairs
+
+    return fuzzy_self_pairs(
+        table(spark, sf_dir, "supplier"), "s_name", max_dist=1
+    )
