@@ -43,3 +43,57 @@ def test_aqe_enabled_and_replans(spark, sf_dir):
     # at runtime (coalesced partitions on this tiny input)
     assert "AdaptiveSparkPlan isFinalPlan=true" in p
     assert "AQEShuffleRead" in p or "coalesced" in p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark injects a bloom-filter runtime filter on the fact side of
+    a shuffle join when the dim side carries a selective predicate —
+    at 100 TB this is the difference between scanning the whole fact
+    table and skipping most of it before the exchange. Local tables
+    sit under the default creation-side thresholds, so the thresholds
+    are widened for the assertion; result equality is pinned too."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "might_contain" in _plan(j)
+        with_filter = j.collect()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    no_filter = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, with_filter)) == sorted(map(tuple, no_filter))
