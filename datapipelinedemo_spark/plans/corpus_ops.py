@@ -336,3 +336,89 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "mix_group", {"web": 6000, "books": 3000, "code": 1000},
         budget=200,
     ).select("doc_id", "mix_group")
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (the corpus-build final step)
+# --------------------------------------------------------------------------
+@register(
+    "train_val_test_split",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#split0'),
+                    1, 15) AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split assignment keyed on the document id hash — stable
+    across runs, partitionings, engines, and CORPUS GROWTH (a doc's
+    split never changes when new docs arrive, unlike rand() or
+    row_number splits). Per-source counts audit stratification drift.
+    The assignment itself is a narrow expression; this query is the
+    audit aggregate over it.
+    """
+    from datapipelinedemo_spark.operators.sampling import DENOM, _bucket
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = _bucket(F.col("doc_id"), "split0")
+    split = (
+        F.when(bucket < int(0.90 * DENOM), "train")
+        .when(bucket < int(0.95 * DENOM), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-k per stratum (deterministic "reservoir"): eval-set builder
+# --------------------------------------------------------------------------
+@register(
+    "exact_k_per_language",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR) || '#k0'), 1, 15)
+                       AS BIGINT), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def exact_k_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k=20 docs per language (or all, for smaller strata) —
+    rate-based sampling can't hit exact counts; ordering each stratum
+    by a keyed hash and keeping row_number ≤ k is the deterministic
+    reservoir equivalent. One shuffle on the stratum key; at 100 TB
+    replace the full sort with a per-partition top-k (the window's
+    rank filter already lets Spark push a WindowGroupLimit).
+    """
+    from datapipelinedemo_spark.functions.stable import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#k0")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
