@@ -265,10 +265,18 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
-    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
-    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel"))
-    return nv.crossJoin(nc).crossJoin(np_)
+    # one left-join chain instead of three independent count jobs:
+    # the repeated v/c subplans become ReusedExchange nodes, so each
+    # funnel stage is computed once
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t1").cast("long").alias("n_view"),
+            F.count("t2").cast("long").alias("n_view_click"),
+            F.count("t3").cast("long").alias("n_full_funnel"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -99,9 +99,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
         )
     )
-    # the edge frame feeds every iteration — one materialization
+    # the edge frame and out-weights feed every iteration — cache both
+    # (outw is re-joined 2× per iteration; uncached it would replay
+    # its groupBy against the edge cache each time)
     sym = sym.persist()
-    outw = sym.groupBy("u").agg(F.sum("w").alias("ow_total"))
+    outw = sym.groupBy("u").agg(F.sum("w").alias("ow_total")).persist()
     nodes = outw.select("u")
     n = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
