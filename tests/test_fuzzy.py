@@ -57,3 +57,44 @@ def test_fuzzy_blocking_matches_bruteforce(spark, sf_dir):
         .collect()
     }
     assert blocked == brute
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=4),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_blocking_exactness_property(spark, names):
+    """Deletion-variant blocking finds EXACTLY the levenshtein<=1
+    pairs for arbitrary strings (small alphabet maximizes collisions
+    and near-miss structure like transpositions)."""
+    df = spark.createDataFrame([(n,) for n in names], ["n"])
+    got = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_self_pairs(df, "n", max_dist=1).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        tuple(sorted((a, b)))
+        for a, b in itertools.combinations(names, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
