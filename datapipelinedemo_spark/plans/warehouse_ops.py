@@ -280,3 +280,84 @@ def fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(
         table(spark, sf_dir, "supplier"), "s_name", max_dist=1
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window anomaly detection on hourly event volumes
+# --------------------------------------------------------------------------
+@register(
+    "hourly_volume_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, h, c,
+               COUNT(*) OVER w AS n_w,
+               CAST(SUM(c) OVER w AS BIGINT) AS s1,
+               CAST(SUM(c * c) OVER w AS BIGINT) AS s2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                               AND INTERVAL 1 HOUR PRECEDING)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, c,
+           round(CAST(s1 AS DOUBLE) / n_w, 6) AS mean_trailing,
+           CAST(n_w AS BIGINT) AS n_trailing
+    FROM stats
+    WHERE n_w >= 12
+      AND (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n_w)
+          * (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n_w)
+          > 4.0 * ((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_w) / n_w)
+    """,
+)
+def hourly_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike detection: hours whose event count sits more than
+    2σ from the trailing-24-hour mean (current hour excluded from its
+    own baseline via the RANGE frame's -1h upper bound; baseline must
+    have ≥12 observed hours).
+
+    The hourly counts and their squares are exact BIGINTs, so mean and
+    variance are identical IEEE expressions in both engines — a
+    windowed anomaly monitor that hash-checks exactly. One shuffle for
+    the hourly rollup, one per-type window sort.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    secs = F.col("h").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(secs)
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_w")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n_w")
+    ) / F.col("n_w")
+    dev = F.col("c").cast("double") - mean
+    return (
+        stats.filter(
+            (F.col("n_w") >= 12) & (dev * dev > F.lit(4.0) * var)
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "c",
+            F.round(mean, 6).alias("mean_trailing"),
+            F.col("n_w").cast("long").alias("n_trailing"),
+        )
+    )
