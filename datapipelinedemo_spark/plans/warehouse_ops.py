@@ -361,3 +361,62 @@ def hourly_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_w").cast("long").alias("n_trailing"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS (distinct surface from ROLLUP/CUBE)
+# --------------------------------------------------------------------------
+@register(
+    "token_budget_grouping_sets",
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           CAST(GROUPING(source) AS BIGINT) AS g_source,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def token_budget_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus size accounting along TWO independent axes plus the
+    grand total in ONE pass — explicit GROUPING SETS, not the
+    rollup/cube lattices (which would also emit the unwanted
+    (lang, source) cross cells). GROUPING() disambiguates real nulls
+    from subtotal rows. Runs through spark.sql over a registered view:
+    the same partial-agg single-shuffle plan as the DataFrame API.
+    """
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_gs")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+               CAST(GROUPING(source) AS BIGINT) AS g_source,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+               COUNT(*) AS n_docs
+        FROM __docs_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles (KLL-style sketch; rows-only — no exact twin)
+# --------------------------------------------------------------------------
+@register("approx_value_percentiles")
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` per event type (p50/p90/p99, accuracy
+    10000) — the sketch path for quantiles over data too large to
+    sort. No DuckDB oracle (sketch internals differ by engine); the
+    driver records rows-only, and the tolerance against the EXACT
+    ``value_percentiles_per_type`` query is pinned in pytest.
+    Map-side sketch merge: one partial-agg shuffle, same shape as any
+    aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_pcts")
+    )

@@ -114,3 +114,35 @@ def test_target_mix_sample_caps_and_rates(spark):
         ).collect()
     )
     assert ids1 == ids2
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    # sketch answers stay within 2% relative of the exact percentiles
+    from datapipelinedemo_spark.plans.warehouse_ops import (
+        approx_value_percentiles,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    approx = {
+        r.event_type: r.approx_pcts
+        for r in approx_value_percentiles(spark, sf_dir).collect()
+    }
+    # at accuracy=10000 > n the sketch is exact up to rank convention:
+    # the answer must be an actual data value within one rank position
+    # of ceil(p*n) (interpolating `percentile` would NOT be a fair
+    # reference — tail interpolation diverges legitimately at small n)
+    import math
+
+    vals = {}
+    for r in (
+        table(spark, sf_dir, "events").select("event_type", "value").collect()
+    ):
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(vals)
+    for et, (a50, a90, a99) in approx.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        for a, p in ((a50, 0.5), (a90, 0.9), (a99, 0.99)):
+            r = max(1, math.ceil(p * n))
+            window = xs[max(0, r - 2) : min(n, r + 1)]
+            assert a in window, (et, p, a, window)
