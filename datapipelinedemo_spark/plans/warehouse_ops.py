@@ -420,3 +420,84 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
         ).alias("approx_pcts")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association: part pairs with support / confidence / lift
+# --------------------------------------------------------------------------
+@register(
+    "basket_part_pairs_lift",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+    item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    pair AS (
+        SELECT a.pk AS item1, b2.pk AS item2,
+               CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        GROUP BY 1, 2
+    )
+    SELECT item1, item2, pair_count,
+           round(CAST(pair_count AS DOUBLE) / i1.c, 6) AS confidence,
+           round(CAST(pair_count AS DOUBLE) * n_baskets
+                 / (CAST(i1.c AS DOUBLE) * i2.c), 6) AS lift
+    FROM pair
+    JOIN item i1 ON pair.item1 = i1.pk
+    JOIN item i2 ON pair.item2 = i2.pk
+    CROSS JOIN n
+    WHERE pair_count >= 3
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for part pairs bought
+    together ≥3 times, support count, confidence P(2|1) and lift
+    P(1,2)/(P(1)P(2)).
+
+    The pair expansion is the in-row array expression from
+    ``operators/pairs.py`` (baskets are small — ~7 items — so k² is
+    per-row codegen work, not a self-join); item supports broadcast
+    back onto the pair aggregate; the basket total is a 1-row cross
+    join. All counts are exact BIGINTs; the ratios are per-row IEEE
+    ops, rounded for presentation.
+    """
+    from datapipelinedemo_spark.operators.pairs import pair_combinations
+
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    baskets = b.groupBy("ok").agg(
+        F.array_sort(F.collect_list("pk")).alias("items")
+    )
+    n = b.agg(F.countDistinct("ok").alias("n_baskets"))
+    item = b.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pair = (
+        baskets.select(F.explode(pair_combinations("items")).alias("p"))
+        .groupBy(
+            F.col("p.item1").alias("item1"), F.col("p.item2").alias("item2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= 3)
+    )
+    i1 = item.select(F.col("pk").alias("item1"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("pk").alias("item2"), F.col("c").alias("c2"))
+    return (
+        pair.join(F.broadcast(i1), "item1")
+        .join(F.broadcast(i2), "item2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item1",
+            "item2",
+            "pair_count",
+            F.round(
+                F.col("pair_count").cast("double") / F.col("c1"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("pair_count").cast("double")
+                * F.col("n_baskets")
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
