@@ -430,3 +430,140 @@ def exact_k_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization (vector-store compression)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    st AS (
+        SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+        FROM ex GROUP BY 1
+    ),
+    q AS (
+        SELECT vec_id, i,
+               CASE WHEN mx > mn
+                    THEN CAST(FLOOR((CAST(x AS DOUBLE) - mn)
+                                    / ((mx - mn) / 255.0) + 0.5) AS BIGINT)
+                    ELSE 0 END AS qv,
+               mn, (mx - mn) / 255.0 AS sc, CAST(x AS DOUBLE) AS xd
+        FROM ex JOIN st USING (i)
+    )
+    SELECT vec_id,
+           array_to_string(list(qv ORDER BY i), ',') AS q_csv,
+           round(MAX(ABS(xd - (mn + qv * sc))), 6) AS max_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max (asymmetric) uint8 quantization of the
+    embedding column — the standard 4× storage compression before a
+    vector index. Returns the quantized codes and each vector's max
+    reconstruction error.
+
+    The 64-entry per-dimension stats are collected driver-side and
+    inlined as literal arrays (IVF-centroid precedent: a tiny plan
+    CONSTANT, not a data collect), so the corpus never shuffles — the
+    quantize + error pass is one in-row zip_with/transform expression.
+    Stats and codes are exact across engines: float32 inputs widen
+    exactly to double, min/max are order-free, and the affine code is
+    identical IEEE ops with floor(+0.5) rounding.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    mns = F.array(*[F.lit(r.mn) for r in stats])
+    scs = F.array(*[F.lit((r.mx - r.mn) / 255.0) for r in stats])
+    x_d = "cast(x as double)"
+    q = F.expr(
+        f"""
+        transform(arrays_zip(embedding, sequence(1, size(embedding))), z ->
+          CASE WHEN element_at(__scs, int(z['1'])) > 0d
+               THEN cast(floor((cast(z.embedding as double)
+                                - element_at(__mns, int(z['1'])))
+                               / element_at(__scs, int(z['1'])) + 0.5d)
+                    as bigint)
+               ELSE 0L END)
+        """
+    )
+    with_q = (
+        emb.withColumn("__mns", mns)
+        .withColumn("__scs", scs)
+        .withColumn("__q", q)
+    )
+    err = F.expr(
+        """
+        aggregate(
+          arrays_zip(embedding, __q, sequence(1, size(embedding))),
+          0d,
+          (acc, z) -> greatest(acc,
+            abs(cast(z.embedding as double)
+                - (element_at(__mns, int(z['2']))
+                   + z.__q * element_at(__scs, int(z['2']))))))
+        """
+    )
+    return with_q.select(
+        "vec_id",
+        F.array_join(F.col("__q"), ",").alias("q_csv"),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Clean-corpus accounting after decontamination (composed)
+# --------------------------------------------------------------------------
+@register(
+    "clean_corpus_after_decontamination",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, {_grams_sql(4)} AS gs FROM tok),
+    eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+    tg AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram
+           FROM g WHERE doc_id % 50 <> 0),
+    bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_clean,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_clean
+    FROM documents d
+    LEFT JOIN bad ON d.doc_id = bad.doc_id
+    WHERE d.doc_id % 50 <> 0 AND bad.doc_id IS NULL
+    GROUP BY 1
+    """,
+)
+def clean_corpus_after_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decontamination flags applied: contaminated docs anti-joined
+    out of the training split, clean per-source volumes reported — the
+    composition a corpus build actually ships. The flag set is tiny
+    (broadcast anti-join); the corpus side stays narrow.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bad = contamination_counts(train, bench, "doc_id", "text", n=4).select(
+        "doc_id"
+    )
+    return (
+        train.join(F.broadcast(bad), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_clean"),
+            F.sum("n_chars").cast("long").alias("chars_clean"),
+        )
+    )
