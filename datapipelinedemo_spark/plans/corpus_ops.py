@@ -567,3 +567,77 @@ def clean_corpus_after_decontamination(
             F.sum("n_chars").cast("long").alias("chars_clean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: purchases credited to the latest prior view
+# --------------------------------------------------------------------------
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MAX(event_id) AS view_event, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           v.view_event AS attributed_view,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           CAST(FLOOR(p.value * 1e4 + 0.5) AS BIGINT) AS value_scaled
+    FROM p ASOF JOIN v
+      ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    WHERE p.ts - v.view_ts <= INTERVAL 1 HOUR
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase credits
+    the user's most recent view no older than one hour. Reuses the
+    as-of backward join (fan-out + per-purchase window top-1), then
+    the tolerance filter; the right side is pre-deduped per (user, ts)
+    because the as-of winner must be unique (DuckDB ASOF has the same
+    requirement).
+    """
+    from datapipelinedemo_spark.operators.asof import asof_join_backward
+
+    ev = table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            "view_event",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        "value",
+    )
+    j = asof_join_backward(
+        purchases,
+        views,
+        left_key="user_id",
+        right_key="v_user",
+        left_ts="ts",
+        right_ts="view_ts",
+        left_id="purchase_id",
+    )
+    return j.filter(
+        # exact-microsecond tolerance: truncating to seconds would
+        # disagree with the oracle's INTERVAL compare at the boundary
+        F.unix_micros("ts") - F.unix_micros("view_ts") <= 3_600_000_000
+    ).select(
+        "purchase_id",
+        F.col("view_event").alias("attributed_view"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.floor(F.col("value") * 1e4 + F.lit(0.5))
+        .cast("long")
+        .alias("value_scaled"),
+    )
