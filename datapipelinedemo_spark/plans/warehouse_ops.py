@@ -501,3 +501,65 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC): yesterday's orders vs a perturbed today
+# --------------------------------------------------------------------------
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 AND o_orderstatus = 'O'
+                    THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus = new.o_orderstatus THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           old.o_orderstatus AS o_orderstatus_old,
+           new.o_orderstatus AS o_orderstatus_new
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE NOT (old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+               AND old.o_orderstatus = new.o_orderstatus)
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC reconciliation demo on deterministic synthetic versions:
+    "old" drops every 97th order (→ added in new), "new" flips every
+    13th open order to F (→ changed); everything else is unchanged and
+    filtered out. Exercises ``operators/diff.py``'s full-outer +
+    null-safe classification with an independent SQL twin. The
+    o_totalprice column rides along uncompared-in-output to keep the
+    result narrow.
+    """
+    from datapipelinedemo_spark.operators.diff import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.select(
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderstatus") == "O"),
+            "F",
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    d = snapshot_diff(old, new, keys=["o_orderkey"])
+    return d.filter(F.col("change_type") != "unchanged").select(
+        "o_orderkey",
+        "change_type",
+        "o_orderstatus_old",
+        "o_orderstatus_new",
+    )

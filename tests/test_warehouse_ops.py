@@ -146,3 +146,27 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
             r = max(1, math.ceil(p * n))
             window = xs[max(0, r - 2) : min(n, r + 1)]
             assert a in window, (et, p, a, window)
+
+
+def test_snapshot_diff_nullsafe_classification(spark):
+    from datapipelinedemo_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (5, "e")], "k long, v string"
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    # null→value and value→null are CHANGED (null-safe compare), not
+    # unchanged; 4 removed, 5 added
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
