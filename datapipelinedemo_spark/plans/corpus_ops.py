@@ -641,3 +641,84 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-window repacking across document boundaries (GPT-style)
+# --------------------------------------------------------------------------
+@register(
+    "fixed_window_repack",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_append(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> ''), '<eos>') AS t
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, t,
+               COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS off
+        FROM tok
+    ),
+    flat AS (
+        SELECT off + generate_subscripts(t, 1) - 1 AS gidx,
+               unnest(t) AS tok
+        FROM offs
+    )
+    SELECT CAST(gidx // 50 AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST('0x' || substring(md5(string_agg(tok, ' ' ORDER BY gidx)),
+                1, 15) AS BIGINT) AS window_hash
+    FROM flat GROUP BY 1
+    """,
+)
+def fixed_window_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-training repack: concatenate all documents (ordered by
+    doc_id, ``<eos>``-terminated) into one token stream and cut it
+    into EXACT 50-token windows that cross document boundaries — the
+    complement of ``pack_documents_bins`` (which keeps documents
+    intact).
+
+    Scale shape: the prefix-sum runs on the DOCUMENT-grain frame (one
+    row per doc — the same small-grain global-window justification as
+    the daily rollups; two-pass partition offsets replace it at
+    extreme doc counts). Tokens explode once with in-array positions;
+    the only corpus-scale shuffle is the groupBy on window_id. The
+    per-window hash folds tokens in global order via a sorted
+    in-row array, so the result is order-exact in both engines.
+    """
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.concat(tokenize("text"), F.array(F.lit("<eos>"))).alias("t"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = tok.withColumn(
+        "off", F.coalesce(F.sum(F.size("t")).over(w), F.lit(0))
+    )
+    flat = offs.select(
+        F.posexplode("t").alias("i", "tok"), F.col("off")
+    ).select((F.col("off") + F.col("i")).alias("gidx"), "tok")
+    grouped = flat.groupBy(
+        (F.col("gidx") - F.pmod("gidx", F.lit(50))).alias("w0")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(gidx, tok))),"
+                   " s -> s.tok)"),
+            " ",
+        ).alias("joined"),
+    )
+    from datapipelinedemo_spark.functions.stable import md5_long
+
+    return grouped.select(
+        (F.col("w0") / 50).cast("long").alias("window_id"),
+        "n_tokens",
+        md5_long("joined").alias("window_hash"),
+    )
