@@ -102,3 +102,25 @@ def test_tfidf_rare_term_beats_common(spark):
         for r in scored.filter(F.col("doc_id") == 1).collect()
     }
     assert d1["rare"] > d1["the"]
+
+
+def test_fixed_window_repack_invariants(spark, sf_dir):
+    from datapipelinedemo_spark.plans.corpus_ops import fixed_window_repack
+    from datapipelinedemo_spark.functions.text import tokenize
+    from datapipelinedemo_spark.tables import table
+
+    out = fixed_window_repack(spark, sf_dir).persist()
+    n_windows = out.count()
+    # every window is exactly 50 tokens except possibly the last
+    assert out.filter(F.col("n_tokens") != 50).count() <= 1
+    # token conservation: windows partition the concatenated stream
+    total_windowed = out.agg(F.sum("n_tokens")).collect()[0][0]
+    total_tokens = (
+        table(spark, sf_dir, "documents")
+        .select((F.size(tokenize("text")) + 1).alias("n"))  # +1 = <eos>
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total_windowed == total_tokens
+    # window ids are dense 0..n-1
+    assert out.agg(F.max("window_id")).collect()[0][0] == n_windows - 1
