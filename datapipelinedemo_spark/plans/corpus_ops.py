@@ -722,3 +722,73 @@ def fixed_window_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         md5_long("joined").alias("window_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (the classic corpus-quality filter)
+# --------------------------------------------------------------------------
+@register(
+    "unigram_perplexity_scores",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tc AS (SELECT doc_id, unnest(t) AS term FROM tok),
+    vocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tc GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+    nll AS (
+        -- per-term negative log prob snapped to a 1e-6 grid so the
+        -- per-doc sum is EXACT integer arithmetic
+        SELECT term,
+               CAST(FLOOR(-ln(CAST(c AS DOUBLE) / total) * 1e6 + 0.5)
+                    AS BIGINT) AS nll6
+        FROM vocab, n
+    )
+    SELECT tc.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(nll6) AS DOUBLE) / 1e6 / COUNT(*), 6)
+               AS mean_nll
+    FROM tc JOIN nll ON tc.term = nll.term
+    GROUP BY 1
+    """,
+)
+def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM
+    trained on the corpus itself — the classic perplexity-style
+    quality filter (docs full of rare tokens score high and get
+    culled; ln(perplexity) = mean_nll).
+
+    The vocabulary with per-term -ln p is vocabulary-sized →
+    broadcast; each per-term value snaps to a 1e-6 BIGINT grid BEFORE
+    the per-doc sum, so the aggregation is exact integer math and the
+    engines agree regardless of token order (a raw double Σln would
+    drift by summation order). Corpus-side plan: one explode, one
+    broadcast join, one partial-agg groupBy.
+    """
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    tc = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    vocab = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = vocab.agg(F.sum("c").alias("total"))
+    nll = vocab.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("total")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll6"),
+    )
+    return (
+        tc.join(F.broadcast(nll), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("nll6").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("mean_nll"),
+        )
+    )
