@@ -792,3 +792,39 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis, derandomized)
+# --------------------------------------------------------------------------
+@register(
+    "weighted_sample_by_length",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || '#ws0'), 1, 15) AS BIGINT) % 10000 + 1)
+                    / 10000.0) / n_chars, 10) AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 docs sampled WITHOUT replacement with probability ∝ length
+    (the weighted complement of the uniform hash samplers): the
+    Efraimidis–Spirakis reservoir key ``ln(u)/w`` with u derived from
+    the keyed md5 bucket instead of rand() — deterministic across
+    engines, runs, and partitionings. Top-k by key is a per-partition
+    TopK + single merge (no global sort of the corpus); the full
+    ORDER BY + unique tie-break makes the LIMIT reproducible.
+    """
+    from datapipelinedemo_spark.operators.sampling import DENOM, _bucket
+
+    docs = table(spark, sf_dir, "documents")
+    u = (_bucket(F.col("doc_id"), "ws0") + 1).cast("double") / DENOM
+    key = F.round(F.log(u) / F.col("n_chars"), 10)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+    )
