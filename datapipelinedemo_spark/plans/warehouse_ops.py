@@ -563,3 +563,112 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus_old",
         "o_orderstatus_new",
     )
+
+
+# --------------------------------------------------------------------------
+# Equal-width histogram of event values (data-driven bounds)
+# --------------------------------------------------------------------------
+@register(
+    "value_histogram_20bins",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+    )
+    SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 20.0)) AS BIGINT),
+                 19) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, b
+    GROUP BY 1
+    """,
+)
+def value_histogram_20bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-width histogram with bounds from the data (1-row
+    broadcast cross join, no driver collect). The bin index is
+    identical IEEE arithmetic in both engines given identical min/max
+    — a float lands in the same bin everywhere; the max value clamps
+    into the last bin.
+    """
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binc = F.least(
+        F.floor(
+            (F.col("value") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / 20.0)
+        ).cast("long"),
+        F.lit(19),
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(binc.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact cross-engine Pearson correlation (value vs hour-of-day)
+# --------------------------------------------------------------------------
+@register(
+    "value_hour_correlation",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS h,
+               CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v4
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(h) AS BIGINT) AS sx,
+               CAST(SUM(v4) AS BIGINT) AS sy,
+               CAST(SUM(h * h) AS BIGINT) AS sxx,
+               CAST(SUM(v4 * v4) AS BIGINT) AS syy,
+               CAST(SUM(h * v4) AS BIGINT) AS sxy
+        FROM x GROUP BY 1
+    )
+    SELECT event_type,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS pearson_r
+    FROM s
+    """,
+)
+def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and hour-of-day, per
+    type — computed from exact BIGINT co-moment sums (values snapped
+    to the 1e-4 grid), so the result is order-independent and
+    bit-identical across engines; Spark's built-in ``corr`` streams
+    FP co-moments and is neither. The whole thing is one partial-agg
+    groupBy.
+    """
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long").alias("v4"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("h").alias("sx"),
+        F.sum("v4").alias("sy"),
+        F.sum(F.col("h") * F.col("h")).alias("sxx"),
+        F.sum(F.col("v4") * F.col("v4")).alias("syy"),
+        F.sum(F.col("h") * F.col("v4")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return s.select(
+        "event_type", F.round(num / den, 6).alias("pearson_r")
+    )
