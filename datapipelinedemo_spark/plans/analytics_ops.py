@@ -1,0 +1,687 @@
+"""Analytics batch 3: sketch-exact cardinality (deterministic
+HyperLogLog), language statistics (bigram collocations / PMI), user
+behavior modeling (Markov transitions, point-in-time state joins),
+text retrieval (BM25), and information-theoretic quality scoring
+(character entropy).
+
+Same conventions as the other plan modules: pure DataFrame/Catalyst
+plans with DuckDB oracle twins; every double that crosses an
+aggregation is snapped to a 1e-6 integer grid first (the
+``unigram_perplexity_scores`` pattern) so both engines sum exact
+integers and only present a double at the end.
+
+The HyperLogLog here is *deterministic*: registers are built from the
+same md5-derived 60-bit hash in both engines, and the harmonic-mean
+denominator is an EXACT integer (sum of ``1 << (53 - M[j])``), so the
+estimate is bit-reproducible — the sketch quality of HLL with the
+testability of exact SQL. Reference parity: the reference engine has
+no sketches at all (SURVEY.md §2.7); this is the scale-path addition
+for 100 TB distinct counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions.stable import md5_long
+from datapipelinedemo_spark.functions.text import tokenize
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.tables import table
+
+# DuckDB tokenizer twin (same as corpus_ops._TOKS).
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog: m=256 registers over a 60-bit md5 hash.
+# j = h % 256, w = h div 256 (52 bits), rho = leading-zero rank of w.
+# Z is kept as the exact BIGINT  sum(1 << (53 - M[j]))  (= 2^53 * sum 2^-M),
+# so  E_raw = alpha * m^2 * 2^53 / Z  involves exactly ONE double division.
+# Small-range correction (linear counting) when E_raw <= 2.5m and V > 0.
+# ---------------------------------------------------------------------------
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+# alpha * m^2 * 2^53 as one literal so both engines divide the same constant.
+_HLL_C = _HLL_ALPHA * 65536.0 * 9007199254740992.0
+_HLL_SMALL = 2.5 * 256.0  # linear-counting threshold
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH hh AS (
+        SELECT event_type,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#hll'),
+                                      1, 15) AS BIGINT) AS hv
+        FROM events
+    ),
+    present AS (
+        SELECT event_type, hv % 256 AS j,
+               MAX(CASE WHEN hv // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(hv // 256)) END) AS m
+        FROM hh GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, g.j
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(0, 255)) AS j) g
+    ),
+    regs AS (
+        SELECT grid.event_type, COALESCE(present.m, 0) AS m
+        FROM grid LEFT JOIN present
+          ON present.event_type = grid.event_type AND present.j = grid.j
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m AS INT))
+                    AS BIGINT) AS zsum,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v
+        FROM regs GROUP BY 1
+    ),
+    exact AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ed
+        FROM events GROUP BY 1
+    )
+    SELECT a.event_type AS event_type,
+           round(CASE WHEN ({_HLL_C!r} / CAST(a.zsum AS DOUBLE))
+                           <= {_HLL_SMALL!r} AND a.v > 0
+                      THEN 256.0 * ln(256.0 / CAST(a.v AS DOUBLE))
+                      ELSE {_HLL_C!r} / CAST(a.zsum AS DOUBLE) END, 6)
+               AS hll_estimate,
+           a.v AS empty_registers,
+           e.ed AS exact_distinct
+    FROM agg a JOIN exact e ON e.event_type = a.event_type
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality via a deterministic
+    HyperLogLog (m=256), next to the exact count for error audit.
+
+    Scale story: the register build is ONE partial-aggregable groupBy
+    on (event_type, register) — max() combines map-side, so 100 TB of
+    events reduce to |types| * 256 rows before the shuffle; the exact
+    countDistinct next to it is the expensive full-shuffle path the
+    sketch replaces in production. Registers are filled against a
+    crossJoin grid of |types| * 256 rows (driver-free, broadcast).
+    The estimate's denominator is an exact BIGINT (sum of powers of
+    two), so both engines agree bit-for-bit; the only doubles are one
+    division and (in the small-range branch) one ln of an exact
+    rational, both presentation-rounded to 1e-6.
+    """
+    ev = table(spark, sf_dir, "events")
+    hh = ev.select(
+        "event_type",
+        md5_long(
+            F.concat(F.col("user_id").cast("string"), F.lit("#hll"))
+        ).alias("hv"),
+    )
+    r = hh.select(
+        "event_type",
+        F.expr("hv % 256").alias("j"),
+        F.expr("hv div 256").alias("w"),
+    )
+    present = (
+        r.select(
+            "event_type",
+            "j",
+            F.when(F.col("w") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(256).select(F.col("id").alias("j"))
+    )
+    regs = grid.join(present, ["event_type", "j"], "left").select(
+        "event_type", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")
+        ).alias("zsum"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("ed")
+    )
+    e_raw = F.lit(_HLL_C) / F.col("zsum").cast("double")
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(
+                F.when(
+                    (e_raw <= F.lit(_HLL_SMALL)) & (F.col("v") > 0),
+                    F.lit(256.0)
+                    * F.log(F.lit(256.0) / F.col("v").cast("double")),
+                ).otherwise(e_raw),
+                6,
+            ).alias("hll_estimate"),
+            F.col("v").alias("empty_registers"),
+            F.col("ed").alias("exact_distinct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations: counts, conditional probability, PMI.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_collocations",
+    oracle=f"""
+    WITH tok AS (SELECT {_TOKS} AS t FROM documents),
+    g AS (
+        SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok WHERE len(t) >= 2
+    ),
+    bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM g),
+    c AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM bg GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT w1, w2, c_xy,
+               CAST(SUM(c_xy) OVER (PARTITION BY w1) AS BIGINT) AS cl,
+               CAST(SUM(c_xy) OVER (PARTITION BY w2) AS BIGINT) AS cr,
+               CAST(SUM(c_xy) OVER () AS BIGINT) AS ntot
+        FROM c
+    )
+    SELECT w1, w2, c_xy,
+           round(CAST(c_xy AS DOUBLE) / CAST(cl AS DOUBLE), 6) AS cond_p,
+           round(ln((CAST(c_xy AS DOUBLE) * CAST(ntot AS DOUBLE))
+                    / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))), 6) AS pmi
+    FROM m WHERE c_xy >= 5
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics — the n-gram-LM training counts plus
+    the two classic collocation scores: P(w2|w1) and pointwise mutual
+    information against the bigram-table marginals.
+
+    The token array is projected ONCE before the in-row pair
+    expansion (Catalyst would otherwise re-evaluate the tokenizer per
+    sequence element — the higher-order-lambda inlining trap), so each
+    document emits its bigrams from a single pass. After the one
+    count shuffle the frame is vocabulary²-bounded; the marginal
+    windows run on that small frame, not the corpus. PMI/cond_p are
+    ratios of exact integers — one double expression, mirrored
+    operation-for-operation in the oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(tokenize("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    m = c.select(
+        "w1",
+        "w2",
+        "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("w1")).alias("cl"),
+        F.sum("c_xy").over(Window.partitionBy("w2")).alias("cr"),
+        F.sum("c_xy").over(Window.partitionBy()).alias("ntot"),
+    )
+    return m.filter(F.col("c_xy") >= 5).select(
+        "w1",
+        "w2",
+        "c_xy",
+        F.round(
+            F.col("c_xy").cast("double") / F.col("cl").cast("double"), 6
+        ).alias("cond_p"),
+        F.round(
+            F.log(
+                (F.col("c_xy").cast("double") * F.col("ntot").cast("double"))
+                / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+@register(
+    "event_transition_probs",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id, event_type)
+                   AS prev
+        FROM events
+    ),
+    c AS (
+        SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM x WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, cnt,
+           round(CAST(cnt AS DOUBLE)
+                 / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS prob
+    FROM c
+    """,
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior:
+    P(next event type | previous event type), estimated over every
+    user's time-ordered event stream.
+
+    The lag window and the count groupBy both key on user_id-derived
+    partitions, so the whole query is one shuffle of the stream plus
+    one |types|²-sized aggregate; the probability normalization runs
+    as a window on that tiny matrix. The ORDER BY tie-break includes
+    event_id AND event_type because the events table contains
+    duplicate (ts, event_id) rows (same reasoning as
+    ``scd2_user_type_history``).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
+    x = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    c = (
+        x.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return c.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt")
+            .over(Window.partitionBy("prev_type"))
+            .cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join: purchases against the SCD2 browsing-state
+# dimension (what non-purchase state was the user in when they bought).
+# ---------------------------------------------------------------------------
+@register(
+    "pit_purchase_user_state",
+    oracle="""
+    WITH nonp AS (
+        SELECT * FROM events WHERE event_type <> 'purchase'
+    ),
+    x AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id, event_type)
+                   AS prev
+        FROM nonp
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id, event_type
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM x
+    ),
+    isl AS (
+        SELECT user_id, grp, event_type AS state, MIN(ts) AS valid_from
+        FROM g GROUP BY 1, 2, 3
+    ),
+    dim AS (
+        SELECT user_id, state, valid_from FROM (
+            SELECT user_id, state, valid_from,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+                                      ORDER BY grp DESC) AS rn
+            FROM isl
+        ) WHERE rn = 1
+    ),
+    pur AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2, 3, 4
+    ),
+    j AS (
+        SELECT p.user_id, p.event_id, p.ts, p.value, p.n_rows,
+               d.state,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.user_id, p.event_id, p.ts, p.value
+                   ORDER BY d.valid_from DESC) AS rn
+        FROM pur p LEFT JOIN dim d
+          ON d.user_id = p.user_id AND d.valid_from <= p.ts
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           value, COALESCE(state, 'none') AS state, n_rows
+    FROM j WHERE rn = 1
+    """,
+)
+def pit_purchase_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join of the purchase fact stream against
+    the SCD2 browsing-state dimension: for each purchase, the state
+    the user was in (latest non-purchase island started at or before
+    the purchase), 'none' when the purchase precedes any state.
+
+    Composition proof for two prior operators: the gaps-and-islands
+    SCD2 build (``scd2_user_type_history``) feeding the sorted-merge
+    as-of join (``asof_join_sorted``) — one shuffle per side on
+    user_id, no per-key fan-out, which is the plan that survives users
+    with deep histories at 100 TB. Purchases are pre-aggregated to
+    (user, event, ts, value) with a multiplicity column because the
+    raw feed contains exact-duplicate rows.
+    """
+    from datapipelinedemo_spark.operators.asof import asof_join_sorted
+
+    ev = table(spark, sf_dir, "events")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
+    g = nonp.select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("state"),
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    isl = g.groupBy("user_id", "grp", "state").agg(
+        F.min("ts").alias("valid_from")
+    )
+    # Two islands can share a valid_from when duplicate-ts rows flip
+    # type at the same instant; keep the later island (max grp).
+    wd = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("grp"))
+    dim = (
+        isl.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("s_user"), "state", "valid_from"
+        )
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "event_id", "ts", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    j = asof_join_sorted(
+        pur, dim, "user_id", "s_user", "ts", "valid_from", how="left"
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        F.coalesce("state", F.lit("none")).alias("state"),
+        "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: top-50 documents for a fixed keyword query.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["join", "hash", "filter", "merge", "scan"]
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH dls AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+    ),
+    totals AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM dls
+    ),
+    tc AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tc WHERE term IN ({_BM25_IN}) GROUP BY 1, 2
+    ),
+    dft AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY 1
+    ),
+    idf AS (
+        SELECT term,
+               CAST(FLOOR(ln((CAST(nd AS DOUBLE) - CAST(dft AS DOUBLE) + 0.5)
+                             / (CAST(dft AS DOUBLE) + 0.5) + 1.0)
+                          * 1000000.0 + 0.5) AS BIGINT) AS idf6
+        FROM dft, totals
+    ),
+    s AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(((CAST(idf.idf6 AS DOUBLE) / 1000000.0)
+                           * (CAST(tf.tf AS DOUBLE) * 2.2))
+                          / (CAST(tf.tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75 * (CAST(dls.dl AS DOUBLE)
+                                      / (CAST(totals.tot AS DOUBLE)
+                                         / CAST(totals.nd AS DOUBLE)))))
+                          * 1000000.0 + 0.5) AS BIGINT) AS s6
+        FROM tf
+        JOIN idf ON idf.term = tf.term
+        JOIN dls ON dls.doc_id = tf.doc_id
+        CROSS JOIN totals
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS score6,
+               CAST(COUNT(*) AS BIGINT) AS n_query_terms
+        FROM s GROUP BY 1
+    )
+    SELECT doc_id, CAST(score6 AS DOUBLE) / 1000000.0 AS bm25,
+           n_query_terms
+    FROM perdoc ORDER BY score6 DESC, doc_id LIMIT 50
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-50 retrieval for a fixed
+    5-term keyword query over the documents table.
+
+    Plan shape for 100 TB: the corpus is touched twice (doc lengths,
+    then a term scan pre-filtered to the query vocabulary — at most
+    |Q| rows per doc survive the explode), and everything joined onto
+    the per-doc rows is broadcast-sized (|Q| idf rows, one totals
+    row). Per-(doc, term) scores snap to a 1e-6 integer grid before
+    the per-doc sum, so ranking compares exact BIGINTs — no
+    float-order ties — and both engines produce the identical top-50
+    (ordered by score then doc_id).
+    """
+    docs = table(spark, sf_dir, "documents")
+    dls = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("dl")
+    )
+    totals = dls.agg(
+        F.sum("dl").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    tc = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+    tf = (
+        tc.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("dft")
+    )
+    idf = dft.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.floor(
+            F.log(
+                (F.col("nd").cast("double") - F.col("dft").cast("double") + 0.5)
+                / (F.col("dft").cast("double") + 0.5)
+                + 1.0
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("idf6"),
+    )
+    s = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.floor(
+                (
+                    (F.col("idf6").cast("double") / 1000000.0)
+                    * (F.col("tf").cast("double") * 2.2)
+                )
+                / (
+                    F.col("tf").cast("double")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * (
+                            F.col("dl").cast("double")
+                            / (
+                                F.col("tot").cast("double")
+                                / F.col("nd").cast("double")
+                            )
+                        )
+                    )
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    perdoc = s.groupBy("doc_id").agg(
+        F.sum("s6").cast("long").alias("score6"),
+        F.count(F.lit(1)).cast("long").alias("n_query_terms"),
+    )
+    return (
+        perdoc.orderBy(F.desc("score6"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            (F.col("score6").cast("double") / 1000000.0).alias("bm25"),
+            "n_query_terms",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality scoring (Shannon entropy of the per-doc
+# character distribution — the Gopher-family gibberish filter).
+# ---------------------------------------------------------------------------
+@register(
+    "char_entropy_scores",
+    oracle="""
+    WITH x AS (
+        SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) >= 1
+    ),
+    g AS (
+        SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i FROM x
+    ),
+    ch AS (SELECT doc_id, substring(s, i, 1) AS ch FROM g),
+    cnt AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM ch GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT doc_id, nc,
+               nc * CAST(FLOOR(ln(CAST(nc AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS t6
+        FROM cnt
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(nc) AS BIGINT) AS dl,
+               CAST(SUM(t6) AS BIGINT) AS s6,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+        FROM t GROUP BY 1
+    )
+    SELECT doc_id,
+           round(ln(CAST(dl AS DOUBLE))
+                 - (CAST(s6 AS DOUBLE) / 1000000.0) / CAST(dl AS DOUBLE),
+                 6) AS char_entropy,
+           n_distinct_chars
+    FROM agg
+    """,
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each document's character
+    distribution: H = ln(dl) - (sum n_c * ln n_c) / dl. Low-entropy
+    docs (repeated characters, padding, boilerplate) are the classic
+    cull; the natural-text band sits around 2.5-3.2 nats.
+
+    Each per-character ln(n_c) snaps to the 1e-6 grid BEFORE the
+    n_c-weighted per-doc sum, so the aggregation is exact integer
+    math (order-independent across engines); the closing ln(dl) is a
+    single double op on an exact integer. The character explode
+    combines map-side (groupBy doc_id,char is partial-aggregable), so
+    the shuffle carries at most |alphabet| rows per document, not the
+    raw characters.
+    """
+    docs = table(spark, sf_dir, "documents")
+    x = docs.filter(F.length("text") >= 1).select(
+        "doc_id", F.lower("text").alias("s")
+    )
+    ch = x.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
+        "s",
+    ).select("doc_id", F.expr("substring(s, i, 1)").alias("ch"))
+    cnt = ch.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    t = cnt.select(
+        "doc_id",
+        "nc",
+        (
+            F.col("nc")
+            * F.floor(
+                F.log(F.col("nc").cast("double")) * 1000000.0 + 0.5
+            ).cast("long")
+        ).alias("t6"),
+    )
+    agg = t.groupBy("doc_id").agg(
+        F.sum("nc").cast("long").alias("dl"),
+        F.sum("t6").cast("long").alias("s6"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        F.round(
+            F.log(F.col("dl").cast("double"))
+            - (F.col("s6").cast("double") / 1000000.0)
+            / F.col("dl").cast("double"),
+            6,
+        ).alias("char_entropy"),
+        "n_distinct_chars",
+    )

@@ -49,3 +49,5 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import warehouse_ops  # noqa: F401
     from datapipelinedemo_spark.plans import graph_ops  # noqa: F401
     from datapipelinedemo_spark.plans import tweets_catalog  # noqa: F401
+    from datapipelinedemo_spark.plans import analytics_ops  # noqa: F401
+    from datapipelinedemo_spark.plans import ml_ops  # noqa: F401
