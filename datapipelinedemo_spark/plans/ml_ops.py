@@ -1,0 +1,262 @@
+"""ML-adjacent analytics: deterministic Lloyd's k-means over the
+embedding table and closed-form per-group OLS regression.
+
+Both follow the repo's iterative-exactness playbook (PageRank
+precedent, ``plans/graph_ops.py``): put the data on an integer grid
+first, keep every aggregation in exact BIGINT arithmetic, and only
+surface doubles through single, operation-mirrored expressions — so
+an inherently iterative / statistical algorithm still hash-matches
+the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.tables import table
+
+_K = 8          # clusters (centroids seeded from vec_id 0..7)
+_ITERS = 3      # fixed Lloyd iterations before the reported assignment
+_GRID = 1000.0  # milli-unit quantization grid for embedding values
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled 3-iteration Lloyd's in DuckDB CTEs. The oracle is
+    deliberately *relational* (per-dimension rows, join on i) while
+    Spark is *in-row* (array fold per vector) — same integer math,
+    independently shaped plans."""
+    parts = [
+        f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_GRID!r}
+                          + 0.5) AS BIGINT) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, i, qv AS cv FROM ex WHERE vec_id < {_K}
+    )"""
+    ]
+    for t in range(_ITERS):
+        parts.append(f"""
+    , a{t} AS (
+        SELECT ex.vec_id, c{t}.cid,
+               CAST(SUM((ex.qv - c{t}.cv) * (ex.qv - c{t}.cv))
+                    AS BIGINT) AS d
+        FROM ex JOIN c{t} ON c{t}.i = ex.i
+        GROUP BY 1, 2
+    ),
+    s{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM a{t}
+        ) WHERE rn = 1
+    ),
+    u{t + 1} AS (
+        SELECT s{t}.cid, ex.i,
+               CAST(FLOOR(CAST(SUM(ex.qv) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cv
+        FROM ex JOIN s{t} USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    c{t + 1} AS (
+        SELECT c{t}.cid, c{t}.i, COALESCE(u{t + 1}.cv, c{t}.cv) AS cv
+        FROM c{t} LEFT JOIN u{t + 1}
+          ON u{t + 1}.cid = c{t}.cid AND u{t + 1}.i = c{t}.i
+    )""")
+    t = _ITERS
+    parts.append(f"""
+    , afin AS (
+        SELECT ex.vec_id, c{t}.cid,
+               CAST(SUM((ex.qv - c{t}.cv) * (ex.qv - c{t}.cv))
+                    AS BIGINT) AS d
+        FROM ex JOIN c{t} ON c{t}.i = ex.i
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, cid AS cluster, d AS sq_dist FROM (
+        SELECT vec_id, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM afin
+    ) WHERE rn = 1""")
+    return "".join(parts)
+
+
+@register("kmeans_embedding_clusters", oracle=_kmeans_oracle())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations) over the embedding table,
+    fully deterministic: vectors quantize to a milli-unit integer
+    grid, distances are exact BIGINT sums of squares, ties pick the
+    smaller centroid id, and centroid updates floor-divide exact sums
+    — so the final (vec_id, cluster, sq_dist) assignment is
+    bit-identical in any engine and under any partitioning.
+
+    Scale shape: each iteration is ONE in-row array fold per vector
+    against k broadcast-literal centroids (no crossJoin row
+    explosion) plus one (k x dim)-sized partial-agg groupBy for the
+    update. The k x dim centroid matrix (512 values) is collected
+    driver-side per iteration — the IVF-centroid precedent: a tiny
+    plan constant, not a data collect. Empty clusters carry their
+    previous centroid forward.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_GRID!r} + 0.5) as bigint))"
+        ).alias("qv"),
+    ).persist()
+
+    init = (
+        q.filter(F.col("vec_id") < _K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents: dict[int, list[int]] = {int(r.vec_id): list(r.qv) for r in init}
+
+    def assign(frame: DataFrame) -> DataFrame:
+        structs = []
+        for cid in sorted(cents):
+            lits = ", ".join(f"{v}L" for v in cents[cid])
+            dist = F.expr(
+                f"aggregate(zip_with(qv, array({lits}),"
+                f" (a, b) -> (a - b) * (a - b)), 0L,"
+                f" (acc, x) -> acc + x)"
+            )
+            structs.append(
+                F.struct(
+                    dist.alias("d"), F.lit(cid).cast("long").alias("c")
+                )
+            )
+        return frame.select(
+            "vec_id", "qv", F.least(*structs).alias("m")
+        )
+
+    for _ in range(_ITERS):
+        upd = (
+            assign(q)
+            .select(
+                F.col("m.c").alias("cid"),
+                F.posexplode("qv").alias("i", "v"),
+            )
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        fresh: dict[int, dict[int, int]] = {}
+        for r in upd:
+            fresh.setdefault(int(r.cid), {})[int(r.i)] = int(r.cv)
+        for cid, dims in fresh.items():
+            cents[cid] = [dims[i] for i in range(len(cents[cid]))]
+
+    out = assign(q).select(
+        "vec_id",
+        F.col("m.c").alias("cluster"),
+        F.col("m.d").alias("sq_dist"),
+    )
+    q.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-group closed-form OLS: value ~ hour-of-day, per event type.
+# ---------------------------------------------------------------------------
+@register(
+    "hourly_value_regression",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS x,
+               CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS y4
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sx2,
+               CAST(SUM(y4) AS BIGINT) AS sy4,
+               CAST(SUM(x * y4) AS BIGINT) AS sxy4,
+               CAST(SUM(y4 * y4) AS BIGINT) AS sy4sq
+        FROM b GROUP BY 1
+    ),
+    d AS (
+        SELECT event_type, n,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sx2 AS DOUBLE) AS sx2d, CAST(sy4 AS DOUBLE) AS sy4d,
+               CAST(sxy4 AS DOUBLE) AS sxy4d,
+               CAST(sy4sq AS DOUBLE) AS sy4sqd
+        FROM s
+    )
+    SELECT event_type, n,
+           round(((nd * sxy4d - sxd * sy4d)
+                  / (nd * sx2d - sxd * sxd)) / 10000.0, 6) AS slope,
+           round(((sy4d * sx2d - sxd * sxy4d)
+                  / (nd * sx2d - sxd * sxd)) / 10000.0, 6) AS intercept,
+           round(((nd * sxy4d - sxd * sy4d)
+                  / sqrt((nd * sx2d - sxd * sxd)
+                         * (nd * sy4sqd - sy4d * sy4d)))
+                 * ((nd * sxy4d - sxd * sy4d)
+                    / sqrt((nd * sx2d - sxd * sxd)
+                           * (nd * sy4sqd - sy4d * sy4d))), 6) AS r2
+    FROM d
+    """,
+)
+def hourly_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary least squares of event value against hour-of-day,
+    per event type: slope (value units/hour), intercept, and R².
+
+    Values snap to a 1e-4 integer grid before ANY aggregation, so all
+    six sufficient statistics are exact BIGINTs (one map-side-combined
+    groupBy — the canonical single-pass regression at any scale). The
+    closed-form slope/intercept/R² combine those statistics in DOUBLE
+    (each BIGINT cast once, then identical IEEE multiply/divide/sqrt
+    on both engines): n * sy4sq would overflow int64 already at sf0.1
+    (~1e22), and DuckDB silently promotes BIGINT products to HUGEINT
+    where Spark wraps/throws — doing the combination double-side
+    keeps the two engines on the same arithmetic at every scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("y4"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum("y4").cast("long").alias("sy4"),
+        F.sum(F.col("x") * F.col("y4")).cast("long").alias("sxy4"),
+        F.sum(F.col("y4") * F.col("y4")).cast("long").alias("sy4sq"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sx2d = F.col("sx2").cast("double")
+    sy4d = F.col("sy4").cast("double")
+    sxy4d = F.col("sxy4").cast("double")
+    sy4sqd = F.col("sy4sq").cast("double")
+    num = nd * sxy4d - sxd * sy4d
+    den_x = nd * sx2d - sxd * sxd
+    den_y = nd * sy4sqd - sy4d * sy4d
+    r = num / F.sqrt(den_x * den_y)
+    return s.select(
+        "event_type",
+        "n",
+        F.round((num / den_x) / 10000.0, 6).alias("slope"),
+        F.round(
+            ((sy4d * sx2d - sxd * sxy4d) / den_x) / 10000.0, 6
+        ).alias("intercept"),
+        F.round(r * r, 6).alias("r2"),
+    )

@@ -1,0 +1,70 @@
+"""Invariant tests for plans/ml_ops.py (k-means + per-group OLS)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.plans.ml_ops import (
+    hourly_value_regression,
+    kmeans_embedding_clusters,
+)
+
+
+def test_kmeans_every_vector_assigned_once(spark, sf_dir):
+    from datapipelinedemo_spark.tables import table
+
+    out = kmeans_embedding_clusters(spark, sf_dir)
+    n_vec = table(spark, sf_dir, "embeddings").count()
+    rows = out.collect()
+    assert len(rows) == n_vec
+    assert len({r.vec_id for r in rows}) == n_vec
+    for r in rows:
+        assert 0 <= r.cluster < 8
+        assert r.sq_dist >= 0
+
+
+def test_kmeans_iterations_do_not_increase_distortion(spark, sf_dir):
+    """Lloyd's is monotone on the TRUE objective; on the integer grid
+    the floor-rounded centroid can drift by <1 grid unit per
+    dimension, so allow a d * grid^2-sized slack while still catching
+    real regressions (a broken update easily doubles distortion)."""
+    import datapipelinedemo_spark.plans.ml_ops as M
+
+    out3 = kmeans_embedding_clusters(spark, sf_dir)
+    total3 = out3.agg(F.sum("sq_dist")).collect()[0][0]
+
+    old_iters = M._ITERS
+    try:
+        M._ITERS = 1
+        out1 = M.kmeans_embedding_clusters(spark, sf_dir)
+        total1 = out1.agg(F.sum("sq_dist")).collect()[0][0]
+    finally:
+        M._ITERS = old_iters
+    # 3 iterations should not be meaningfully worse than 1
+    assert total3 <= total1 * 1.05, (total3, total1)
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from datapipelinedemo_spark.tables import table
+
+    got = {r.event_type: r for r in hourly_value_regression(spark, sf_dir).collect()}
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.hour("ts").alias("x"), "value")
+        .collect()
+    )
+    by_type: dict[str, list[tuple[int, float]]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.x, r.value))
+    for t, pts in by_type.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        # the operator quantizes value to 1e-4 before the sums
+        y = np.round(np.array([p[1] for p in pts], dtype=float), 4)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[t].slope - slope) < 1e-3, t
+        assert abs(got[t].intercept - intercept) < 1e-2, t
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(got[t].r2 - r * r) < 1e-3, t
+        assert got[t].n == len(pts)
