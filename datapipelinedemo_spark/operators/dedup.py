@@ -158,9 +158,23 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "key"),
     )
-    # group per bucket and expand pairs in-row instead of a self-join:
-    # one shuffle, and the signature pipeline is evaluated once (the
-    # self-join formulation recomputes it for each side).
+    return bucketed_candidate_pairs(banded, bucket_cap)
+
+
+def bucketed_candidate_pairs(
+    banded: DataFrame, bucket_cap: int | None
+) -> DataFrame:
+    """Shared bucket → pair expansion for every banding scheme
+    (MinHash bands, SimHash bands, hyperplane buckets): group per
+    (band, key) bucket and expand pairs in-row instead of a self-join
+    — one shuffle, and the upstream signature pipeline is evaluated
+    once (a self-join formulation recomputes it per side). Input
+    frame: (doc, band, key). Output: distinct (doc_a < doc_b).
+
+    ``bucket_cap`` applies the hot-bucket bound documented on
+    ``lsh_candidate_pairs``: all-pairs for the first cap docs, star
+    expansion to the bucket minimum for the overflow.
+    """
     from datapipelinedemo_spark.operators.pairs import pair_combinations
 
     if bucket_cap is None:
@@ -191,6 +205,34 @@ def lsh_candidate_pairs(
         star = overflow.join(rep, ["band", "key"]).select("doc_a", "doc_b")
         pairs = pairs.unionByName(star)
     return pairs.distinct()
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bands: int = 4,
+    band_bits: int = 12,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """Banded-SimHash candidate pairs: split the signature into
+    ``bands`` contiguous bit fields and bucket-join docs agreeing on
+    any band. With bands * band_bits covering the full signature,
+    pigeonhole guarantees recall 1.0 for pairs within Hamming
+    distance bands - 1 (4 x 12 over 48 bits -> every pair at
+    Hamming <= 3 shares at least one band). Same single-shuffle,
+    hot-bucket-capped plan as the MinHash path."""
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), bnd ->"
+                f" shiftright({sig_col}, bnd * {band_bits}) & {mask}L)"
+            )
+        ).alias("band", "key"),
+    )
+    return bucketed_candidate_pairs(banded, bucket_cap)
 
 
 def simhash(tokens_col: str, bits: int = 48) -> Column:

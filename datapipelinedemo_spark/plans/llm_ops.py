@@ -561,11 +561,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash signatures (48-bit)
 # --------------------------------------------------------------------------
-@register(
-    "simhash_signatures",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
-    SELECT doc_id,
+_SIMHASH_CTE = f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sg AS (
+        SELECT doc_id,
            CAST(list_reduce(list_prepend(0::BIGINT,
              list_transform(generate_series(0, 47), b ->
                CASE WHEN list_reduce(list_prepend(0::BIGINT,
@@ -576,14 +575,82 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (a, x) -> a + x) >= 0
                     THEN (1::BIGINT << b) ELSE 0::BIGINT END)),
              (a, x) -> a + x) AS BIGINT) AS simhash
-    FROM t
-    """,
+        FROM t
+    )
+"""
+
+
+@register(
+    "simhash_signatures",
+    oracle=_SIMHASH_CTE + "SELECT doc_id, simhash FROM sg",
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.col("text")).withColumn(
         "toks", TX.tokenize("text")
     ).select("doc_id", DD.simhash("toks", bits=48).alias("simhash"))
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=_SIMHASH_CTE
+    + """
+    , b AS (
+        SELECT doc_id, g.bnd AS band,
+               (simhash >> (12 * g.bnd)) & 4095 AS key
+        FROM sg, (SELECT unnest(generate_series(0, 3)) AS bnd) g
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM b x JOIN b y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(CAST(xor(sa.simhash, sb.simhash) AS BIT))
+                AS BIGINT) AS hamming
+    FROM cand
+    JOIN sg sa ON sa.doc_id = cand.doc_a
+    JOIN sg sb ON sb.doc_id = cand.doc_b
+    WHERE bit_count(CAST(xor(sa.simhash, sb.simhash) AS BIT)) <= 3
+    """,
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= 3 — the
+    cosine-flavored complement to the MinHash/Jaccard path (SimHash
+    bit agreement tracks weighted-token cosine similarity).
+
+    Banding (4 x 12 bits) makes recall EXACT here, not probabilistic:
+    a pair at Hamming <= 3 differs in at most 3 of the 4 bands, so it
+    must agree on one — every true pair is a candidate (pigeonhole),
+    and the Hamming verify drops false positives. Plan: signatures
+    per-row (no shuffle), one bucket shuffle with the hot-bucket cap,
+    verify via a broadcast-sized signature join; the 48-bit XOR +
+    bit_count verify is integer-exact in both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sigs = (
+        docs.withColumn("toks", TX.tokenize("text"))
+        .select("doc_id", DD.simhash("toks", bits=48).alias("simhash"))
+        .persist()
+    )
+    cand = DD.simhash_candidate_pairs(
+        sigs, id_col="doc_id", sig_col="simhash", bands=4, band_bits=12
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("long")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -530,3 +530,54 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Full analytic-ranking profile: rank / dense_rank / percent_rank /
+# cume_dist / ntile on one deterministic ordering.
+# --------------------------------------------------------------------------
+@register(
+    "order_rank_profile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(drnk AS BIGINT) AS drnk,
+           round(pr, 6) AS pct_rank,
+           round(cd, 6) AS cume,
+           CAST(q AS BIGINT) AS quartile
+    FROM (
+        SELECT o_orderkey, o_orderpriority,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd,
+               NTILE(4) OVER w AS q
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    )
+    """,
+)
+def order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five SQL ranking functions over one window, per order
+    priority. The ORDER BY carries the unique o_orderkey tie-break:
+    percent_rank/cume_dist are tie-insensitive, but NTILE assigns by
+    ROW POSITION — without a total order the quartile of tied prices
+    would be engine- and partitioning-dependent. percent_rank and
+    cume_dist are exact rationals of window counts, so round(.,6) is
+    pure presentation. One shuffle on the partition key; each
+    partition sorts once and feeds all five functions.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

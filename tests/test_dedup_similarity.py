@@ -355,3 +355,36 @@ def test_ivf_lloyd_refinement_recovers_clusters(spark):
     a = {(r.query_id, r.neighbor_id) for r in out.collect()}
     recall = len(a & b) / len(b)
     assert recall == 1.0, f"refined IVF recall {recall:.2f} < 1.0"
+
+
+def test_simhash_banding_finds_exactly_hamming3_pairs(spark, sf_dir):
+    """Pigeonhole recall proof in practice: 4x12-bit banding must
+    surface EVERY pair at Hamming <= 3 (and the verify keeps only
+    those), so the operator equals the brute-force answer."""
+    from datapipelinedemo_spark.plans.llm_ops import simhash_neardup_pairs
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(spark, sf_dir).collect()
+    }
+
+    from datapipelinedemo_spark.functions import text as TX
+    from datapipelinedemo_spark.operators import dedup as DD
+    from datapipelinedemo_spark.tables import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = (
+        docs.withColumn("toks", TX.tokenize("text"))
+        .select("doc_id", DD.simhash("toks", bits=48).alias("s"))
+        .collect()
+    )
+    want = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            h = bin(a.s ^ b.s).count("1")
+            if h <= 3:
+                lo, hi = sorted((a.doc_id, b.doc_id))
+                want.add((lo, hi, h))
+    assert got == want
+    assert want, "fixture produced no near-dup pairs; test is vacuous"
