@@ -894,3 +894,240 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and vector cosine.
+# ---------------------------------------------------------------------------
+_RRF_K = 60.0
+_VDOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE,"
+    " [CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)"
+    "  for i in generate_series(1, 64)]), (x, y) -> x + y)"
+)
+_VNRM_C = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE,"
+    " [CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)"
+    "  for i in generate_series(1, 64)]), (x, y) -> x + y))"
+)
+_VNRM_Q = _VNRM_C.replace("c.embedding", "q.embedding")
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH dls AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+    ),
+    totals AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM dls
+    ),
+    tc AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tc WHERE term IN ({_BM25_IN}) GROUP BY 1, 2
+    ),
+    dft AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY 1
+    ),
+    idf AS (
+        SELECT term,
+               CAST(FLOOR(ln((CAST(nd AS DOUBLE) - CAST(dft AS DOUBLE) + 0.5)
+                             / (CAST(dft AS DOUBLE) + 0.5) + 1.0)
+                          * 1000000.0 + 0.5) AS BIGINT) AS idf6
+        FROM dft, totals
+    ),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(((CAST(idf.idf6 AS DOUBLE) / 1000000.0)
+                           * (CAST(tf.tf AS DOUBLE) * 2.2))
+                          / (CAST(tf.tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75 * (CAST(dls.dl AS DOUBLE)
+                                      / (CAST(totals.tot AS DOUBLE)
+                                         / CAST(totals.nd AS DOUBLE)))))
+                          * 1000000.0 + 0.5) AS BIGINT) AS s6
+        FROM tf
+        JOIN idf ON idf.term = tf.term
+        JOIN dls ON dls.doc_id = tf.doc_id
+        CROSS JOIN totals
+    ),
+    trank AS (
+        SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) AS rt
+        FROM (SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS score6
+              FROM sc GROUP BY 1)
+        ORDER BY score6 DESC, doc_id LIMIT 100
+    ),
+    vscore AS (
+        SELECT c.vec_id AS id,
+               round({_VDOT} / ({_VNRM_C} * {_VNRM_Q}), 6) AS cs
+        FROM embeddings c, (SELECT embedding FROM embeddings
+                            WHERE vec_id = 0) q
+        WHERE c.vec_id <> 0
+    ),
+    vrank AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cs DESC, id) AS rv
+        FROM vscore ORDER BY cs DESC, id LIMIT 100
+    ),
+    fused AS (
+        SELECT COALESCE(t.id, v.id) AS id,
+               COALESCE(1.0 / ({_RRF_K!r} + CAST(t.rt AS DOUBLE)), 0.0)
+               + COALESCE(1.0 / ({_RRF_K!r} + CAST(v.rv AS DOUBLE)), 0.0)
+                   AS rrf,
+               t.rt AS text_rank, v.rv AS vec_rank
+        FROM trank t FULL OUTER JOIN vrank v ON v.id = t.id
+    )
+    SELECT id, round(rrf, 6) AS rrf_score,
+           CAST(text_rank AS BIGINT) AS text_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank
+    FROM fused ORDER BY rrf DESC, id LIMIT 20
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the modern retrieval workload: fuse the BM25
+    keyword ranking (fixed 5-term query) with the exact cosine
+    ranking against a fixed query vector (vec_id 0) by reciprocal
+    rank fusion, RRF = sum 1/(60 + rank) over both top-100 lists.
+
+    Composition of two proven operators: the BM25 side ranks by the
+    exact-integer grid score (no float ties), the vector side by the
+    1e-6-rounded cosine with id tie-break, so both rank lists — and
+    hence the fused ordering — are engine-identical. Each side is
+    top-100-bounded before the full outer join, so the fusion frame
+    is at most 200 rows regardless of corpus size; the expensive
+    parts reuse the BM25/brute-force plans unchanged (query-vocab
+    pre-filter, broadcast idf, corpus never shuffled).
+    """
+    from datapipelinedemo_spark.operators.similarity import cosine
+
+    # --- text side: BM25 score6 ranking (same plan as bm25_topk_docs)
+    docs = table(spark, sf_dir, "documents")
+    dls = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("dl")
+    )
+    totals = dls.agg(
+        F.sum("dl").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    tc = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = (
+        tc.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("dft")
+    )
+    idf = dft.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.floor(
+            F.log(
+                (F.col("nd").cast("double") - F.col("dft").cast("double") + 0.5)
+                / (F.col("dft").cast("double") + 0.5)
+                + 1.0
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("idf6"),
+    )
+    sc = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.floor(
+                (
+                    (F.col("idf6").cast("double") / 1000000.0)
+                    * (F.col("tf").cast("double") * 2.2)
+                )
+                / (
+                    F.col("tf").cast("double")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * (
+                            F.col("dl").cast("double")
+                            / (
+                                F.col("tot").cast("double")
+                                / F.col("nd").cast("double")
+                            )
+                        )
+                    )
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    trank = (
+        sc.groupBy("doc_id")
+        .agg(F.sum("s6").cast("long").alias("score6"))
+        .orderBy(F.desc("score6"), F.asc("doc_id"))
+        .limit(100)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("score6"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rt"),
+        )
+    )
+
+    # --- vector side: exact cosine vs the fixed query vector
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    vscore = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine("embedding", "qvec"), 6).alias("cs"),
+        )
+    )
+    vrank = (
+        vscore.orderBy(F.desc("cs"), F.asc("id"))
+        .limit(100)
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cs"), F.asc("id")))
+            .cast("long")
+            .alias("rv"),
+        )
+    )
+
+    fused = trank.join(vrank, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rt").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rv").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+        F.col("rt").alias("text_rank"),
+        F.col("rv").alias("vec_rank"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(20)
+        .select(
+            "id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "text_rank",
+            "vec_rank",
+        )
+    )

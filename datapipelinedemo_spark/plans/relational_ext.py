@@ -581,3 +581,147 @@ def order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration: Gini coefficient over per-customer revenue.
+# --------------------------------------------------------------------------
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS r2
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r2,
+               ROW_NUMBER() OVER (ORDER BY r2, o_custkey) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2) AS BIGINT) AS s,
+               CAST(SUM(i * r2) AS BIGINT) AS w
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           round(CAST(s AS DOUBLE) / 100.0, 6) AS total_revenue,
+           round(2.0 * CAST(w AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+               AS gini
+    FROM agg
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers
+    (0 = perfectly even, -> 1 = one whale): the classic inequality /
+    concentration KPI, via the rank formulation
+    G = 2*sum(i*y_i)/(n*sum(y)) - (n+1)/n over ascending revenue.
+
+    Prices snap to exact cent BIGINTs before any sum, so rank weights
+    and totals are exact integers; ties in revenue can rank either
+    way without changing sum(i*y_i) (equal y under permutation), so
+    the unique-key tie-break is belt-and-braces, not load-bearing.
+    The ranking window runs over the CUSTOMER grain (already
+    aggregated, |customers| rows), not raw orders — the repo's
+    standard rule for unpartitioned windows.
+    """
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    ranked = rev.select(
+        "r2",
+        F.row_number()
+        .over(Window.orderBy("r2", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("r2")).cast("long").alias("w"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    wd = F.col("w").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(sd / 100.0, 6).alias("total_revenue"),
+        F.round(
+            2.0 * wd / (nd * sd) - (nd + 1.0) / nd, 6
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Year-over-year growth on the monthly revenue series.
+# --------------------------------------------------------------------------
+@register(
+    "monthly_revenue_yoy",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS r2
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(cur.y AS VARCHAR) || '-' || CAST(cur.mo AS VARCHAR) AS month,
+           round(CAST(cur.r2 AS DOUBLE) / 100.0, 6) AS revenue,
+           round(CAST(cur.r2 - prev.r2 AS DOUBLE)
+                 / CAST(prev.r2 AS DOUBLE), 6) AS yoy_growth
+    FROM m cur LEFT JOIN m prev
+      ON prev.y = cur.y - 1 AND prev.mo = cur.mo
+    """,
+)
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth, computed by a
+    self-join on (year-1, month) rather than lag(12) — gaps in the
+    month series can't silently misalign the comparison. The joined
+    frame is month-grain (dozens of rows); growth is one double
+    division of exact cent totals. Null growth = no same-month prior
+    year.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    cur = m.alias("cur")
+    prev = m.select(
+        (F.col("y") + 1).alias("py"),
+        F.col("mo").alias("pmo"),
+        F.col("r2").alias("pr2"),
+    ).alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("cur.y") == F.col("py")) & (F.col("cur.mo") == F.col("pmo")),
+        "left",
+    )
+    return j.select(
+        F.concat(
+            F.col("cur.y").cast("string"),
+            F.lit("-"),
+            F.col("cur.mo").cast("string"),
+        ).alias("month"),
+        F.round(F.col("cur.r2").cast("double") / 100.0, 6).alias("revenue"),
+        F.round(
+            (F.col("cur.r2") - F.col("pr2")).cast("double")
+            / F.col("pr2").cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )

@@ -253,3 +253,75 @@ def test_mad_outliers_robust_to_planted_outliers(spark):
         .collect()[0]
     )
     assert out.k == 3  # exactly the planted rows flag
+
+
+def test_gini_known_distributions(spark):
+    """Gini of a perfectly even ledger is 0; a single whale holding
+    everything approaches 1 - 1/n."""
+    import datetime as dt
+
+    def gini_of(prices):
+        rows = [
+            (i, i, "O", float(p), dt.datetime(1995, 1, 1), "1-URGENT")
+            for i, p in enumerate(prices)
+        ]
+        schema = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+                  "o_totalprice double, o_orderdate timestamp, "
+                  "o_orderpriority string")
+        df = spark.createDataFrame(rows, schema)
+        rev = df.groupBy("o_custkey").agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                  .cast("long")).cast("long").alias("r2"))
+        from pyspark.sql import Window as W
+
+        ranked = rev.select(
+            "r2",
+            F.row_number().over(W.orderBy("r2", "o_custkey"))
+            .cast("long").alias("i"))
+        a = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("r2").cast("long").alias("s"),
+            F.sum(F.col("i") * F.col("r2")).cast("long").alias("w"),
+        ).collect()[0]
+        return 2.0 * a.w / (a.n * a.s) - (a.n + 1.0) / a.n
+
+    assert abs(gini_of([100.0] * 10)) < 1e-9
+    whale = gini_of([0.01] * 9 + [1e6])
+    assert whale > 0.85  # -> (n-1)/n = 0.9 as the whale dominates
+
+
+def test_yoy_growth_arithmetic(spark, sf_dir):
+    from datapipelinedemo_spark.plans.relational_ext import (
+        monthly_revenue_yoy,
+    )
+
+    rows = {r.month: r for r in monthly_revenue_yoy(spark, sf_dir).collect()}
+    assert rows
+    # spot-check: growth must reproduce from the revenue column
+    for m, r in rows.items():
+        y, mo = m.split("-")
+        prev = rows.get(f"{int(y) - 1}-{mo}")
+        if prev is None:
+            assert r.yoy_growth is None
+        else:
+            want = (r.revenue - prev.revenue) / prev.revenue
+            assert abs(r.yoy_growth - want) < 1e-4, m
+
+
+def test_rrf_fusion_properties(spark, sf_dir):
+    from datapipelinedemo_spark.plans.analytics_ops import (
+        hybrid_retrieval_rrf,
+    )
+
+    rows = hybrid_retrieval_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # a doc ranked on both lists must beat the same ranks alone
+        both = r.text_rank is not None and r.vec_rank is not None
+        if both:
+            assert r.rrf_score >= round(
+                1.0 / (60.0 + r.text_rank), 6
+            ) and r.rrf_score >= round(1.0 / (60.0 + r.vec_rank), 6)
+        assert r.text_rank is not None or r.vec_rank is not None
