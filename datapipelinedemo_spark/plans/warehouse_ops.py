@@ -672,3 +672,103 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type", F.round(num / den, 6).alias("pearson_r")
     )
+
+
+# --------------------------------------------------------------------------
+# Right-to-erasure (GDPR) impact audit: cascading delete accounting.
+# --------------------------------------------------------------------------
+@register(
+    "gdpr_erasure_audit",
+    oracle="""
+    WITH del AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0
+    ),
+    ev AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS affected,
+               CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS total
+        FROM events JOIN del USING (user_id)
+    ),
+    od AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS affected,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS total
+        FROM orders JOIN del ON o_custkey = user_id
+    ),
+    li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS affected,
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS total
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN del ON o_custkey = user_id
+    )
+    SELECT 'events' AS tbl, affected, total,
+           round(CAST(affected AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS affected_frac
+    FROM ev
+    UNION ALL
+    SELECT 'orders', affected, total,
+           round(CAST(affected AS DOUBLE) / CAST(total AS DOUBLE), 6)
+    FROM od
+    UNION ALL
+    SELECT 'lineitem', affected, total,
+           round(CAST(affected AS DOUBLE) / CAST(total AS DOUBLE), 6)
+    FROM li
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact report: given a deletion cohort (the
+    deterministic user_id % 17 = 0 stand-in for a request list), count
+    the rows each table would lose — directly (events, orders via
+    custkey) and transitively (lineitem through its order) — before
+    running the actual delete.
+
+    The cohort is broadcast to every fact table (a request list is
+    always tiny relative to the facts), so each audit leg is one
+    broadcast semi-join + count — no fact-side shuffle at any scale;
+    the lineitem leg resolves through orders with the same broadcast
+    chain. The actual deletion at 100 TB is the anti-join twin of
+    each leg (same plans, NOT semi), written back partition-aligned.
+    """
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    del_users = (
+        ev.filter(F.col("user_id") % 17 == 0)
+        .select("user_id")
+        .distinct()
+    )
+
+    ev_hit = ev.join(F.broadcast(del_users), "user_id", "semi")
+    od_hit = orders.join(
+        F.broadcast(del_users),
+        orders.o_custkey == del_users.user_id,
+        "semi",
+    )
+    li_hit = li.join(
+        od_hit.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "semi",
+    )
+
+    def leg(name: str, hit, full) -> DataFrame:
+        return (
+            hit.agg(F.count(F.lit(1)).cast("long").alias("affected"))
+            .crossJoin(
+                full.agg(F.count(F.lit(1)).cast("long").alias("total"))
+            )
+            .select(
+                F.lit(name).alias("tbl"),
+                "affected",
+                "total",
+                F.round(
+                    F.col("affected").cast("double")
+                    / F.col("total").cast("double"),
+                    6,
+                ).alias("affected_frac"),
+            )
+        )
+
+    return (
+        leg("events", ev_hit, ev)
+        .unionByName(leg("orders", od_hit, orders))
+        .unionByName(leg("lineitem", li_hit, li))
+    )
