@@ -1131,3 +1131,69 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed engagement scores (exponential time decay).
+# ---------------------------------------------------------------------------
+_DECAY_REF = "2024-02-01 00:00:00"  # decay anchor (just past the event range)
+_DECAY_LAMBDA = 0.1  # per-day decay rate
+
+
+@register(
+    "decayed_user_value_scores",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id,
+               CAST(FLOOR(
+                   value * exp(-{_DECAY_LAMBDA!r} *
+                       (CAST(epoch_us(TIMESTAMP '{_DECAY_REF}')
+                             - epoch_us(ts) AS DOUBLE) / 86400000000.0))
+                   * 10000.0 + 0.5) AS BIGINT) AS s4
+        FROM events
+    )
+    SELECT user_id,
+           round(CAST(CAST(SUM(s4) AS BIGINT) AS DOUBLE) / 10000.0, 6)
+               AS decayed_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM d GROUP BY 1
+    """,
+)
+def decayed_user_value_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: per user, sum of event values
+    decayed by exp(-0.1 * age_days) against a fixed anchor — the
+    standard recency-weighted LTV / engagement score.
+
+    Each row's decayed contribution snaps to a 1e-4 BIGINT grid
+    BEFORE the per-user sum (the perplexity pattern): exp() of the
+    same double is identical IEEE in both engines row-by-row, but a
+    raw double SUM would be order-dependent — integer sums are not.
+    Age is computed in exact microseconds (micros-truncated ts on
+    both sides) divided once into days. One map-side-combining
+    groupBy; no shuffle beyond it.
+    """
+    ev = table(spark, sf_dir, "events")
+    # exact integer microsecond age (unix_micros), divided ONCE into
+    # days — a seconds-double round-trip can drift an ulp vs DuckDB's
+    # epoch_us integers
+    age_days = (
+        F.unix_micros(F.lit(_DECAY_REF).cast("timestamp"))
+        - F.unix_micros(F.col("ts"))
+    ).cast("double") / 86400000000.0
+    d = ev.select(
+        "user_id",
+        F.floor(
+            F.col("value")
+            * F.exp(F.lit(-_DECAY_LAMBDA) * age_days)
+            * 10000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("s4"),
+    )
+    return d.groupBy("user_id").agg(
+        F.round(F.sum("s4").cast("double") / 10000.0, 6).alias(
+            "decayed_value"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
