@@ -1197,3 +1197,132 @@ def decayed_user_value_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent contribution: priority share within its year.
+# ---------------------------------------------------------------------------
+@register(
+    "priority_share_of_year",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderpriority,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS r2
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT y, o_orderpriority, r2,
+               CAST(SUM(r2) OVER (PARTITION BY y) AS BIGINT) AS yr2,
+               CAST(SUM(r2) OVER () AS BIGINT) AS g2
+        FROM b
+    )
+    SELECT y, o_orderpriority,
+           round(CAST(r2 AS DOUBLE) / 100.0, 6) AS revenue,
+           round(CAST(r2 AS DOUBLE) / CAST(yr2 AS DOUBLE), 6)
+               AS share_of_year,
+           round(CAST(r2 AS DOUBLE) / CAST(g2 AS DOUBLE), 6)
+               AS share_of_total
+    FROM t
+    """,
+)
+def priority_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution analysis: each (year, priority)
+    cell's revenue as a share of its parent year and of the grand
+    total — the drill-down companion to the rollup queries.
+
+    The share windows run on the ALREADY-AGGREGATED
+    (year x priority) frame (dozens of rows), never the fact table;
+    cents are exact BIGINTs so every ratio is one double division of
+    exact integers.
+    """
+    o = table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        "o_orderpriority",
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    t = b.select(
+        "y",
+        "o_orderpriority",
+        "r2",
+        F.sum("r2").over(Window.partitionBy("y")).alias("yr2"),
+        F.sum("r2").over(Window.partitionBy()).alias("g2"),
+    )
+    return t.select(
+        "y",
+        "o_orderpriority",
+        F.round(F.col("r2").cast("double") / 100.0, 6).alias("revenue"),
+        F.round(
+            F.col("r2").cast("double") / F.col("yr2").cast("double"), 6
+        ).alias("share_of_year"),
+        F.round(
+            F.col("r2").cast("double") / F.col("g2").cast("double"), 6
+        ).alias("share_of_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trigram behavior paths: the most common 3-step event sequences.
+# ---------------------------------------------------------------------------
+@register(
+    "top_event_trigram_paths",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 1) OVER w AS p1,
+               LAG(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, event_id, event_type)
+    ),
+    c AS (
+        SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM x WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT step1, step2, step3, cnt,
+           round(CAST(cnt AS DOUBLE)
+                 / CAST(CAST(SUM(cnt) OVER () AS BIGINT) AS DOUBLE), 6)
+               AS frac
+    FROM c
+    """,
+)
+def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step behavior paths (the flow-analysis view of the
+    Markov matrix): every consecutive (step1 -> step2 -> step3)
+    triple per user with its share of all observed triples.
+
+    Both lags share the one user_id window sort; the counted frame is
+    |types|³-bounded (125 rows at 5 types) so the share window is
+    free. Same duplicate-row tie-break discipline as the transition
+    matrix.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
+    x = ev.select(
+        F.col("event_type").alias("step3"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.lag("event_type", 2).over(w).alias("step1"),
+    )
+    c = (
+        x.filter(F.col("step1").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return c.select(
+        "step1",
+        "step2",
+        "step3",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("frac"),
+    )

@@ -76,3 +76,56 @@ def clicks_to_purchases(
         "click_id",
         "click_ts",
     )
+
+
+def clicks_to_purchases_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER variant: every click eventually emits — joined rows
+    as matches arrive, and a null-purchase row once the watermark
+    passes the end of the click's attribution window (proving the
+    click can no longer match and its state can be evicted).
+
+    This is the conversion-rate-denominator shape: unmatched clicks
+    are the non-converting population, and they surface from the
+    JOIN itself instead of a separate anti-join pass. Outer-side
+    emission is watermark-driven, so results are eventually-complete,
+    not instant — the test pins that two-phase behavior.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window}")
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -112,3 +112,50 @@ def test_stream_join_second_batch_still_joins_buffered_clicks(
     run_once()
     rows = spark.read.parquet(out).collect()
     assert {(r.purchase_id, r.click_id) for r in rows} == {(401, 300)}
+
+
+def test_stream_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Unmatched clicks must emit a null-purchase row, but only after
+    the watermark passes click_ts + window (state eviction proof)."""
+    from datapipelinedemo_spark.streaming.joins import (
+        clicks_to_purchases_outer,
+    )
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+
+    # user 1 clicks and buys; user 2 clicks and never buys
+    _write(spark, cdir, [(1, _t(0), 500, 0.0), (2, _t(0), 501, 0.0)])
+    _write(spark, pdir, [(1, _t(10), 600, 3.0)])
+
+    schema = spark.read.parquet(cdir).schema
+
+    def run_once():
+        cs = spark.readStream.schema(schema).parquet(cdir)
+        ps = spark.readStream.schema(schema).parquet(pdir)
+        q = (
+            clicks_to_purchases_outer(
+                cs, ps, window="1 hour", watermark="30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    first = {(r.click_id, r.purchase_id) for r in spark.read.parquet(out).collect()}
+    assert (500, 600) in first          # the match emits immediately
+    assert (501, None) not in first     # null row NOT yet emitted
+
+    # advance event time far past click_ts + window + watermark on
+    # BOTH streams (each side's watermark is the min over inputs)
+    _write(spark, cdir, [(9, dt.datetime(2024, 1, 2), 700, 0.0)])
+    _write(spark, pdir, [(9, dt.datetime(2024, 1, 2), 701, 1.0)])
+    run_once()
+    second = {(r.click_id, r.purchase_id) for r in spark.read.parquet(out).collect()}
+    assert (501, None) in second        # non-converter surfaced by the join
