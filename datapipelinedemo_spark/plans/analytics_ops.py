@@ -1326,3 +1326,199 @@ def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: audience overlap via inclusion-exclusion.
+# ---------------------------------------------------------------------------
+_HLL_EST = (
+    "CASE WHEN ({c!r} / CAST({z} AS DOUBLE)) <= {s!r} AND {v} > 0 "
+    "THEN 256.0 * ln(256.0 / CAST({v} AS DOUBLE)) "
+    "ELSE {c!r} / CAST({z} AS DOUBLE) END"
+)
+
+
+def _est_sql(z: str, v: str) -> str:
+    return _HLL_EST.format(c=_HLL_C, s=_HLL_SMALL, z=z, v=v)
+
+
+@register(
+    "hll_type_overlap",
+    oracle=f"""
+    WITH hh AS (
+        SELECT event_type,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#hll'),
+                                      1, 15) AS BIGINT) AS hv
+        FROM events
+    ),
+    present AS (
+        SELECT event_type, hv % 256 AS j,
+               MAX(CASE WHEN hv // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(hv // 256)) END) AS m
+        FROM hh GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, g.j
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(0, 255)) AS j) g
+    ),
+    regs AS (
+        SELECT grid.event_type, grid.j, COALESCE(present.m, 0) AS m
+        FROM grid LEFT JOIN present
+          ON present.event_type = grid.event_type AND present.j = grid.j
+    ),
+    single AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m AS INT))
+                    AS BIGINT) AS z,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM regs GROUP BY 1
+    ),
+    pairu AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(SUM(CAST(1 AS BIGINT)
+                        << CAST(53 - GREATEST(a.m, b.m) AS INT))
+                    AS BIGINT) AS z,
+               CAST(SUM(CASE WHEN GREATEST(a.m, b.m) = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v
+        FROM regs a JOIN regs b
+          ON a.j = b.j AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_overlap
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           round(({_est_sql('sa.z', 'sa.v')})
+                 + ({_est_sql('sb.z', 'sb.v')})
+                 - ({_est_sql('p.z', 'p.v')}), 6) AS est_overlap,
+           e.exact_overlap
+    FROM pairu p
+    JOIN single sa ON sa.event_type = p.type_a
+    JOIN single sb ON sb.event_type = p.type_b
+    JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    """,
+)
+def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-algebra: estimated audience overlap |A∩B| between
+    every pair of event types by inclusion-exclusion —
+    E(A) + E(B) − E(A∪B) — where the union sketch is just the
+    element-wise register max (no raw-data re-scan), next to the
+    exact overlap for error audit.
+
+    This is why mergeable sketches run analytics at 100 TB: once the
+    per-type register tables exist (256 rows each), every pairwise —
+    or k-way — union/overlap question is answered on |types|·256
+    rows. The register join is grid-aligned (equi-join on j), the
+    union is GREATEST(m_a, m_b), and all three estimates reuse the
+    same exact-BIGINT denominator construction, so the whole algebra
+    is engine-exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    hh = ev.select(
+        "event_type",
+        md5_long(
+            F.concat(F.col("user_id").cast("string"), F.lit("#hll"))
+        ).alias("hv"),
+    )
+    present = (
+        hh.select(
+            "event_type",
+            F.expr("hv % 256").alias("j"),
+            F.expr("hv div 256").alias("w"),
+        )
+        .select(
+            "event_type",
+            "j",
+            F.when(F.col("w") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(spark.range(256).select(F.col("id").alias("j")))
+    regs = grid.join(present, ["event_type", "j"], "left").select(
+        "event_type", "j", F.coalesce("m", F.lit(0)).alias("m")
+    )
+
+    def sketch_agg(frame, keys):
+        return frame.groupBy(*keys).agg(
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")
+            ).alias("z"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("v"),
+        )
+
+    single = sketch_agg(regs, ["event_type"])
+
+    ra = regs.select(
+        F.col("event_type").alias("type_a"), "j", F.col("m").alias("ma")
+    )
+    rb = regs.select(
+        F.col("event_type").alias("type_b"), "j", F.col("m").alias("mb")
+    )
+    pairu = sketch_agg(
+        ra.join(rb, "j")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a", "type_b", F.greatest("ma", "mb").alias("m")
+        ),
+        ["type_a", "type_b"],
+    )
+
+    def est(z, v):
+        e_raw = F.lit(_HLL_C) / z.cast("double")
+        return F.when(
+            (e_raw <= F.lit(_HLL_SMALL)) & (v > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / v.cast("double")),
+        ).otherwise(e_raw)
+
+    du = ev.select("event_type", "user_id").distinct()
+    da = du.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    db = du.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    exact = (
+        da.join(db, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+
+    sa = single.select(
+        F.col("event_type").alias("type_a"),
+        F.col("z").alias("za"),
+        F.col("v").alias("va"),
+    )
+    sb = single.select(
+        F.col("event_type").alias("type_b"),
+        F.col("z").alias("zb"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        pairu.join(sa, "type_a")
+        .join(sb, "type_b")
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                est(F.col("za"), F.col("va"))
+                + est(F.col("zb"), F.col("vb"))
+                - est(F.col("z"), F.col("v")),
+                6,
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+    )

@@ -325,3 +325,22 @@ def test_rrf_fusion_properties(spark, sf_dir):
                 1.0 / (60.0 + r.text_rank), 6
             ) and r.rrf_score >= round(1.0 / (60.0 + r.vec_rank), 6)
         assert r.text_rank is not None or r.vec_rank is not None
+
+
+def test_hll_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
+    """Inclusion-exclusion on merged registers must land near the
+    exact overlap (union of two ~full audiences -> small relative
+    error), and the union estimate can never exceed the sum of the
+    single estimates."""
+    from datapipelinedemo_spark.plans.analytics_ops import (
+        hll_type_overlap,
+    )
+
+    rows = hll_type_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_overlap > 0
+        rel = abs(r.est_overlap - r.exact_overlap) / r.exact_overlap
+        # overlap differences amplify single-sketch error; 35% bound
+        # still catches any register/merge bug (which lands >2x off)
+        assert rel < 0.35, (r.type_a, r.type_b, r.est_overlap, r.exact_overlap)
