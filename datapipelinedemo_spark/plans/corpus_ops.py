@@ -828,3 +828,93 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution (the discovery-credit twin of last-touch)
+# --------------------------------------------------------------------------
+@register(
+    "first_touch_attribution",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MAX(event_id) AS view_event, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT DISTINCT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.event_id AS purchase_id, v.view_event, v.view_ts,
+               p.value,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id, p.user_id,
+                                               p.ts, p.value
+                                  ORDER BY v.view_ts ASC) AS rn
+        FROM p JOIN v
+          ON v.user_id = p.user_id
+         AND v.view_ts <= p.ts
+         AND p.ts - v.view_ts <= INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, view_event AS attributed_view,
+           strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS value_scaled
+    FROM j WHERE rn = 1
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST
+    view inside the 1-hour lookback — the discovery-credit model next
+    to ``last_touch_attribution``'s closer-credit model (same window,
+    opposite endpoint; marketing teams run both and compare).
+
+    The window bound goes INTO the join condition, so the per-purchase
+    fan-out is capped by views-per-user-hour before the rank — the
+    range-join analog of the as-of backward plan, one shuffle per
+    side. Views are pre-deduped per (user, ts) exactly like the
+    last-touch query, making the earliest-view winner unique.
+    """
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            "view_event",
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .distinct()
+    )
+    j = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("ts"))
+        & (
+            F.unix_micros("ts") - F.unix_micros("view_ts")
+            <= 3_600_000_000
+        ),
+    )
+    w = W.partitionBy("event_id", "user_id", "ts", "value").orderBy(
+        F.asc("view_ts")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("view_event").alias("attributed_view"),
+            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "view_ts"
+            ),
+            F.floor(F.col("value") * 1e4 + 0.5)
+            .cast("long")
+            .alias("value_scaled"),
+        )
+    )
