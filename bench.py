@@ -32,6 +32,11 @@ HEADLINE = [
     "ngram_jaccard_neardups",
     "similarity_topk_bruteforce",
     "doc_fingerprints",
+    "hll_distinct_users",
+    "kmeans_embedding_clusters",
+    "bm25_topk_docs",
+    "simhash_neardup_pairs",
+    "hybrid_retrieval_rrf",
 ]
 
 

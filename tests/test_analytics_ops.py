@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 from datapipelinedemo_spark.plans.analytics_ops import (
@@ -57,11 +56,9 @@ def test_bigram_cond_p_and_pmi_consistency(spark, sf_dir):
     for r in rows:
         assert r.c_xy >= 5
         assert 0.0 < r.cond_p <= 1.0
-    # PMI must be symmetric-consistent with the counts it is built
-    # from: recompute one row's pmi from its own marginals.
-    df = bigram_collocations(spark, sf_dir)
-    with_margs = df.limit(0)  # schema check only
-    assert set(with_margs.columns) == {"w1", "w2", "c_xy", "cond_p", "pmi"}
+    assert set(bigram_collocations(spark, sf_dir).columns) == {
+        "w1", "w2", "c_xy", "cond_p", "pmi"
+    }
 
 
 def test_pit_state_is_a_real_prior_state(spark, sf_dir):
@@ -98,13 +95,7 @@ def test_char_entropy_bounds_and_known_case(spark, sf_dir):
         assert -1e-5 <= r.char_entropy <= math.log(r.n_distinct_chars) + 1e-5
     # hand-checked case: uniform 4-char string has H = ln(4)
     df = spark.createDataFrame([(1, "abcd" * 10)], "doc_id long, text string")
-    import duckdb  # noqa: F401  (oracle parity covered by the gate)
-
-    from datapipelinedemo_spark.tables import table as _table  # noqa: F401
-
     # run the same expression chain on the tiny frame
-    from datapipelinedemo_spark.plans import analytics_ops as A
-
     x = df.select("doc_id", F.lower("text").alias("s"))
     ch = x.select(
         "doc_id",
