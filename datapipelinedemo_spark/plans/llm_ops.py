@@ -1595,3 +1595,67 @@ def pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("bin_tokens"),
         )
     )
+
+
+@register(
+    "simhash_editdist_verify",
+    oracle=_SIMHASH_CTE
+    + """
+    , b AS (
+        SELECT doc_id, g.bnd AS band,
+               (simhash >> (12 * g.bnd)) & 4095 AS key
+        FROM sg, (SELECT unnest(generate_series(0, 3)) AS bnd) g
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM b x JOIN b y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    ham AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sg sa ON sa.doc_id = cand.doc_a
+        JOIN sg sb ON sb.doc_id = cand.doc_b
+        WHERE bit_count(CAST(xor(sa.simhash, sb.simhash) AS BIT)) <= 3
+    )
+    SELECT h.doc_a, h.doc_b,
+           CAST(levenshtein(substring(da.text, 1, 200),
+                            substring(db.text, 1, 200)) AS BIGINT)
+               AS prefix_edit_dist
+    FROM ham h
+    JOIN documents da ON da.doc_id = h.doc_a
+    JOIN documents db ON db.doc_id = h.doc_b
+    WHERE levenshtein(substring(da.text, 1, 200),
+                      substring(db.text, 1, 200)) <= 60
+    """,
+)
+def simhash_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second verification stage on the SimHash near-dup pairs:
+    character-level Levenshtein over the 200-char prefixes, keeping
+    pairs at distance <= 60. SimHash agreement says the token
+    DISTRIBUTIONS match; the edit-distance pass adds positional
+    evidence (cheap O(200²) per pair, and only candidate pairs —
+    never the corpus cross product — pay it). Both engines implement
+    classic unit-cost Levenshtein, so the integer distances agree
+    exactly.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(spark, sf_dir)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 200).alias("pa"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 200).alias("pb"),
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "prefix_edit_dist",
+            F.levenshtein("pa", "pb").cast("long"),
+        )
+        .filter(F.col("prefix_edit_dist") <= 60)
+        .select("doc_a", "doc_b", "prefix_edit_dist")
+    )
