@@ -86,10 +86,24 @@ def asof_join_sorted(
             f"asof_join_sorted: overlapping column names {sorted(overlap)}; "
             "rename one side first"
         )
-    # a common orderable timestamp type for the union sort key
+    # a common orderable timestamp type for the union sort key; only
+    # unify dtypes within the timestamp family, where the cast is
+    # lossless — a blanket cast of e.g. bigint-epoch vs string yields
+    # NULLs that sort first in the union window and produce silently
+    # wrong/empty matches, so mismatches outside the family must raise
     lt_type = dict(left.dtypes)[left_ts]
     rt_type = dict(right.dtypes)[right_ts]
-    ts_type = lt_type if lt_type == rt_type else "timestamp"
+    _ts_family = {"timestamp", "timestamp_ntz", "date"}
+    if lt_type == rt_type:
+        ts_type = lt_type
+    elif lt_type in _ts_family and rt_type in _ts_family:
+        ts_type = "timestamp"
+    else:
+        raise TypeError(
+            f"asof_join_sorted: incompatible timestamp dtypes "
+            f"{left_ts}:{lt_type} vs {right_ts}:{rt_type}; cast both "
+            "sides to a common orderable type before joining"
+        )
 
     r_struct = F.struct(*[F.col(c) for c in right.columns])
     r_struct_type = right.select(r_struct.alias("s")).schema["s"].dataType

@@ -56,7 +56,15 @@ def cms_estimate(
     sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 1024
 ) -> DataFrame:
     """Point estimates for each distinct key in ``keys``: min over the
-    d counters. The sketch side is tiny — broadcast it."""
+    d counters. The sketch side is tiny — broadcast it.
+
+    The join is a LEFT join with missing cells coalesced to 0: the
+    sketch table only stores non-empty (i, bucket) cells, so a probe
+    key hashing into an empty cell has a true counter of 0 — an inner
+    join would silently drop that counter from the min (inflating the
+    estimate) or drop the key entirely when all d cells are empty
+    (a correct CMS reports 0 for never-seen keys).
+    """
     probes = keys.select(
         F.col(key_col),
         F.posexplode(
@@ -67,7 +75,11 @@ def cms_estimate(
         ).alias("i", "bucket"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        probes.join(F.broadcast(sketch), ["i", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "cms_est"
+            )
+        )
     )

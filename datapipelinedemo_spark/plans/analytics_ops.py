@@ -1137,6 +1137,11 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recency-decayed engagement scores (exponential time decay).
 # ---------------------------------------------------------------------------
 _DECAY_REF = "2024-02-01 00:00:00"  # decay anchor (just past the event range)
+# The anchor as exact epoch microseconds (UTC) — precomputed so the Spark
+# side never parses the string through the session timezone: a literal
+# integer is timezone-independent by construction, matching DuckDB's
+# naive-as-UTC epoch_us(TIMESTAMP '...') exactly on any host TZ.
+_DECAY_REF_US = 1706745600000000  # == epoch_us('2024-02-01 00:00:00' UTC)
 _DECAY_LAMBDA = 0.1  # per-day decay rate
 
 
@@ -1177,8 +1182,7 @@ def decayed_user_value_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # days — a seconds-double round-trip can drift an ulp vs DuckDB's
     # epoch_us integers
     age_days = (
-        F.unix_micros(F.lit(_DECAY_REF).cast("timestamp"))
-        - F.unix_micros(F.col("ts"))
+        F.lit(_DECAY_REF_US) - F.unix_micros(F.col("ts"))
     ).cast("double") / 86400000000.0
     d = ev.select(
         "user_id",

@@ -137,7 +137,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     no native type for — it is read as a long (``nanosAsLong``) and
     floor-converted to microseconds, matching how DuckDB/pandas truncate
     nanos→micros, so oracle comparisons agree to the microsecond.
+
+    The session timezone is pinned to UTC here (runtime-settable, and
+    this function is the chokepoint every plan loads through): literal
+    anchors like ``F.lit('2024-02-01').cast('timestamp')`` and every
+    ``date_format`` output are interpreted in the session TZ, while the
+    parquet-read instants are not — on a non-UTC host an unpinned
+    session would shift the anchors but not the data, skewing ages and
+    breaking formatted-string parity with DuckDB's naive timestamps.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

@@ -102,3 +102,12 @@ def test_sorted_matches_backward_on_testdata(spark, sf_dir):
     s = {(r.event_id, r.o_orderkey) for r in srt.collect()}
     b = {(r.event_id, r.o_orderkey) for r in back.collect()}
     assert s == b and s
+
+
+def test_sorted_rejects_uncastable_ts_dtypes(spark):
+    """bigint-epoch vs string timestamps must raise, not silently cast
+    to NULL (NULLs sort first in the union window -> wrong matches)."""
+    left, right = _frames(spark)
+    right_str = right.withColumn("rt", F.col("rt").cast("string"))
+    with pytest.raises(TypeError, match="incompatible timestamp dtypes"):
+        asof_join_sorted(left, right_str, "k", "rk", "t", "rt")

@@ -388,3 +388,29 @@ def test_simhash_banding_finds_exactly_hamming3_pairs(spark, sf_dir):
                 want.add((lo, hi, h))
     assert got == want
     assert want, "fixture produced no near-dup pairs; test is vacuous"
+
+
+def test_cms_unseen_key_reports_zero(spark):
+    """A probe key the sketch never saw must report cms_est=0 (or a
+    small collision overestimate), not vanish: empty (i,bucket) cells
+    are 0-counters, so the left-join+coalesce keeps every probe key and
+    the min over d cells can reach 0."""
+    from datapipelinedemo_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    seen = spark.createDataFrame([("a",), ("a",), ("b",)], "token string")
+    sketch = cms_build(seen, "token", d=4, w=1024)
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-token",)], "token string"
+    )
+    est = {
+        r.token: r.cms_est
+        for r in cms_estimate(sketch, probes, "token", d=4, w=1024).collect()
+    }
+    # the unseen key is PRESENT and, with 3 rows in 1024 buckets, all
+    # four of its cells are empty with overwhelming probability -> 0
+    assert set(est) == {"a", "never-seen-token"}
+    assert est["a"] >= 2
+    assert est["never-seen-token"] == 0

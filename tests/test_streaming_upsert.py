@@ -89,3 +89,60 @@ def test_upsert_restart_is_idempotent(spark, tmp_path):
         r.user_id: r.value for r in spark.read.parquet(target).collect()
     }
     assert got == {1: 10.0}
+
+
+def test_upsert_publish_is_symlink_swap(spark, tmp_path):
+    """After any merge the table path is a symlink to a versioned dir
+    and exactly one version dir exists (superseded ones are swept) —
+    the publish step is a single atomic rename of the symlink."""
+    from datapipelinedemo_spark.streaming.upsert import (
+        merge_batch_into_parquet,
+    )
+
+    target = str(tmp_path / "t")
+    b1 = spark.createDataFrame(_rows((1, 1, 100, 10.0)), SCHEMA)
+    merge_batch_into_parquet(b1, target, ["user_id"], "ts", "event_id")
+    assert os.path.islink(target)
+    b2 = spark.createDataFrame(_rows((2, 2, 101, 20.0)), SCHEMA)
+    merge_batch_into_parquet(b2, target, ["user_id"], "ts", "event_id")
+    assert os.path.islink(target)
+    versions = [p for p in os.listdir(tmp_path) if "__v" in p]
+    assert len(versions) == 1  # old version swept on the next merge
+    got = {r.user_id: r.value for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+
+def test_upsert_recovers_interrupted_legacy_publish(spark, tmp_path):
+    """Crash window of the old rename-pair publish: target missing,
+    state stranded in _old. The next merge must restore it and keep
+    all prior keys instead of rebuilding from the batch alone."""
+    from datapipelinedemo_spark.streaming.upsert import (
+        merge_batch_into_parquet,
+    )
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(_rows((1, 1, 100, 10.0)), SCHEMA).write.parquet(
+        target + "_old"
+    )  # simulated: renamed aside, then crashed before the second rename
+    batch = spark.createDataFrame(_rows((2, 2, 101, 20.0)), SCHEMA)
+    merge_batch_into_parquet(batch, target, ["user_id"], "ts", "event_id")
+    got = {r.user_id: r.value for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+
+def test_upsert_migrates_legacy_real_dir(spark, tmp_path):
+    """A table written by the old layout (real directory, no symlink)
+    is merged into and republished as the symlink layout."""
+    from datapipelinedemo_spark.streaming.upsert import (
+        merge_batch_into_parquet,
+    )
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(_rows((1, 1, 100, 10.0)), SCHEMA).write.parquet(
+        target
+    )
+    batch = spark.createDataFrame(_rows((1, 9, 102, 99.0)), SCHEMA)
+    merge_batch_into_parquet(batch, target, ["user_id"], "ts", "event_id")
+    assert os.path.islink(target)
+    got = {r.user_id: r.value for r in spark.read.parquet(target).collect()}
+    assert got == {1: 99.0}
