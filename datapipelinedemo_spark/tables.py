@@ -133,10 +133,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown are handled by the DataSource V2 reader; callers should
     ``select`` only what they need as early as possible.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
-    no native type for — it is read as a long (``nanosAsLong``) and
-    floor-converted to microseconds, matching how DuckDB/pandas truncate
-    nanos→micros, so oracle comparisons agree to the microsecond.
+    ``events.ts`` has shipped in two physical shapes across testdata
+    generations: parquet TIMESTAMP(NANOS) (no native Spark type — read
+    as long via ``nanosAsLong`` and floor-converted to micros, matching
+    DuckDB/pandas nanos→micros truncation) and plain TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ). The loader inspects the read dtype and
+    normalizes both to session-TZ TimestampType, so oracle comparisons
+    agree to the microsecond either way.
 
     The session timezone is pinned to UTC here (runtime-settable, and
     this function is the chokepoint every plan loads through): literal
@@ -152,7 +155,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ → TIMESTAMP: under the UTC session TZ pinned
+            # above this is a wall-clock-identical relabel.
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
