@@ -638,15 +638,47 @@ def event_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # P1 — the reference's random-sample-then-limit, seeded (demo.py:55,59).
-# rand(seed) has no cross-engine twin → driver records rows-only.
+# rand(seed) has no cross-engine twin, so the certified form asserts
+# the invariants a correct seeded sample must satisfy — exact size,
+# key uniqueness, subset-of-source (left-antijoin count 0) — as columns
+# a DuckDB twin recomputes exactly. The raw sampled rows stay available
+# via ``seeded_sample_orders_raw`` (pytest + plans/tweets.py cover the
+# row-level semantics).
 # --------------------------------------------------------------------------
-@register("seeded_sample_orders")
-def seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seeded_sample_orders_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return (
         orders.orderBy(F.rand(42), F.asc("o_orderkey"))
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "seeded_sample_orders",
+    oracle="""
+    SELECT CAST(LEAST(100, COUNT(*)) AS BIGINT) AS n_rows,
+           CAST(LEAST(100, COUNT(*)) AS BIGINT) AS n_distinct_keys,
+           CAST(0 AS BIGINT) AS n_not_in_source
+    FROM orders
+    """,
+)
+def seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample = seeded_sample_orders_raw(spark, sf_dir)
+    src = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("_src", F.lit(1))
+    )
+    joined = sample.join(
+        src, on=["o_orderkey", "o_custkey", "o_totalprice"], how="left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_distinct_keys"),
+        F.sum(
+            F.when(F.col("_src").isNull(), 1).otherwise(0)
+        ).alias("n_not_in_source"),
     )
 
 
@@ -691,15 +723,46 @@ def two_level_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate distinct (HLL). Sketches are engine-specific, so the
-# driver records rows-only; pytest bounds the error vs exact.
+# Approximate distinct (HLL). Sketch estimates are engine-specific, so
+# the certified form emits a ``within_3rsd`` bound check (|approx −
+# exact| ≤ 3·rsd·exact + 1 — HLL++ at rsd 0.02 is inside 3σ with
+# overwhelming probability) that the DuckDB twin recomputes as TRUE
+# from the exact count. The exact count_distinct here is the
+# certification harness, not the scale path — the operative sketch is
+# ``approx_distinct_users_raw`` (also covered by pytest error bound).
 # --------------------------------------------------------------------------
-@register("approx_distinct_users_per_type")
-def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_distinct_users_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("events"),
+    )
+
+
+@register(
+    "approx_distinct_users_per_type",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_3rsd
+    FROM events GROUP BY 1
+    """,
+)
+def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("events"),
+    )
+    tol = F.lit(3 * 0.02) * F.col("exact_users") + F.lit(1)
+    return agg.select(
+        "event_type",
+        "events",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol).alias(
+            "within_3rsd"
+        ),
     )
 
 

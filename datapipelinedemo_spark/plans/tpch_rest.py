@@ -189,22 +189,25 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT pk AS p_partkey, CAST(v_scaled AS DOUBLE) / 1e4 AS part_value
-    FROM pv, (SELECT CAST(SUM(v_scaled) AS BIGINT) AS tot FROM pv) t
-    WHERE v_scaled * 1000 > tot
+    FROM pv, (SELECT CAST(SUM(v_scaled) AS BIGINT) AS tot,
+                     CAST(COUNT(*) AS BIGINT) AS n_parts FROM pv) t
+    WHERE CAST(v_scaled AS HUGEINT) * n_parts > 2 * CAST(tot AS HUGEINT)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: per-group value vs a fraction of the global total.
 
     ps_supplycost*ps_availqty becomes lineitem revenue from the chosen
-    nations' suppliers. Both the per-part value and the global total
-    live on the 10^-4 fixed-point BIGINT grid, so the HAVING compare
-    (value > 0.1% of total) is EXACT integer arithmetic — no
-    cross-engine FP drift at the threshold. The total is a 1-row
-    aggregate broadcast back via cross join (no driver collect).
-    v_scaled*1000 stays < 2^63 up to ~10^15 in summed revenue — far
-    beyond any realistic share-threshold use; swap to a double compare
-    if ever exceeded.
+    nations' suppliers. TPC-H divides Q11's share threshold by SF so
+    the result stays non-degenerate at every scale; the data-derived
+    equivalent used here — keep parts whose value exceeds 2× the mean
+    per-part value (v·n_parts > 2·tot) — needs no SF parameter and
+    selects a stable fraction of parts at any volume. Both sides of
+    the compare live on the 10^-4 fixed-point grid widened to 128-bit
+    (Spark DECIMAL(38,0), DuckDB HUGEINT), so the threshold compare is
+    EXACT at any scale — no cross-engine FP drift, no 64-bit overflow.
+    The total is a 1-row aggregate broadcast back via cross join (no
+    driver collect).
     """
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
@@ -218,10 +221,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.sum(_scaled(rev, 4)).alias("v_scaled"))
     )
-    total = pv.agg(F.sum("v_scaled").alias("tot"))
+    total = pv.agg(
+        F.sum("v_scaled").alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
+    wide = "decimal(38,0)"
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("v_scaled") * 1000 > F.col("tot"))
+        .filter(
+            F.col("v_scaled").cast(wide) * F.col("n_parts")
+            > F.lit(2).cast(wide) * F.col("tot")
+        )
         .select(
             F.col("pk").alias("p_partkey"),
             (F.col("v_scaled").cast("double") / 1e4).alias("part_value"),

@@ -270,3 +270,98 @@ def tweets_frequency_2d_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tweets_sentiment2d_monthly", oracle=_SENT_2D)
 def tweets_sentiment2d_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TW.sentiment2d_monthly(_enriched(spark))
+
+
+# ---------------------------------------------------------------- S1 CSV --
+# The reference's ACTUAL entry point is a directory of messy CSVs read
+# with header (demo.py:53); everything above reads the parquet twin of
+# the fixture. This query exercises read_tweets_csv (sources/csv.py:24)
+# end-to-end in the oracle gate: 3-file glob, quoted commas in
+# timestamps, empty-field nulls in every column, "1.2K"/"3M" counts,
+# short/long/garbage timestamp shapes — aggregated monthly so the
+# DuckDB read_csv twin hash-checks scan + F1/F2/F4 parse parity.
+CSV_DIR = "/root/repo/fixtures/tweets_csv"
+
+_HUM = """
+           CASE WHEN {c} LIKE '%K'
+                  THEN CAST(FLOOR(CAST(rtrim({c},'K') AS DOUBLE)*1000) AS BIGINT)
+                WHEN {c} LIKE '%M'
+                  THEN CAST(FLOOR(CAST(rtrim({c},'M') AS DOUBLE)*1000000) AS BIGINT)
+                WHEN regexp_matches({c}, '^\\s*[0-9]*\\.?[0-9]+\\s*$')
+                  THEN CAST(FLOOR(CAST({c} AS DOUBLE)) AS BIGINT)
+                ELSE 0 END
+"""
+
+_CSV_ORACLE = f"""
+WITH src AS (
+    SELECT * FROM read_csv('{CSV_DIR}/part-*.csv', header=true,
+        columns={{'Timestamp':'VARCHAR','Text':'VARCHAR','Comments':'VARCHAR',
+                  'Likes':'VARCHAR','Retweets':'VARCHAR','Page_URL':'VARCHAR'}})
+), parsed AS (
+    SELECT Timestamp,
+           try_strptime(CASE WHEN length(Timestamp) < 8
+                             THEN Timestamp || ' 2020'
+                             ELSE replace(Timestamp, ',', '') END,
+                        '%b %d %Y') AS d,
+           coalesce(Likes, '0') AS likes_s,
+           coalesce(Retweets, '0') AS rts_s,
+           Page_URL
+    FROM src
+), lab AS (
+    SELECT CASE WHEN Timestamp IS NULL THEN 'null_ts'
+                WHEN d IS NULL THEN 'invalid'
+                ELSE CAST(year(d) AS VARCHAR) || '-' || CAST(month(d) AS VARCHAR)
+           END AS ym,
+           {_HUM.format(c='likes_s')} AS likes,
+           {_HUM.format(c='rts_s')} AS rts,
+           Page_URL
+    FROM parsed
+)
+SELECT ym, COUNT(*) AS n,
+       CAST(SUM(likes) AS BIGINT) AS likes_total,
+       CAST(SUM(rts) AS BIGINT) AS rts_total,
+       CAST(SUM(CASE WHEN Page_URL IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_urls
+FROM lab GROUP BY 1
+"""
+
+
+@register("tweets_csv_monthly_ingest", oracle=_CSV_ORACLE)
+def tweets_csv_monthly_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.functions import cleaning as C
+    from datapipelinedemo_spark.sources.csv import read_tweets_csv
+
+    df = read_tweets_csv(spark, CSV_DIR)
+    d = C.parse_timestamp_date(C.clean_timestamp(F.col("Timestamp")))
+    ym = (
+        F.when(F.col("Timestamp").isNull(), F.lit("null_ts"))
+        .when(d.isNull(), F.lit("invalid"))
+        .otherwise(
+            F.concat(
+                F.year(d).cast("string"), F.lit("-"), F.month(d).cast("string")
+            )
+        )
+    )
+    return (
+        df.select(
+            ym.alias("ym"),
+            C.parse_human_number(F.coalesce(F.col("Likes"), F.lit("0"))).alias(
+                "likes"
+            ),
+            C.parse_human_number(
+                F.coalesce(F.col("Retweets"), F.lit("0"))
+            ).alias("rts"),
+            "Page_URL",
+        )
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("likes").alias("likes_total"),
+            F.sum("rts").alias("rts_total"),
+            F.sum(
+                F.when(F.col("Page_URL").isNull(), 1).otherwise(0)
+            ).alias("null_urls"),
+        )
+    )

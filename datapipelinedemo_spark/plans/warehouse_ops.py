@@ -402,23 +402,75 @@ def token_budget_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate percentiles (KLL-style sketch; rows-only — no exact twin)
+# Approximate percentiles (GK sketch). Sketch estimates are
+# engine-specific, so the certified form checks the sketch's published
+# rank guarantee: approx_percentile(q, accuracy A) returns a data value
+# whose rank lies in [⌊(q−1/A)·n⌋, ⌈(q+1/A)·n⌉]. The query recomputes
+# that rank exactly (count ≤ / count <) and emits ``within_bounds``,
+# which the DuckDB twin recomputes as TRUE. Raw sketch output stays in
+# ``approx_value_percentiles_raw`` (pytest pins the tolerance).
 # --------------------------------------------------------------------------
-@register("approx_value_percentiles")
-def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_value_percentiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_percentile`` per event type (p50/p90/p99, accuracy
     10000) — the sketch path for quantiles over data too large to
-    sort. No DuckDB oracle (sketch internals differ by engine); the
-    driver records rows-only, and the tolerance against the EXACT
-    ``value_percentiles_per_type`` query is pinned in pytest.
-    Map-side sketch merge: one partial-agg shuffle, same shape as any
-    aggregate.
+    sort. Map-side sketch merge: one partial-agg shuffle, same shape
+    as any aggregate.
     """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.expr(
             "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
         ).alias("approx_pcts")
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    oracle="""
+    SELECT event_type, CAST(q AS DOUBLE) AS quantile,
+           CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bounds
+    FROM events CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs
+    GROUP BY 1, 2
+    """,
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qlits = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    pairs = (
+        ap.select("event_type", "n", F.posexplode("ap").alias("i", "v"))
+        .withColumn("quantile", F.element_at(qlits, F.col("i") + 1))
+        .drop("i")
+    )
+    # exact rank of the sketch answer within its group: one broadcast
+    # join (3 rows per type) + partial-agg count — no global sort
+    eps = 1.0 / 10000.0
+    ranks = (
+        ev.join(F.broadcast(pairs), "event_type")
+        .groupBy("event_type", "quantile", "n", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("v"), 1).otherwise(0)
+            ).alias("rank_le"),
+            F.sum(
+                F.when(F.col("value") < F.col("v"), 1).otherwise(0)
+            ).alias("rank_lt"),
+        )
+    )
+    lo = F.floor((F.col("quantile") - F.lit(eps)) * F.col("n")) - F.lit(2)
+    hi = F.ceil((F.col("quantile") + F.lit(eps)) * F.col("n")) + F.lit(2)
+    return ranks.select(
+        "event_type",
+        "quantile",
+        "n",
+        ((F.col("rank_le") >= lo) & (F.col("rank_lt") <= hi)).alias(
+            "within_bounds"
+        ),
     )
 
 

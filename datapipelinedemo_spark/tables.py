@@ -11,6 +11,7 @@ pushdown into the scan (check with ``df.explain('formatted')`` —
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -128,6 +129,39 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# Sessions whose runtime confs have already been pinned; WeakSet so a
+# stopped session doesn't keep its JVM-side wrapper alive through us.
+_PINNED_SESSIONS: weakref.WeakSet = weakref.WeakSet()
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Idempotently pin the two runtime confs every plan depends on.
+
+    ``datapipelinedemo_spark.session.get_spark`` sets both at build
+    time; this guard exists for externally-built sessions (the driver's
+    vanilla ``SparkSession``) and is a no-op after the first call per
+    session.
+
+    - UTC session timezone: literal anchors like
+      ``F.lit('2024-02-01').cast('timestamp')`` and every
+      ``date_format`` output are interpreted in the session TZ, while
+      parquet-read instants are not — on a non-UTC host an unpinned
+      session would shift the anchors but not the data, skewing ages
+      and breaking formatted-string parity with DuckDB's naive
+      timestamps.
+    - ``nanosAsLong``: lets TIMESTAMP(NANOS) parquet (one historical
+      testdata generation) be read at all; harmless for micros files.
+    """
+    if spark in _PINNED_SESSIONS:
+        return
+    # set unconditionally (idempotent values; Spark 4 validates even the
+    # *default* arg of conf.get for the timezone conf, so get-then-set
+    # is no safer than set)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _PINNED_SESSIONS.add(spark)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan → column pruning and filter
     pushdown are handled by the DataSource V2 reader; callers should
@@ -139,30 +173,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB/pandas nanos→micros truncation) and plain TIMESTAMP(MICROS)
     (read as TIMESTAMP_NTZ). The loader inspects the read dtype and
     normalizes both to session-TZ TimestampType, so oracle comparisons
-    agree to the microsecond either way.
-
-    The session timezone is pinned to UTC here (runtime-settable, and
-    this function is the chokepoint every plan loads through): literal
-    anchors like ``F.lit('2024-02-01').cast('timestamp')`` and every
-    ``date_format`` output are interpreted in the session TZ, while the
-    parquet-read instants are not — on a non-UTC host an unpinned
-    session would shift the anchors but not the data, skewing ages and
-    breaking formatted-string parity with DuckDB's naive timestamps.
+    agree to the microsecond either way; any other physical dtype is a
+    testdata regression and raises instead of silently null-casting.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_runtime_confs(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if not isinstance(ts_type, T.TimestampType):
+        if isinstance(ts_type, T.TimestampNTZType):
             # TIMESTAMP_NTZ → TIMESTAMP: under the UTC session TZ pinned
             # above this is a wall-clock-identical relabel.
             return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-        return df
+        if isinstance(ts_type, T.TimestampType):
+            return df
+        raise TypeError(
+            f"events.ts read as unexpected dtype {ts_type}; expected "
+            "TIMESTAMP, TIMESTAMP_NTZ, or TIMESTAMP(NANOS)-as-long — "
+            "testdata generation changed?"
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -38,11 +38,35 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
+    from datapipelinedemo_spark.plans.relational import (
+        approx_distinct_users_raw,
+    )
+
     approx = {
         r.event_type: r.approx_users
-        for r in entrymod.queries()["approx_distinct_users_per_type"](
-            spark, sf_dir
-        ).collect()
+        for r in approx_distinct_users_raw(spark, sf_dir).collect()
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)
+
+    # certified invariant form: exact counts match, bound check TRUE
+    for r in entrymod.queries()["approx_distinct_users_per_type"](
+        spark, sf_dir
+    ).collect():
+        assert r.within_3rsd, r.event_type
+        assert r.exact_users == exact[r.event_type]
+
+
+def test_q11_nonempty_at_every_scale(spark):
+    # TPC-H Q11's threshold is SF-parameterized; our data-derived
+    # 2×-mean threshold must return rows at every shipped scale
+    # (regression: a fixed 0.1%-of-total returned 0 rows at sf0.1)
+    import os
+
+    from datapipelinedemo_spark.plans.tpch_rest import q11_important_parts
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        assert q11_important_parts(spark, d).limit(1).count() > 0, sf

@@ -120,12 +120,17 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
     # sketch answers stay within 2% relative of the exact percentiles
     from datapipelinedemo_spark.plans.warehouse_ops import (
         approx_value_percentiles,
+        approx_value_percentiles_raw,
     )
     from datapipelinedemo_spark.tables import table
 
+    # the certified invariant form must hold (within_bounds all TRUE)
+    for r in approx_value_percentiles(spark, sf_dir).collect():
+        assert r.within_bounds, (r.event_type, r.quantile)
+
     approx = {
         r.event_type: r.approx_pcts
-        for r in approx_value_percentiles(spark, sf_dir).collect()
+        for r in approx_value_percentiles_raw(spark, sf_dir).collect()
     }
     # at accuracy=10000 > n the sketch is exact up to rank convention:
     # the answer must be an actual data value within one rank position

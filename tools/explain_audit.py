@@ -1,8 +1,10 @@
-"""Physical-plan audit: prints red flags across every catalog query.
+"""Physical-plan audit: red flags across catalog queries.
 
 Checks each plan for: row-at-a-time Python (BatchEvalPython),
 cartesian products, missing ReadSchema pruning on wide scans, and
-counts exchanges (shuffles). Usage:
+counts exchanges (shuffles). Importable (pytest wires `plan_string` +
+`audit_flags` into the suite so pushdown/pruning regressions fail CI);
+CLI usage:
     python tools/explain_audit.py [query ...]     # flags summary
     python tools/explain_audit.py -v q1_pricing_summary  # full plan
 """
@@ -14,6 +16,27 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_string(df) -> str:
+    """Formatted physical plan (same text as df.explain('formatted'))."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit_flags(plan: str) -> dict:
+    """Machine-readable red-flag summary of a formatted plan."""
+    n_exch = plan.count("Exchange")
+    n_bc = plan.count("BroadcastExchange")
+    return {
+        "python_row_udf": "BatchEvalPython" in plan,
+        "cartesian": "CartesianProduct" in plan,
+        "shuffles": n_exch - n_bc,
+        "broadcasts": n_bc,
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+    }
 
 
 def main() -> None:
@@ -29,22 +52,17 @@ def main() -> None:
     names = args or sorted(qs)
     for name in names:
         df = qs[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = plan_string(df)
+        a = audit_flags(plan)
         flags = []
-        if "BatchEvalPython" in plan:
+        if a["python_row_udf"]:
             flags.append("PYTHON-ROW-UDF")
-        if "CartesianProduct" in plan and "cosine" not in name:
+        if a["cartesian"] and "cosine" not in name:
             flags.append("CARTESIAN")
-        n_exch = plan.count("Exchange")
-        n_bc = plan.count("BroadcastExchange")
-        n_scan = len(re.findall(r"Scan parquet", plan))
-        flags.append(f"shuffles={n_exch - n_bc}")
-        flags.append(f"broadcasts={n_bc}")
-        flags.append(f"scans={n_scan}")
-        wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
-        flags.append(f"codegen_spans={wsc}")
+        flags.append(f"shuffles={a['shuffles']}")
+        flags.append(f"broadcasts={a['broadcasts']}")
+        flags.append(f"scans={a['scans']}")
+        flags.append(f"codegen_spans={a['codegen_spans']}")
         print(f"{name}: {' '.join(flags)}")
         if verbose:
             print(plan)
