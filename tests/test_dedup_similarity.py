@@ -356,6 +356,14 @@ def test_ivf_lloyd_refinement_recovers_clusters(spark):
     recall = len(a & b) / len(b)
     assert recall == 1.0, f"refined IVF recall {recall:.2f} < 1.0"
 
+    # the refine_iters knob wires the same init+refine internally and
+    # must reach the same full recall
+    out2 = SIM.cosine_topk_ivf(
+        emb, queries, k=5, nlist=4, nprobe=1, refine_iters=3
+    )
+    a2 = {(r.query_id, r.neighbor_id) for r in out2.collect()}
+    assert len(a2 & b) / len(b) == 1.0
+
 
 def test_simhash_banding_finds_exactly_hamming3_pairs(spark, sf_dir):
     """Pigeonhole recall proof in practice: 4x12-bit banding must
