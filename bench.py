@@ -72,6 +72,11 @@ def main() -> None:
     for name in names:
         runs = []
         for _ in range(2):
+            # drop cross-run cached plans: Spark's CacheManager matches
+            # by logical plan, so a query that .cache()s an intermediate
+            # would otherwise serve run 2 from memory and the "min"
+            # would measure a cache re-read, not the query
+            spark.catalog.clearCache()
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).collect()
