@@ -107,6 +107,7 @@ PRIORITY = [
     "hourly_value_regression",
     # --- new/upgraded oracles this round ---
     "tweets_csv_monthly_ingest",
+    "incremental_dedup_candidates",
     "seeded_sample_orders",
     "approx_distinct_users_per_type",
     # --- sentinel re-certifications (one per previously-green suite) ---
@@ -118,7 +119,6 @@ PRIORITY = [
     "similarity_topk_ivf",
     "chunk_documents",
     "stratified_sample_documents",
-    "bm25_topk_docs",
 ]
 
 

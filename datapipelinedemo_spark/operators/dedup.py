@@ -140,6 +140,27 @@ def lsh_candidate_pairs(
     Buckets at or under the cap produce the identical pair set as
     ``bucket_cap=None`` (the uncapped path).
     """
+    banded = banded_minhash(
+        df, id_col, text, num_hashes, bands, k, shingles, hash
+    )
+    return bucketed_candidate_pairs(banded, bucket_cap)
+
+
+def banded_minhash(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    k: int = 9,
+    shingles: DataFrame | None = None,
+    hash: str = "md5",
+) -> DataFrame:
+    """(doc, band, key) banded-MinHash index rows for ``df`` — the
+    stored form of an LSH index. Persist/write this once per corpus;
+    ``bucketed_candidate_pairs`` derives in-corpus candidates from it
+    and ``incremental_lsh_candidates`` joins a new batch against it
+    without re-signing the corpus."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     if shingles is None:
@@ -148,7 +169,7 @@ def lsh_candidate_pairs(
             shingle_hashes(text, k, hash).alias("__sh"),
         )
     sig = shingles.withColumn("minhash", minhash_signature("__sh", num_hashes))
-    banded = sig.select(
+    return sig.select(
         "doc",
         F.posexplode(
             F.expr(
@@ -158,7 +179,54 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "key"),
     )
-    return bucketed_candidate_pairs(banded, bucket_cap)
+
+
+def incremental_lsh_candidates(
+    new_banded: DataFrame,
+    corpus_banded: DataFrame,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """Incremental near-dup: candidates for a NEW ingest batch against
+    an EXISTING corpus whose banded index is already materialized —
+    the daily-ingest path at 100 TB, where re-signing the corpus per
+    batch would be a full re-scan of everything ever ingested.
+
+    Inputs are (doc, band, key) frames from ``banded_minhash``. Plan:
+    the tiny new batch shuffles into the corpus index's (band, key)
+    buckets — ONE shuffle of the batch; the corpus index moves only if
+    it isn't already bucketed by (band, key) (write it bucketed and
+    this is a local join). Output is the union of
+      * new-vs-corpus pairs (``pair_type='vs_corpus'``): any shared
+        band key, corpus side capped at ``bucket_cap`` docs per bucket
+        (hot boilerplate buckets bound each task; the cap keeps at
+        least one representative edge per bucket so downstream
+        clustering still connects the batch doc to the cluster), and
+      * new-vs-new pairs (``pair_type='in_batch'``): the standard
+        ``bucketed_candidate_pairs`` over the batch alone.
+    Columns: (doc_a = new doc, doc_b, pair_type), distinct.
+    """
+    corpus = corpus_banded
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "key").orderBy(F.col("doc").asc())
+        corpus = (
+            corpus.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+    cross = (
+        new_banded.alias("n")
+        .join(corpus.alias("c"), ["band", "key"])
+        .select(
+            F.col("n.doc").alias("doc_a"),
+            F.col("c.doc").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("pair_type", F.lit("vs_corpus"))
+    )
+    in_batch = bucketed_candidate_pairs(new_banded, bucket_cap).withColumn(
+        "pair_type", F.lit("in_batch")
+    )
+    return cross.unionByName(in_batch)
 
 
 def bucketed_candidate_pairs(

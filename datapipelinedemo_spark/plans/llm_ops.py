@@ -558,6 +558,43 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_dedup_candidates",
+    oracle=_LSH_CTE
+    + """
+    , nb AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+    cb AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
+    cross_c AS (
+        SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b,
+               'vs_corpus' AS pair_type
+        FROM nb n JOIN cb c ON n.band = c.band AND n.key = c.key
+    ), inb AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               'in_batch' AS pair_type
+        FROM nb a JOIN nb b2
+          ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+    )
+    SELECT * FROM cross_c UNION ALL SELECT * FROM inb
+    """,
+)
+def incremental_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py::
+    incremental_lsh_candidates): docs with doc_id % 10 == 0 play the
+    daily batch, the rest the already-indexed corpus. The corpus is
+    banded ONCE (at scale: a stored table bucketed by band key) and
+    the batch joins into it — no corpus re-signing per ingest. Bucket
+    caps (1024) never bind at test scale, so the uncapped SQL twin
+    matches exactly — same convention as minhash_lsh_candidates."""
+    sh = _doc_shingles(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    banded = DD.banded_minhash(
+        docs, "doc_id", "text", num_hashes=32, bands=4, k=9, shingles=sh
+    )
+    new_b = banded.filter(F.col("doc") % 10 == 0)
+    corpus_b = banded.filter(F.col("doc") % 10 != 0)
+    return DD.incremental_lsh_candidates(new_b, corpus_b, bucket_cap=1024)
+
+
 # --------------------------------------------------------------------------
 # SimHash signatures (48-bit)
 # --------------------------------------------------------------------------

@@ -422,3 +422,43 @@ def test_cms_unseen_key_reports_zero(spark):
     assert set(est) == {"a", "never-seen-token"}
     assert est["a"] >= 2
     assert est["never-seen-token"] == 0
+
+def test_incremental_lsh_candidates(spark):
+    """Incremental ingest dedup: a new batch must pair with its
+    corpus near-dups (vs_corpus) and with near-dups inside the batch
+    (in_batch) — without the corpus index being recomputed."""
+    corpus_rows = [
+        (1, BASE),
+        (2, BASE.replace("rain", "snow")),
+        (3, "completely different content about spark query optimization"),
+    ]
+    batch_rows = [
+        (101, BASE),  # near-dup of corpus docs 1, 2
+        (102, BASE.replace("rain", "hail")),  # near-dup of 1/2 and 101
+        (103, "nothing like anything else in any corpus anywhere here"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    corpus_idx = DD.banded_minhash(corpus, "doc_id", "text")
+    batch_idx = DD.banded_minhash(batch, "doc_id", "text")
+    out = DD.incremental_lsh_candidates(batch_idx, corpus_idx).collect()
+    vs_corpus = {(r.doc_a, r.doc_b) for r in out if r.pair_type == "vs_corpus"}
+    in_batch = {(r.doc_a, r.doc_b) for r in out if r.pair_type == "in_batch"}
+
+    assert (101, 1) in vs_corpus and (101, 2) in vs_corpus
+    assert (102, 1) in vs_corpus
+    assert not any(a == 103 for a, _ in vs_corpus)
+    assert (101, 102) in in_batch
+    assert not any(103 in p for p in in_batch)
+
+    # hot-bucket cap on the corpus side: cap=1 keeps exactly one
+    # representative corpus edge per bucket
+    capped = DD.incremental_lsh_candidates(
+        batch_idx, corpus_idx, bucket_cap=1
+    ).collect()
+    vs_capped = {
+        (r.doc_a, r.doc_b) for r in capped if r.pair_type == "vs_corpus"
+    }
+    assert (101, 1) in vs_capped  # min-id representative survives
+    assert (101, 2) not in vs_capped
