@@ -108,6 +108,8 @@ PRIORITY = [
     # --- new/upgraded oracles this round ---
     "tweets_csv_monthly_ingest",
     "incremental_dedup_candidates",
+    "training_shard_manifest",
+    "quality_classifier_filter",
     "seeded_sample_orders",
     "approx_distinct_users_per_type",
     # --- sentinel re-certifications (one per previously-green suite) ---
@@ -117,8 +119,6 @@ PRIORITY = [
     "exact_dedup_documents",
     "minhash_lsh_candidates",
     "similarity_topk_ivf",
-    "chunk_documents",
-    "stratified_sample_documents",
 ]
 
 

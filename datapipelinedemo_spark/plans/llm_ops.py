@@ -1696,3 +1696,124 @@ def simhash_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prefix_edit_dist") <= 60)
         .select("doc_a", "doc_b", "prefix_edit_dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Training shard manifest: deterministic global shuffle -> balanced
+# shards for data loaders. Hierarchical (shard, block, pos-in-block)
+# so NO global window: the only windows partition by (shard, block) —
+# 16×64 independent tasks at any corpus size, each ~n/1024 rows. A
+# loader reads shard s in (block_id, pos_in_block) order; ordering is
+# md5-derived, so reproducible across engines, runs, and re-ingests.
+# --------------------------------------------------------------------------
+_N_SHARDS = 16
+_N_BLOCKS = 64
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#shard'),
+                    1, 15) AS BIGINT) AS h1,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#ord'),
+                    1, 15) AS BIGINT) AS h2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(h1 % {_N_SHARDS} AS BIGINT) AS shard_id,
+           CAST(h2 % {_N_BLOCKS} AS BIGINT) AS block_id,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY h1 % {_N_SHARDS}, h2 % {_N_BLOCKS}
+                ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos_in_block
+    FROM h
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipelinedemo_spark.functions.stable import md5_long
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    h1 = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#shard")))
+    h2 = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#ord")))
+    hashed = docs.select(
+        "doc_id",
+        (h1 % _N_SHARDS).alias("shard_id"),
+        (h2 % _N_BLOCKS).alias("block_id"),
+        h2.alias("__h2"),
+    )
+    w = Window.partitionBy("shard_id", "block_id").orderBy(
+        F.asc("__h2"), F.asc("doc_id")
+    )
+    return hashed.select(
+        "doc_id",
+        "shard_id",
+        "block_id",
+        (F.row_number().over(w) - 1).cast("long").alias("pos_in_block"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier filter: fastText-style LINEAR scorer over the
+# doc_quality feature vector, evaluated as pure integer arithmetic on
+# the micro (1e-6) grid so the logit and the keep decision are exact
+# in both engines. Weights are fixed stand-ins (no training here) —
+# the point is the inference plan shape: features from one projection,
+# score and threshold in-row, zero shuffles before the sink filter.
+# --------------------------------------------------------------------------
+@register(
+    "quality_classifier_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks, text FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(round(CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                    ELSE CAST(length(text) - length(regexp_replace(text,
+                         '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / length(text)
+                    END, 6) * 1e6 + 0.5) AS BIGINT) AS punct_u,
+               CAST(FLOOR(round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+                    ELSE CAST(len(list_filter(toks,
+                         w -> w IN ('the','and','of','to','a','in','is','it','that','for')))
+                         AS DOUBLE) / len(toks) END, 6) * 1e6 + 0.5) AS BIGINT)
+                   AS stop_u,
+               CAST(FLOOR(round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+                    ELSE CAST(list_reduce(list_prepend(0::BIGINT,
+                         list_transform(toks, w -> length(w))), (a, b) -> a + b)
+                         AS DOUBLE) / len(toks) END, 6) * 1e6 + 0.5) AS BIGINT)
+                   AS mlen_u
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(1500000 + 2 * stop_u - 4 * punct_u
+                - abs(mlen_u - 5000000) // 2
+                + LEAST(n_tokens, 500) * 1000 AS BIGINT) AS quality_logit_micro,
+           (1500000 + 2 * stop_u - 4 * punct_u
+                - abs(mlen_u - 5000000) // 2
+                + LEAST(n_tokens, 500) * 1000) > 2000000 AS keep
+    FROM f
+    """,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    micro = lambda c: F.floor(F.round(c, 6) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        micro(TX.punct_ratio("text")).alias("punct_u"),
+        micro(TX.stopword_ratio(toks, TX.LANG_PROFILES["en"])).alias("stop_u"),
+        micro(TX.mean_token_length(toks)).alias("mlen_u"),
+    )
+    logit = (
+        F.lit(1500000)
+        + F.lit(2) * F.col("stop_u")
+        - F.lit(4) * F.col("punct_u")
+        - F.floor(F.abs(F.col("mlen_u") - F.lit(5000000)) / F.lit(2))
+        + F.least(F.col("n_tokens"), F.lit(500)) * F.lit(1000)
+    ).cast("long")
+    return f.select(
+        "doc_id",
+        logit.alias("quality_logit_micro"),
+        (logit > F.lit(2000000)).alias("keep"),
+    )
