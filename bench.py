@@ -93,15 +93,17 @@ def main() -> None:
     total = round(sum(t for t in times.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # key order matters: the driver records a bounded TAIL of stdout,
+    # so the steady-state per-query dict goes last to survive truncation
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "cold_total": cold_total,
                 "cold_queries": cold,
+                "queries": times,
                 "sf": float(sf) if sf else None,
             }
         )
