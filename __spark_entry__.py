@@ -110,6 +110,7 @@ PRIORITY = [
     "incremental_dedup_candidates",
     "training_shard_manifest",
     "quality_classifier_filter",
+    "bigram_perplexity_scores",
     "seeded_sample_orders",
     "approx_distinct_users_per_type",
     # --- sentinel re-certifications (one per previously-green suite) ---
@@ -118,7 +119,6 @@ PRIORITY = [
     "ner_phrase_extraction",
     "exact_dedup_documents",
     "minhash_lsh_candidates",
-    "similarity_topk_ivf",
 ]
 
 

@@ -918,3 +918,131 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_scaled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity — the stronger LM quality filter
+# (unigram_perplexity_scores' big sibling): per-doc mean NLL under
+# p(w2|w1) = 0.7·c(w1,w2)/c(w1·) + 0.3·c(w2)/N, trained on the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "bigram_perplexity_scores",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok WHERE len(t) >= 2
+    ),
+    occ AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM g),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM occ GROUP BY 1, 2
+    ),
+    uc AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(t) AS term FROM tok) GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uc),
+    ctx AS (
+        SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c1 FROM bc GROUP BY 1
+    ),
+    nll AS (
+        SELECT bc.w1, bc.w2,
+               CAST(FLOOR(-ln(CAST(7 * c_xy * total + 3 * cu * c1 AS DOUBLE)
+                              / CAST(10 * c1 * total AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS nll6
+        FROM bc
+        JOIN ctx ON bc.w1 = ctx.w1
+        JOIN uc ON bc.w2 = uc.term
+        CROSS JOIN n
+    )
+    SELECT occ.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST((2 * SUM(nll6) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS mean_nll_micro
+    FROM occ JOIN nll ON occ.w1 = nll.w1 AND occ.w2 = nll.w2
+    GROUP BY 1
+    """,
+)
+def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under an interpolated bigram LM trained
+    on the corpus (λ=0.7 bigram, 0.3 unigram backoff) — scores only
+    positions 2..n (docs with <2 tokens emit no row); the unigram
+    variant covers position-independent scoring.
+
+    Same exactness strategy as unigram_perplexity_scores: the per-
+    BIGRAM-TYPE NLL is one double expression over exact integer counts,
+    mirrored operation-for-operation in the oracle, snapped to a 1e-6
+    BIGINT grid BEFORE the per-doc sum — so the aggregation is exact
+    integer math, order-independent across engines. Plan: bigram
+    occurrences explode once; the bigram-type NLL table is vocab²-
+    bounded post-shuffle (broadcast at test scale; at 100 TB it's a
+    shuffle join keyed on (w1, w2) — still corpus-independent size);
+    the context totals and N are partial-agg rollups of the type
+    table, never a second corpus pass.
+    """
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokenize("text").alias("t"))
+    occ = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bc = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    uc = tok.select(F.explode("t").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    n = uc.agg(F.sum("cu").alias("total"))
+    ctx = bc.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c1"))
+    nll = (
+        bc.join(ctx, "w1")
+        .join(uc.withColumnRenamed("term", "w2"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log(
+                    (
+                        F.lit(7) * F.col("c_xy") * F.col("total")
+                        + F.lit(3) * F.col("cu") * F.col("c1")
+                    ).cast("double")
+                    / (F.lit(10) * F.col("c1") * F.col("total")).cast(
+                        "double"
+                    )
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nll6"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(nll), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            # half-up mean on the micro grid as EXACT integer division
+            # ((2s+n) div 2n) — a double mean rounded to 6dp can land
+            # exactly on a .5 micro boundary and split across engines
+            F.expr(
+                "(2 * sum(nll6) + count(1)) div (2 * count(1))"
+            )
+            .cast("long")
+            .alias("mean_nll_micro"),
+        )
+    )
