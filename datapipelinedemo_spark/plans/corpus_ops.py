@@ -938,14 +938,13 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
         FROM occ GROUP BY 1, 2
     ),
-    uc AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS cu
-        FROM (SELECT unnest(t) AS term FROM tok) GROUP BY 1
-    ),
-    n AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uc),
     ctx AS (
         SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c1 FROM bc GROUP BY 1
     ),
+    uc AS (
+        SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS cu FROM bc GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uc),
     nll AS (
         SELECT bc.w1, bc.w2,
                CAST(FLOOR(-ln(CAST(7 * c_xy * total + 3 * cu * c1 AS DOUBLE)
@@ -953,7 +952,7 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * 1e6 + 0.5) AS BIGINT) AS nll6
         FROM bc
         JOIN ctx ON bc.w1 = ctx.w1
-        JOIN uc ON bc.w2 = uc.term
+        JOIN uc ON bc.w2 = uc.w2
         CROSS JOIN n
     )
     SELECT occ.doc_id AS doc_id,
@@ -966,9 +965,12 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean NLL under an interpolated bigram LM trained
-    on the corpus (λ=0.7 bigram, 0.3 unigram backoff) — scores only
-    positions 2..n (docs with <2 tokens emit no row); the unigram
-    variant covers position-independent scoring.
+    on the corpus (λ=0.7 bigram, 0.3 backoff) — scores only positions
+    2..n (docs with <2 tokens emit no row); the unigram variant covers
+    position-independent scoring. The backoff distribution is the w2
+    CONTINUATION count (the bigram table's right marginal, as in
+    Kneser-Ney-style backoff), so every model table is a rollup of the
+    single bigram-count frame and the corpus is tokenized once.
 
     Same exactness strategy as unigram_perplexity_scores: the per-
     BIGRAM-TYPE NLL is one double expression over exact integer counts,
@@ -1002,14 +1004,19 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = occ.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c_xy")
     )
-    uc = tok.select(F.explode("t").alias("term")).groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("cu")
-    )
-    n = uc.agg(F.sum("cu").alias("total"))
+    # all model tables are marginals of the bigram-type frame — the
+    # backoff unigram is the w2 CONTINUATION count, so every table is
+    # a rollup of bc. bc is vocab²-bounded (corpus-independent), so
+    # pin it once: Catalyst has no cross-branch subtree sharing, and
+    # without this each of the three consumers re-derives the corpus
+    # scan + count shuffle (measured: 10 scans → 2, the occ minimum).
+    bc = bc.localCheckpoint(eager=False)
     ctx = bc.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c1"))
+    uc = bc.groupBy("w2").agg(F.sum("c_xy").cast("long").alias("cu"))
+    n = uc.agg(F.sum("cu").alias("total"))
     nll = (
         bc.join(ctx, "w1")
-        .join(uc.withColumnRenamed("term", "w2"), "w2")
+        .join(uc, "w2")
         .crossJoin(F.broadcast(n))
         .select(
             "w1",
