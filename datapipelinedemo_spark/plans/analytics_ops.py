@@ -1446,7 +1446,11 @@ def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "j")
         .agg(F.max("rho").alias("m"))
     )
-    types = ev.select("event_type").distinct()
+    # present is ≤ |types|·256 rows — pin it so the three consumers of
+    # regs (single, ra, rb) don't each re-derive the corpus scan +
+    # register shuffle (Catalyst has no cross-branch subtree sharing)
+    present = present.localCheckpoint(eager=False)
+    types = present.select("event_type").distinct()
     grid = types.crossJoin(spark.range(256).select(F.col("id").alias("j")))
     regs = grid.join(present, ["event_type", "j"], "left").select(
         "event_type", "j", F.coalesce("m", F.lit(0)).alias("m")
@@ -1486,7 +1490,12 @@ def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(256.0) * F.log(F.lit(256.0) / v.cast("double")),
         ).otherwise(e_raw)
 
-    du = ev.select("event_type", "user_id").distinct()
+    # the exact-overlap audit column (test-scale only at this
+    # fidelity); pinned so the self-join's two sides share one
+    # distinct pass
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
     da = du.select(
         F.col("event_type").alias("type_a"), "user_id"
     )

@@ -774,11 +774,14 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     running the actual delete.
 
     The cohort is broadcast to every fact table (a request list is
-    always tiny relative to the facts), so each audit leg is one
-    broadcast semi-join + count — no fact-side shuffle at any scale;
-    the lineitem leg resolves through orders with the same broadcast
-    chain. The actual deletion at 100 TB is the anti-join twin of
-    each leg (same plans, NOT semi), written back partition-aligned.
+    always tiny relative to the facts), and each audit leg is ONE
+    pass over its fact: a broadcast LEFT join adds a hit flag, and
+    affected/total are two conditional counts of the same aggregate —
+    no second count(*) scan per table, no fact-side shuffle at any
+    scale. The lineitem leg resolves through the hit orders' keys
+    (broadcast — the hit set is cohort-sized). The actual deletion at
+    100 TB is the anti-join twin of each leg, written back
+    partition-aligned.
     """
     ev = table(spark, sf_dir, "events")
     orders = table(spark, sf_dir, "orders")
@@ -787,40 +790,49 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("user_id") % 17 == 0)
         .select("user_id")
         .distinct()
+        .withColumn("__hit", F.lit(1))
+        # cohort-sized: pin so the three broadcast consumers share one
+        # derivation instead of re-scanning events each
+        .localCheckpoint(eager=False)
     )
 
-    ev_hit = ev.join(F.broadcast(del_users), "user_id", "semi")
-    od_hit = orders.join(
-        F.broadcast(del_users),
-        orders.o_custkey == del_users.user_id,
-        "semi",
-    )
-    li_hit = li.join(
-        od_hit.select("o_orderkey"),
-        li.l_orderkey == F.col("o_orderkey"),
-        "semi",
-    )
-
-    def leg(name: str, hit, full) -> DataFrame:
-        return (
-            hit.agg(F.count(F.lit(1)).cast("long").alias("affected"))
-            .crossJoin(
-                full.agg(F.count(F.lit(1)).cast("long").alias("total"))
-            )
-            .select(
-                F.lit(name).alias("tbl"),
-                "affected",
-                "total",
-                F.round(
-                    F.col("affected").cast("double")
-                    / F.col("total").cast("double"),
-                    6,
-                ).alias("affected_frac"),
-            )
+    def leg(name: str, flagged) -> DataFrame:
+        return flagged.agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("affected"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        ).select(
+            F.lit(name).alias("tbl"),
+            "affected",
+            "total",
+            F.round(
+                F.col("affected").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("affected_frac"),
         )
 
+    ev_f = ev.join(F.broadcast(del_users), "user_id", "left")
+    od_f = orders.join(
+        F.broadcast(del_users),
+        orders.o_custkey == del_users.user_id,
+        "left",
+    )
+    od_hit_keys = (
+        od_f.filter(F.col("__hit").isNotNull())
+        .select("o_orderkey")
+        .withColumn("__hit", F.lit(1))
+        .localCheckpoint(eager=False)  # hit set is cohort-sized
+    )
+    li_f = li.join(
+        F.broadcast(od_hit_keys),
+        li.l_orderkey == od_hit_keys.o_orderkey,
+        "left",
+    )
+
     return (
-        leg("events", ev_hit, ev)
-        .unionByName(leg("orders", od_hit, orders))
-        .unionByName(leg("lineitem", li_hit, li))
+        leg("events", ev_f)
+        .unionByName(leg("orders", od_f))
+        .unionByName(leg("lineitem", li_f))
     )
