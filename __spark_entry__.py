@@ -111,10 +111,10 @@ PRIORITY = [
     "training_shard_manifest",
     "quality_classifier_filter",
     "bigram_perplexity_scores",
+    "normalized_documents",
     "seeded_sample_orders",
     "approx_distinct_users_per_type",
     # --- sentinel re-certifications (one per previously-green suite) ---
-    "q1_pricing_summary",
     "tweets_frequency_monthly",
     "ner_phrase_extraction",
     "exact_dedup_documents",

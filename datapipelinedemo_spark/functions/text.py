@@ -219,3 +219,18 @@ def chunk_spans(tokens, size: int = 50, stride: int = 40) -> Column:
         f"   array_join(slice({name}, s + 1, {size}), ' ') AS chunk_text,"
         f"   least({size}, size({name}) - s) AS chunk_tokens))"
     )
+
+
+def normalize_text(c) -> Column:
+    """Dedup-grade text normalization — the standard pass run BEFORE
+    exact/near dedup so cosmetic variants hash together: lowercase,
+    URLs and e-mail addresses replaced by a space, whitespace runs
+    collapsed to single spaces, trimmed. Pure regex chain, mirrored
+    verbatim in DuckDB (``regexp_replace(..., 'g')`` — Spark's
+    regexp_replace is global by default, DuckDB needs the flag).
+    """
+    c = F.lower(_col(c))
+    c = F.regexp_replace(c, r"https?://[^\s]+", " ")
+    c = F.regexp_replace(c, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

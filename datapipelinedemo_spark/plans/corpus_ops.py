@@ -1053,3 +1053,49 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_nll_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Text normalization (the pass before dedup): URL/e-mail stripping,
+# case folding, whitespace collapse — emitted as a compact
+# hash+length+changed summary so the full normalized corpus never has
+# to travel through the compare.
+# --------------------------------------------------------------------------
+@register(
+    "normalized_documents",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text),
+                           'https?://[^\\s]+', ' ', 'g'),
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS norm_hash,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           norm <> text AS changed
+    FROM n
+    """,
+)
+def normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc normalization summary (functions/text.py::
+    normalize_text): md5 of the normalized text (the key exact-dedup
+    would group on), its length, and whether normalization changed
+    the doc. In-row expression chain — no shuffle at any scale; the
+    oracle recomputes the identical regex chain so the hashes match
+    byte-for-byte.
+    """
+    from datapipelinedemo_spark.functions.text import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )
