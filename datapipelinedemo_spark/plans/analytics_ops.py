@@ -518,17 +518,29 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dls = docs.select(
         "doc_id", F.size(tokenize("text")).cast("long").alias("dl")
     )
+    # 1-row; pinned so idf and the scorer don't each re-run the
+    # corpus-length aggregate (no cross-branch subtree sharing)
     totals = dls.agg(
         F.sum("dl").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("nd"),
-    )
+    ).localCheckpoint(eager=False)
+    # dl rides along the term scan so the scorer needs no second
+    # per-doc-length corpus pass
     tc = docs.select(
-        "doc_id", F.explode(tokenize("text")).alias("term")
+        "doc_id",
+        F.size(tokenize("text")).cast("long").alias("dl"),
+        F.explode(tokenize("text")).alias("term"),
     )
+    # matched postings only (≤|Q| terms/doc survive the filter) —
+    # the retrieval working set; pinned for its two consumers
     tf = (
         tc.filter(F.col("term").isin(_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .localCheckpoint(eager=False)
     )
     dft = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("dft")
@@ -549,7 +561,6 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = (
         tf.join(F.broadcast(idf), "term")
-        .join(dls, "doc_id")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
@@ -1002,7 +1013,9 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datapipelinedemo_spark.operators.similarity import cosine
 
-    # --- text side: BM25 score6 ranking (same plan as bm25_topk_docs)
+    # --- text side: BM25 score6 ranking (same plan as bm25_topk_docs,
+    # incl. its pins: 1-row totals, dl riding the term scan, postings
+    # checkpointed for the dft + scorer consumers)
     docs = table(spark, sf_dir, "documents")
     dls = docs.select(
         "doc_id", F.size(tokenize("text")).cast("long").alias("dl")
@@ -1010,12 +1023,20 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dls.agg(
         F.sum("dl").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("nd"),
+    ).localCheckpoint(eager=False)
+    tc = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("long").alias("dl"),
+        F.explode(tokenize("text")).alias("term"),
     )
-    tc = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = (
         tc.filter(F.col("term").isin(_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .localCheckpoint(eager=False)
     )
     dft = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("dft")
@@ -1036,7 +1057,6 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sc = (
         tf.join(F.broadcast(idf), "term")
-        .join(dls, "doc_id")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",

@@ -240,10 +240,15 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 1-row aggregates cross-joined (no collect).
     """
     ev = table(spark, sf_dir, "events")
+    # stage frames are per-user minima (one row per funnel survivor);
+    # pinned because each feeds BOTH the next stage and the final
+    # report join, and Catalyst would re-derive the whole prefix per
+    # consumer (no cross-branch subtree sharing)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -254,6 +259,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -265,9 +271,8 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    # one left-join chain instead of three independent count jobs:
-    # the repeated v/c subplans become ReusedExchange nodes, so each
-    # funnel stage is computed once
+    # one left-join chain instead of three independent count jobs —
+    # with v/c pinned above, each funnel stage is computed once
     return (
         v.join(c, "user_id", "left")
         .join(p, "user_id", "left")
