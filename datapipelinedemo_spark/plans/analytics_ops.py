@@ -877,9 +877,11 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares identical IEEE products, so the counts agree exactly.
     """
     ev = table(spark, sf_dir, "events")
+    # |types|-row scalars pinned: med feeds dev's two consumers, mad
+    # feeds the final pass — without pins each re-derives a corpus scan
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
-    )
+    ).localCheckpoint(eager=False)
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "value",
@@ -888,7 +890,7 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
-    )
+    ).localCheckpoint(eager=False)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
