@@ -221,7 +221,7 @@ def chunk_spans(tokens, size: int = 50, stride: int = 40) -> Column:
     )
 
 
-def normalize_text(c) -> Column:
+def normalize_for_dedup(c) -> Column:
     """Dedup-grade text normalization — the standard pass run BEFORE
     exact/near dedup so cosmetic variants hash together: lowercase,
     URLs and e-mail addresses replaced by a space, whitespace runs

@@ -1088,16 +1088,16 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc normalization summary (functions/text.py::
-    normalize_text): md5 of the normalized text (the key exact-dedup
+    normalize_for_dedup): md5 of the normalized text (the key exact-dedup
     would group on), its length, and whether normalization changed
     the doc. In-row expression chain — no shuffle at any scale; the
     oracle recomputes the identical regex chain so the hashes match
     byte-for-byte.
     """
-    from datapipelinedemo_spark.functions.text import normalize_text
+    from datapipelinedemo_spark.functions.text import normalize_for_dedup
 
     docs = table(spark, sf_dir, "documents")
-    norm = normalize_text("text")
+    norm = normalize_for_dedup("text")
     return docs.select(
         "doc_id",
         F.md5(norm).alias("norm_hash"),
