@@ -224,13 +224,16 @@ def chunk_spans(tokens, size: int = 50, stride: int = 40) -> Column:
 def normalize_for_dedup(c) -> Column:
     """Dedup-grade text normalization — the standard pass run BEFORE
     exact/near dedup so cosmetic variants hash together: lowercase,
-    URLs and e-mail addresses replaced by a space, whitespace runs
-    collapsed to single spaces, trimmed. Pure regex chain, mirrored
-    verbatim in DuckDB (``regexp_replace(..., 'g')`` — Spark's
-    regexp_replace is global by default, DuckDB needs the flag).
+    URLs and e-mail addresses replaced by a space, control characters
+    (C0/C1 minus tab/CR/LF, which are whitespace) dropped, whitespace
+    runs collapsed to single spaces, trimmed. Pure regex chain,
+    mirrored verbatim in DuckDB (``regexp_replace(..., 'g')`` —
+    Spark's regexp_replace is global by default, DuckDB needs the
+    flag). Idempotent (pinned by a hypothesis property test).
     """
     c = F.lower(_col(c))
     c = F.regexp_replace(c, r"https?://[^\s]+", " ")
     c = F.regexp_replace(c, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", " ")
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)

@@ -1073,9 +1073,13 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, text,
                trim(regexp_replace(
                    regexp_replace(
-                       regexp_replace(lower(text),
-                           'https?://[^\\s]+', ' ', 'g'),
-                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', ' ', 'g'),
+                       regexp_replace(
+                           regexp_replace(lower(text),
+                               'https?://[^\\s]+', ' ', 'g'),
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                           ' ', 'g'),
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]',
+                       '', 'g'),
                    '\\s+', ' ', 'g')) AS norm
         FROM documents
     )
