@@ -112,12 +112,12 @@ PRIORITY = [
     "quality_classifier_filter",
     "bigram_perplexity_scores",
     "normalized_documents",
+    "key_skew_report",
     "seeded_sample_orders",
     "approx_distinct_users_per_type",
     # --- sentinel re-certifications (one per previously-green suite) ---
     "tweets_frequency_monthly",
     "ner_phrase_extraction",
-    "exact_dedup_documents",
     "minhash_lsh_candidates",
 ]
 

@@ -836,3 +836,80 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("orders", od_f))
         .unionByName(leg("lineitem", li_f))
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew report — the diagnostic run BEFORE picking a shuffle
+# strategy at scale: per candidate join key, how heavy is the heaviest
+# key relative to uniform. skew_ratio_micro = max_cnt·distinct/total
+# (1e6 = perfectly uniform); top1_share_micro = max_cnt/total. Both on
+# exact integer grids (BIGINT multiply then integer divide), so the
+# report hash-matches across engines with zero float involvement.
+# --------------------------------------------------------------------------
+def _skew_leg_sql(tbl: str, col: str) -> str:
+    return f"""
+    SELECT '{tbl}.{col}' AS key_name,
+           CAST(SUM(c) AS BIGINT) AS total_rows,
+           CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top1_share_micro,
+           CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+               AS skew_ratio_micro
+    FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {tbl} GROUP BY 1)
+    """
+
+
+@register(
+    "key_skew_report",
+    oracle=" UNION ALL ".join(
+        [
+            _skew_leg_sql("lineitem", "l_partkey"),
+            _skew_leg_sql("lineitem", "l_orderkey"),
+            _skew_leg_sql("orders", "o_custkey"),
+            _skew_leg_sql("events", "user_id"),
+            _skew_leg_sql("events", "event_type"),
+        ]
+    ),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis for the join/agg keys the relational and event
+    plans shuffle on. Each leg is one partial-agg groupBy (map-side
+    combine folds the fact before the shuffle) followed by a 1-row
+    rollup — per leg the shuffle carries |distinct keys| rows, never
+    the fact. The ratios drive the choice between plain shuffle, AQE
+    skew-join, and explicit salting (operators/skew.py): a
+    skew_ratio_micro of ~1e6 is uniform; event_type's (few huge keys)
+    is the shape that needs salting.
+    """
+
+    def leg(tbl: str, col: str) -> DataFrame:
+        counts = (
+            table(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        return counts.agg(
+            F.lit(f"{tbl}.{col}").alias("key_name"),
+            F.sum("c").cast("long").alias("total_rows"),
+            F.count(F.lit(1)).cast("long").alias("distinct_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            F.expr("max(c) * 1000000 div sum(c)")
+            .cast("long")
+            .alias("top1_share_micro"),
+            F.expr("max(c) * count(1) * 1000000 div sum(c)")
+            .cast("long")
+            .alias("skew_ratio_micro"),
+        )
+
+    legs = [
+        leg("lineitem", "l_partkey"),
+        leg("lineitem", "l_orderkey"),
+        leg("orders", "o_custkey"),
+        leg("events", "user_id"),
+        leg("events", "event_type"),
+    ]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionByName(other)
+    return out
