@@ -17,19 +17,36 @@ Conventions that make the driver's hash comparison deterministic
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from datapipelinedemo_spark.session import ensure_runtime_confs
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optional DuckDB oracle) to the catalog."""
+    """Decorator: add a query (and optional DuckDB oracle) to the catalog.
+
+    The registered callable is wrapped so that
+    ``session.ensure_runtime_confs`` runs once per session before the
+    plan is built: the catalog boundary is where externally-built
+    (vanilla driver) sessions enter the engine, so the UTC-timezone /
+    ``nanosAsLong`` pins happen here — readers (``tables.table``) stay
+    side-effect-free. The wrapper is a no-op for sessions built by
+    ``session.get_spark``.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

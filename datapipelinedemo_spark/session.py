@@ -19,6 +19,7 @@ builds get the optimizer behaviors that matter at 100 TB:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -64,4 +65,44 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate can return a pre-existing session whose confs the
+    # builder didn't fully apply; pin the correctness-critical pair here
+    # (the session factory is the one sanctioned mutation point).
+    ensure_runtime_confs(spark)
+    return spark
+
+
+# Sessions whose runtime confs have already been pinned; WeakSet so a
+# stopped session doesn't keep its JVM-side wrapper alive through us.
+_PINNED_SESSIONS: weakref.WeakSet = weakref.WeakSet()
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Idempotently pin the two runtime confs every plan depends on.
+
+    ``get_spark`` sets both via the builder, so factory-built sessions
+    never hit the mutation path; this guard exists for externally-built
+    sessions (the driver's vanilla ``SparkSession``) and is called once
+    per session at the catalog adapter boundary
+    (``plans.catalog.register``), NOT inside readers — ``tables.table``
+    is a pure function of its arguments.
+
+    - UTC session timezone: literal anchors like
+      ``F.lit('2024-02-01').cast('timestamp')`` and every
+      ``date_format`` output are interpreted in the session TZ, while
+      parquet-read instants are not — on a non-UTC host an unpinned
+      session would shift the anchors but not the data, skewing ages
+      and breaking formatted-string parity with DuckDB's naive
+      timestamps.
+    - ``nanosAsLong``: lets TIMESTAMP(NANOS) parquet (one historical
+      testdata generation) be read at all; harmless for micros files.
+    """
+    if spark in _PINNED_SESSIONS:
+        return
+    # set unconditionally (idempotent values; Spark 4 validates even the
+    # *default* arg of conf.get for the timezone conf, so get-then-set
+    # is no safer than set)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _PINNED_SESSIONS.add(spark)

@@ -11,7 +11,6 @@ pushdown into the scan (check with ``df.explain('formatted')`` —
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -129,39 +128,6 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-# Sessions whose runtime confs have already been pinned; WeakSet so a
-# stopped session doesn't keep its JVM-side wrapper alive through us.
-_PINNED_SESSIONS: weakref.WeakSet = weakref.WeakSet()
-
-
-def ensure_runtime_confs(spark: SparkSession) -> None:
-    """Idempotently pin the two runtime confs every plan depends on.
-
-    ``datapipelinedemo_spark.session.get_spark`` sets both at build
-    time; this guard exists for externally-built sessions (the driver's
-    vanilla ``SparkSession``) and is a no-op after the first call per
-    session.
-
-    - UTC session timezone: literal anchors like
-      ``F.lit('2024-02-01').cast('timestamp')`` and every
-      ``date_format`` output are interpreted in the session TZ, while
-      parquet-read instants are not — on a non-UTC host an unpinned
-      session would shift the anchors but not the data, skewing ages
-      and breaking formatted-string parity with DuckDB's naive
-      timestamps.
-    - ``nanosAsLong``: lets TIMESTAMP(NANOS) parquet (one historical
-      testdata generation) be read at all; harmless for micros files.
-    """
-    if spark in _PINNED_SESSIONS:
-        return
-    # set unconditionally (idempotent values; Spark 4 validates even the
-    # *default* arg of conf.get for the timezone conf, so get-then-set
-    # is no safer than set)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _PINNED_SESSIONS.add(spark)
-
-
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan → column pruning and filter
     pushdown are handled by the DataSource V2 reader; callers should
@@ -175,8 +141,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalizes both to session-TZ TimestampType, so oracle comparisons
     agree to the microsecond either way; any other physical dtype is a
     testdata regression and raises instead of silently null-casting.
+
+    This is a pure reader — no session mutation. The UTC-timezone /
+    ``nanosAsLong`` runtime confs every plan depends on are pinned by
+    ``session.get_spark`` at build time, or for externally-built
+    sessions by ``session.ensure_runtime_confs`` at the catalog
+    adapter boundary (``plans.catalog.register`` wraps each query
+    callable), never at read time.
     """
-    ensure_runtime_confs(spark)
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -199,11 +171,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Session-intake helper: pins runtime confs (may be handed a
+    vanilla session), then loads every table."""
+    from datapipelinedemo_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` plans can
-    reference them by name."""
+    reference them by name. Session-intake helper — pins runtime confs."""
+    from datapipelinedemo_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     for name in TABLE_NAMES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
