@@ -12,7 +12,7 @@ neighbors; rounds needed = graph diameter (near-dup clusters are
 near-cliques, so 2-3 rounds in practice). Each round is two hash joins
 + one partial-agg groupBy, all JVM-side; the loop is driver-side
 control flow only (no data ever reaches the driver except the
-convergence counter). Label frames are localCheckpoint()ed per round to
+convergence counter). Label frames are pinned (pin.py) per round to
 truncate lineage — without that, round n replays rounds 1..n-1.
 
 At 100 TB: this is the standard BSP connected-components shape
@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from datapipelinedemo_spark.pin import pin
 
 
 def connected_components_star(
@@ -52,7 +53,7 @@ def connected_components_star(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     def _large_star(df: DataFrame) -> DataFrame:
@@ -71,7 +72,7 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        return out.localCheckpoint(eager=False)
+        return out.transform(pin)
 
     def _small_star(df: DataFrame) -> DataFrame:
         # orient larger→smaller; per node u over its SMALLER neighbors
@@ -91,7 +92,7 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        return out.localCheckpoint(eager=False)
+        return out.transform(pin)
 
     for _ in range(max_rounds):
         after_large = _large_star(e)
@@ -145,11 +146,11 @@ def connected_components(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
 
     converged = False
     for _ in range(max_rounds):
@@ -161,7 +162,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
         # converged when no node's label changed (one tiny driver scalar)
         changed = (

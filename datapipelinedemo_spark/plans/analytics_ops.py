@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from datapipelinedemo_spark.pin import pin
 
 from datapipelinedemo_spark.functions.stable import md5_long
 from datapipelinedemo_spark.functions.text import tokenize
@@ -523,7 +524,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dls.agg(
         F.sum("dl").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("nd"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     # dl rides along the term scan so the scorer needs no second
     # per-doc-length corpus pass
     tc = docs.select(
@@ -540,7 +541,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("dl").alias("dl"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     dft = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("dft")
@@ -881,7 +882,7 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the final pass — without pins each re-derives a corpus scan
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "value",
@@ -890,7 +891,7 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -1025,7 +1026,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dls.agg(
         F.sum("dl").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("nd"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tc = docs.select(
         "doc_id",
         F.size(tokenize("text")).cast("long").alias("dl"),
@@ -1038,7 +1039,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("dl").alias("dl"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     dft = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("dft")
@@ -1471,7 +1472,7 @@ def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # present is ≤ |types|·256 rows — pin it so the three consumers of
     # regs (single, ra, rb) don't each re-derive the corpus scan +
     # register shuffle (Catalyst has no cross-branch subtree sharing)
-    present = present.localCheckpoint(eager=False)
+    present = present.transform(pin)
     types = present.select("event_type").distinct()
     grid = types.crossJoin(spark.range(256).select(F.col("id").alias("j")))
     regs = grid.join(present, ["event_type", "j"], "left").select(
@@ -1515,9 +1516,7 @@ def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact-overlap audit column (test-scale only at this
     # fidelity); pinned so the self-join's two sides share one
     # distinct pass
-    du = ev.select("event_type", "user_id").distinct().localCheckpoint(
-        eager=False
-    )
+    du = ev.select("event_type", "user_id").distinct().transform(pin)
     da = du.select(
         F.col("event_type").alias("type_a"), "user_id"
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from datapipelinedemo_spark.pin import pin
 
 from datapipelinedemo_spark.functions.stable import round6
 from datapipelinedemo_spark.operators.decontamination import (
@@ -248,7 +249,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -259,7 +260,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -768,7 +769,10 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc sum, so the aggregation is exact integer math and the
     engines agree regardless of token order (a raw double Σln would
     drift by summation order). Corpus-side plan: one explode, one
-    broadcast join, one partial-agg groupBy.
+    scoring join (no broadcast hint — the vocabulary grows ~sqrt of
+    corpus size by Heaps' law, so AQE broadcasts while it fits and
+    degrades to a shuffle join on `term` past the threshold), one
+    partial-agg groupBy.
     """
     from datapipelinedemo_spark.functions.text import tokenize
 
@@ -788,7 +792,8 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nll6"),
     )
     return (
-        tc.join(F.broadcast(nll), "term")
+        # no broadcast hint — see docstring (Heaps'-law vocab growth)
+        tc.join(nll, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -952,8 +957,10 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uc),
     nll AS (
         SELECT bc.w1, bc.w2,
-               CAST(FLOOR(-ln(CAST(7 * c_xy * total + 3 * cu * c1 AS DOUBLE)
-                              / CAST(10 * c1 * total AS DOUBLE))
+               CAST(FLOOR(-ln(CAST(CAST(7 AS HUGEINT) * c_xy * total
+                                   + CAST(3 AS HUGEINT) * cu * c1 AS DOUBLE)
+                              / CAST(CAST(10 AS HUGEINT) * c1 * total
+                                     AS DOUBLE))
                           * 1e6 + 0.5) AS BIGINT) AS nll6
         FROM bc
         JOIN ctx ON bc.w1 = ctx.w1
@@ -983,10 +990,13 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT grid BEFORE the per-doc sum — so the aggregation is exact
     integer math, order-independent across engines. Plan: bigram
     occurrences explode once; the bigram-type NLL table is vocab²-
-    bounded post-shuffle (broadcast at test scale; at 100 TB it's a
-    shuffle join keyed on (w1, w2) — still corpus-independent size);
-    the context totals and N are partial-agg rollups of the type
-    table, never a second corpus pass.
+    bounded post-shuffle, and the scoring join carries NO broadcast
+    hint: bigram-type tables grow ~with corpus size (Heaps' law), so a
+    forced broadcast would OOM at 100 TB — AQE broadcasts it at test
+    scale from its runtime size estimate and degrades to a shuffle
+    join keyed on (w1, w2) when it outgrows the threshold; the context
+    totals and N are partial-agg rollups of the type table, never a
+    second corpus pass.
     """
     from datapipelinedemo_spark.functions.text import tokenize
 
@@ -1015,7 +1025,7 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin it once: Catalyst has no cross-branch subtree sharing, and
     # without this each of the three consumers re-derives the corpus
     # scan + count shuffle (measured: 10 scans → 2, the occ minimum).
-    bc = bc.localCheckpoint(eager=False)
+    bc = bc.transform(pin)
     ctx = bc.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c1"))
     uc = bc.groupBy("w2").agg(F.sum("c_xy").cast("long").alias("cu"))
     n = uc.agg(F.sum("cu").alias("total"))
@@ -1026,15 +1036,25 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w1",
             "w2",
+            # DECIMAL(38,0) accumulators (HUGEINT in the oracle): the
+            # c_xy·total products wrap int64 past ~1e10 bigram tokens,
+            # well inside 100 TB corpus range (ADVICE r5). Exact until
+            # the single cast to double that feeds ln().
             F.floor(
                 -F.log(
                     (
-                        F.lit(7) * F.col("c_xy") * F.col("total")
-                        + F.lit(3) * F.col("cu") * F.col("c1")
+                        F.lit(7)
+                        * F.col("c_xy").cast("decimal(38,0)")
+                        * F.col("total")
+                        + F.lit(3)
+                        * F.col("cu").cast("decimal(38,0)")
+                        * F.col("c1")
                     ).cast("double")
-                    / (F.lit(10) * F.col("c1") * F.col("total")).cast(
-                        "double"
-                    )
+                    / (
+                        F.lit(10)
+                        * F.col("c1").cast("decimal(38,0)")
+                        * F.col("total")
+                    ).cast("double")
                 )
                 * 1e6
                 + F.lit(0.5)
@@ -1044,7 +1064,9 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        occ.join(F.broadcast(nll), ["w1", "w2"])
+        # no broadcast hint: AQE picks broadcast while nll fits and
+        # falls back to shuffle when the bigram vocabulary outgrows it
+        occ.join(nll, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from datapipelinedemo_spark.pin import pin
 
 from datapipelinedemo_spark.functions.cleaning import (
     clean_timestamp,
@@ -83,7 +84,7 @@ def enrich(
     # layout + row order, so pin it by materializing the frame once
     # (lineage truncation: retries and both join branches reread the
     # same blocks instead of regenerating ids). Lazy: first action pays.
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(pin)
     df = extract_phrases(df, "Text", patterns, "__rid", out_col="All_phrases")
     # CheckEmpty != 1 (demo.py:157's intended semantics): drop sentinel rows
     df = df.filter(F.col("All_phrases") != F.array(F.lit("empty")))

@@ -16,6 +16,8 @@ PIVOT on the SQL side.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipelinedemo_spark.functions.ner import pattern_table_from_rows
@@ -280,16 +282,27 @@ def tweets_sentiment2d_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # timestamps, empty-field nulls in every column, "1.2K"/"3M" counts,
 # short/long/garbage timestamp shapes — aggregated monthly so the
 # DuckDB read_csv twin hash-checks scan + F1/F2/F4 parse parity.
-CSV_DIR = "/root/repo/fixtures/tweets_csv"
+# Fixture path derived from this file's location so the query (and the
+# oracle SQL embedding it) survive a checkout anywhere (ADVICE r5).
+CSV_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "tweets_csv",
+)
 
+# Operation-for-operation mirror of parse_human_number
+# (functions/cleaning.py): same anchored numeric-prefix regex (so
+# whitespace and lowercase k/m behave identically), TRY_CAST so
+# garbage like 'xK' yields 0 instead of aborting the oracle, and the
+# same double-multiply-then-floor grid as Spark's cast("long")
+# truncation on non-negative values.
 _HUM = """
-           CASE WHEN {c} LIKE '%K'
-                  THEN CAST(FLOOR(CAST(rtrim({c},'K') AS DOUBLE)*1000) AS BIGINT)
-                WHEN {c} LIKE '%M'
-                  THEN CAST(FLOOR(CAST(rtrim({c},'M') AS DOUBLE)*1000000) AS BIGINT)
-                WHEN regexp_matches({c}, '^\\s*[0-9]*\\.?[0-9]+\\s*$')
-                  THEN CAST(FLOOR(CAST({c} AS DOUBLE)) AS BIGINT)
-                ELSE 0 END
+           COALESCE(CAST(FLOOR(
+               TRY_CAST(regexp_extract({c},
+                   '^\\s*([0-9]*\\.?[0-9]+)\\s*[KkMm]?\\s*$', 1) AS DOUBLE)
+               * CASE WHEN regexp_matches({c}, '[Kk]\\s*$') THEN 1000
+                      WHEN regexp_matches({c}, '[Mm]\\s*$') THEN 1000000
+                      ELSE 1 END) AS BIGINT), 0)
 """
 
 _CSV_ORACLE = f"""

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from datapipelinedemo_spark.pin import pin
 
 from datapipelinedemo_spark.functions.stable import _scaled
 from datapipelinedemo_spark.plans.catalog import register
@@ -793,7 +794,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__hit", F.lit(1))
         # cohort-sized: pin so the three broadcast consumers share one
         # derivation instead of re-scanning events each
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     def leg(name: str, flagged) -> DataFrame:
@@ -823,7 +824,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         od_f.filter(F.col("__hit").isNotNull())
         .select("o_orderkey")
         .withColumn("__hit", F.lit(1))
-        .localCheckpoint(eager=False)  # hit set is cohort-sized
+        .transform(pin)  # hit set is cohort-sized
     )
     li_f = li.join(
         F.broadcast(od_hit_keys),
@@ -843,8 +844,9 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strategy at scale: per candidate join key, how heavy is the heaviest
 # key relative to uniform. skew_ratio_micro = max_cnt·distinct/total
 # (1e6 = perfectly uniform); top1_share_micro = max_cnt/total. Both on
-# exact integer grids (BIGINT multiply then integer divide), so the
-# report hash-matches across engines with zero float involvement.
+# exact integer grids (DECIMAL(38,0)/HUGEINT multiply then integer
+# divide — int64 wraps past ~1e13-row hot keys), so the report
+# hash-matches across engines with zero float involvement.
 # --------------------------------------------------------------------------
 def _skew_leg_sql(tbl: str, col: str) -> str:
     return f"""
@@ -852,9 +854,10 @@ def _skew_leg_sql(tbl: str, col: str) -> str:
            CAST(SUM(c) AS BIGINT) AS total_rows,
            CAST(COUNT(*) AS BIGINT) AS distinct_keys,
            CAST(MAX(c) AS BIGINT) AS max_key_rows,
-           CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top1_share_micro,
-           CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
-               AS skew_ratio_micro
+           CAST(CAST(MAX(c) AS HUGEINT) * 1000000 // SUM(c) AS BIGINT)
+               AS top1_share_micro,
+           CAST(CAST(MAX(c) AS HUGEINT) * COUNT(*) * 1000000 // SUM(c)
+               AS BIGINT) AS skew_ratio_micro
     FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS c
           FROM {tbl} GROUP BY 1)
     """
@@ -894,10 +897,16 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("total_rows"),
             F.count(F.lit(1)).cast("long").alias("distinct_keys"),
             F.max("c").cast("long").alias("max_key_rows"),
-            F.expr("max(c) * 1000000 div sum(c)")
+            # DECIMAL(38,0) accumulators (HUGEINT on the DuckDB side):
+            # max(c)·distinct·1e6 wraps int64 past ~1e13-row keys, which
+            # a 100 TB events table reaches (ADVICE r5)
+            F.expr("cast(max(c) as decimal(38,0)) * 1000000 div sum(c)")
             .cast("long")
             .alias("top1_share_micro"),
-            F.expr("max(c) * count(1) * 1000000 div sum(c)")
+            F.expr(
+                "cast(max(c) as decimal(38,0)) * count(1) * 1000000"
+                " div sum(c)"
+            )
             .cast("long")
             .alias("skew_ratio_micro"),
         )
