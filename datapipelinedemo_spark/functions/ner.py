@@ -34,7 +34,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Default dictionary location, overridable so the library isn't
+# path-coupled to one checkout: SPARK_GRAFT_NER_PATTERNS env var wins,
+# else the public reference asset's conventional location.
+PATTERNS_ENV = "SPARK_GRAFT_NER_PATTERNS"
 REFERENCE_PATTERNS = "/root/reference/NER_model/entity_ruler/patterns.jsonl"
+
+
+def default_patterns_path() -> str:
+    return os.environ.get(PATTERNS_ENV, REFERENCE_PATTERNS)
 
 # spaCy-ish tokenization for dictionary matching: words (incl. digits)
 # or single punctuation marks; lowercased.
@@ -62,10 +70,14 @@ PATTERN_SCHEMA = T.StructType(
 )
 
 
-def load_pattern_rows(path: str = REFERENCE_PATTERNS) -> list[tuple]:
+def load_pattern_rows(path: str | None = None) -> list[tuple]:
     """Parse an entity_ruler patterns.jsonl (one JSON object per line:
     ``{"label": ..., "pattern": [{"LOWER": tok}, ...], "id": ...}``)
-    into (pattern, n_tokens, label, ent_id) tuples, deduplicated."""
+    into (pattern, n_tokens, label, ent_id) tuples, deduplicated.
+
+    ``path=None`` resolves at CALL time via ``default_patterns_path``
+    (env-var override honored even when set after import)."""
+    path = path or default_patterns_path()
     rows: dict[tuple, tuple] = {}
     with open(path) as f:
         for line in f:
@@ -92,7 +104,7 @@ def load_pattern_rows(path: str = REFERENCE_PATTERNS) -> list[tuple]:
 
 
 def pattern_table(
-    spark: SparkSession, path: str = REFERENCE_PATTERNS
+    spark: SparkSession, path: str | None = None
 ) -> DataFrame:
     return spark.createDataFrame(load_pattern_rows(path), PATTERN_SCHEMA)
 

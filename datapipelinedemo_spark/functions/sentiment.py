@@ -8,9 +8,17 @@ returning a float in [-1, 1] (0.0 when no lexicon word appears).
 Native path (F10b, the 100 TB one): tokenize → broadcast-join a
 (token, polarity) lexicon → mean polarity per row, 0.0 default. This
 is TextBlob's core behavior minus its modifier heuristics — the delta
-is documented and the lexicon is injectable, so tests pin exact
-values. The TextBlob fidelity path is gated behind ``HAVE_TEXTBLOB``
-as an Arrow-batched pandas UDF (never row-at-a-time).
+is QUANTIFIED against the committed vectors in
+``fixtures/sentiment_vectors.jsonl`` (tests/test_sentiment_delta.py):
+sentences without modifiers match EXACTLY (mean abs delta 0.0 — the
+default lexicon carries pattern.en polarities); intensifier phrases
+("very good") differ by ~0.19 mean absolute (the lost ×1.3 scaling);
+negated phrases ("not good") differ by ~1.2 (the lost sign flip,
+TextBlob's ×-0.5 rule), ~1.04 when negation wraps an intensifier;
+~0.48 overall on that modifier-heavy vector set. The lexicon is
+injectable, so tests pin exact values. The TextBlob fidelity path is
+gated behind ``HAVE_TEXTBLOB`` as an Arrow-batched pandas UDF (never
+row-at-a-time).
 """
 
 from __future__ import annotations
