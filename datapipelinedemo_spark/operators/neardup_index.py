@@ -1,0 +1,110 @@
+"""Write-once materialized near-dup index (shingles + banded MinHash).
+
+The near-dup family (LSH candidates, Jaccard verify, cluster
+resolution, the composed corpus pipeline, incremental ingest) all
+derive from two frames over the same corpus:
+
+- ``shingles``: (doc, __sh array<bigint>) — distinct char-9-shingle
+  hashes per document; computing these (md5 per shingle) dominates the
+  chain's cost.
+- ``banded``: (doc, band, key) — the banded MinHash index rows from
+  ``operators.dedup.banded_minhash``; the stored form of an LSH index
+  and the exact corpus-side input of ``incremental_lsh_candidates``.
+
+At 100 TB this is not a cache, it's the ARCHITECTURE: you sign the
+corpus once per ingest generation, write the index next to the data,
+and every dedup/ingest job reads the index instead of re-hashing
+everything ever ingested. This module reproduces that shape locally:
+the first call per (corpus file, parameters) builds both frames and
+writes them as parquet under ``SPARK_GRAFT_INDEX_DIR`` (default
+``<repo>/.cache/neardup_index``); every later call — including later
+*processes*, which in-memory ``persist()`` memoization cannot serve —
+is two parquet scans.
+
+Freshness: the cache key embeds the corpus file's (mtime_ns, size) and
+the signature parameters, so a regenerated testdata file or a
+parameter change rebuilds automatically. Builds are atomic
+(write to a temp dir, ``os.rename`` into place), so concurrent
+builders race benignly — the loser discards its copy.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.operators import dedup as DD
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+INDEX_DIR_ENV = "SPARK_GRAFT_INDEX_DIR"
+
+
+def _index_root() -> str:
+    return os.environ.get(
+        INDEX_DIR_ENV, os.path.join(_REPO_ROOT, ".cache", "neardup_index")
+    )
+
+
+def _cache_tag(sf_dir: str, num_hashes: int, bands: int, k: int) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return (
+        f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}"
+        f"-h{num_hashes}b{bands}k{k}"
+    )
+
+
+def neardup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    k: int = 9,
+    hash: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(shingles, banded)`` for the documents table at
+    ``sf_dir``, served from the write-once parquet index (building it
+    on first use). Frames are bit-identical to computing
+    ``shingle_hashes`` / ``banded_minhash`` inline — oracle parity is
+    unaffected; only the storage location of the intermediate changes.
+    """
+    tag = _cache_tag(sf_dir, num_hashes, bands, k) + (
+        "" if hash == "md5" else f"-{hash}"
+    )
+    dest = os.path.join(_index_root(), tag)
+    sh_path = os.path.join(dest, "shingles")
+    bd_path = os.path.join(dest, "banded")
+    if not os.path.isdir(dest):
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        shingles = docs.select(
+            F.col("doc_id").alias("doc"),
+            DD.shingle_hashes("text", k, hash).alias("__sh"),
+        )
+        shingles.write.mode("overwrite").parquet(os.path.join(tmp, "shingles"))
+        # band from the WRITTEN shingles so the expensive md5 pass runs
+        # exactly once (building both from lineage would re-hash).
+        banded = DD.banded_minhash(
+            docs,
+            "doc_id",
+            "text",
+            num_hashes,
+            bands,
+            k,
+            shingles=spark.read.parquet(os.path.join(tmp, "shingles")),
+            hash=hash,
+        )
+        banded.write.mode("overwrite").parquet(os.path.join(tmp, "banded"))
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            # another builder won the race; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(sh_path), spark.read.parquet(bd_path)
