@@ -5,6 +5,18 @@ ONE JSON line with per-query wall seconds.
 Each query is materialized with ``collect()`` (results are small
 aggregates); a warmup query absorbs JVM/codegen startup so the numbers
 measure the plans, not the JIT.
+
+TWO passes, both reported (VERDICT r5 #3 — the r4→r5
+training_corpus_pipeline confusion was exactly this distinction):
+
+- **standalone** (``queries``/``value``): ``clearCache()`` before each
+  timed run, min of 2 — what one query costs with no shared state.
+  The headline metric, comparable round-over-round.
+- **amortized** (``amortized_queries``): one further run per query
+  with NO cache clearing, in suite order — shared frames (persisted
+  shingle/candidate memos, the disk-resident near-dup index) stay
+  warm across queries, which is how a production session actually
+  runs the family.
 """
 
 from __future__ import annotations
@@ -90,8 +102,23 @@ def main() -> None:
         else:
             cold[name] = times[name] = -1.0
 
+    # amortized pass: no cache clearing — memoized/persisted frames
+    # shared across queries stay warm (the production-session shape)
+    amortized: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).collect()
+            amortized[name] = round(time.time() - t0, 3)
+        except Exception as ex:
+            print(f"# bench error (amortized) {name}: {ex}", file=sys.stderr)
+            amortized[name] = -1.0
+
     total = round(sum(t for t in times.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
+    amortized_total = round(
+        sum(t for t in amortized.values() if t >= 0), 3
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # key order matters: the driver records a bounded TAIL of stdout,
     # so the steady-state per-query dict goes last to survive truncation
@@ -103,6 +130,8 @@ def main() -> None:
                 "unit": "sec",
                 "cold_total": cold_total,
                 "cold_queries": cold,
+                "amortized_total": amortized_total,
+                "amortized_queries": amortized,
                 "queries": times,
                 "sf": float(sf) if sf else None,
             }
