@@ -18,8 +18,36 @@ float32 parquet values).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def lsh_bits_for(n: int, target_bucket: int = 32) -> int:
+    """Bits per LSH band so the expected bucket size ``n / 2**r`` stays
+    ~``target_bucket`` as the corpus grows.
+
+    The scale property this buys (measured in tools/scale_bench.py):
+    with FIXED bits the per-band bucket population grows linearly with
+    the corpus, so candidate pairs — every (query, bucketmate) — grow
+    quadratically when both sides scale; r = ceil(log2(n/target))
+    pins bucket size, making per-query candidate work O(log n) (the
+    Hamming-1 probe set is 1 + r keys of ~target_bucket rows each).
+    At the oracle scale (sf0.01, n=500 embeddings) this yields r=4 —
+    exactly the committed DuckDB oracle's geometry, so correctness
+    parity is untouched.
+    """
+    return max(2, math.ceil(math.log2(max(2.0, n / target_bucket))))
+
+
+def ivf_nlist_for(n: int, parity_n: int = 500, parity_nlist: int = 8) -> int:
+    """IVF list count ∝ sqrt(n) (the FAISS heuristic: balances
+    centroid-scan cost against per-list scan cost), calibrated so the
+    sf0.01 oracle-parity configuration (n=500 → nlist=8) is the fixed
+    point. With fixed nprobe the probed fraction is nprobe/nlist, so
+    per-query work scales O(sqrt n) instead of O(n)."""
+    return max(parity_nlist, int(parity_nlist * math.sqrt(n / parity_n)))
 
 
 def dot(a: str, b: str) -> Column:
@@ -507,6 +535,7 @@ def cosine_topk_lsh(
     dim: int = 64,
     bands: int = 4,
     probe_hamming: int = 1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: banded hyperplane buckets
     with query-side multiprobe.
@@ -579,8 +608,15 @@ def cosine_topk_lsh(
             F.explode(F.expr(probe)).alias("key"),
         )
     )
+    # The corpus side must never shuffle for candidate generation, so
+    # the probe side broadcasts — but a hard hint on a side that grows
+    # with the corpus (queries × bands × (1+r) probes) would eventually
+    # force an OOM instead of degrading to a shuffle join; callers that
+    # know the query volume gate it (broadcast_queries=False lets AQE
+    # decide, picking broadcast itself whenever the probe side is small).
+    probe_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        c.join(F.broadcast(q), ["band", "key"])
+        c.join(probe_side, ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

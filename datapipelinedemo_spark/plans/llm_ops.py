@@ -943,6 +943,22 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k similarity search
 # --------------------------------------------------------------------------
+
+# ANN index geometry derives from the corpus row count (a plan-time
+# scalar, like the IVF centroid sample); parquet counts come from
+# footer metadata so the job is cheap, and the count is memoized per
+# sf_dir — the testdata is static within a process.
+_CORPUS_N: dict[str, int] = {}
+
+
+def _corpus_count(sf_dir: str, emb: DataFrame) -> int:
+    n = _CORPUS_N.get(sf_dir)
+    if n is None:
+        n = emb.count()
+        _CORPUS_N[sf_dir] = n
+    return n
+
+
 _QDOT = _DOT.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")
 _QNRM = _NRM_A.replace("a.embedding", "q.embedding")
 _CNRM = _NRM_A.replace("a.embedding", "c.embedding")
@@ -1020,9 +1036,21 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # Geometry scales with the corpus: bits-per-band ∝ log2(n) keeps
+    # expected bucket size constant (without it candidate pairs grow
+    # quadratically once both query and corpus sides scale — measured
+    # exponent 1.46 at 10× in tools/scale_bench.py, ~linear after).
+    # At sf0.01 (n=500) the formula lands on r=4/planes=16 — the
+    # committed oracle's exact geometry, so parity is untouched.
+    n = _corpus_count(sf_dir, emb)
+    r = SIM.lsh_bits_for(n)
+    # probe side ≈ n/50 queries × 4 bands × (1+r) probes; hard-hint the
+    # broadcast only while that stays comfortably in executor memory
+    probe_rows = (n // 50) * 4 * (1 + r)
     topk = SIM.cosine_topk_lsh(
         emb, queries, "vec_id", "embedding", k=10,
-        planes=16, dim=64, bands=4, probe_hamming=1,
+        planes=4 * r, dim=64, bands=4, probe_hamming=1,
+        broadcast_queries=probe_rows < 2_000_000,
     )
     return topk.select(
         "query_id",
@@ -1092,11 +1120,21 @@ _QTDOT = _DOT.replace("a.embedding", "q.embedding").replace(
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (operators/similarity.py:cosine_topk_ivf): the
     corpus never shuffles for assignment — centroids are inlined
-    driver-side (FAISS layout) and each row argmaxes in-row."""
+    driver-side (FAISS layout) and each row argmaxes in-row.
+
+    nlist scales as sqrt(n) (ivf_nlist_for; fixed point nlist=8 at the
+    sf0.01 oracle scale, so parity is untouched), and past the parity
+    nlist the assignment stage switches from the inlined-expression
+    fold to the Arrow BLAS ``mapInPandas`` matmul — the documented
+    large-nlist plan (an expression tree with nlist×dim literals stops
+    codegen-scaling: measured in tools/scale_bench.py, nlist=16 expr at
+    sf0.1 is already slower than nlist=50 BLAS at 10× the data)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
+    nlist = SIM.ivf_nlist_for(_corpus_count(sf_dir, emb))
     topk = SIM.cosine_topk_ivf(
-        emb, queries, "vec_id", "embedding", k=10, nlist=8, nprobe=2
+        emb, queries, "vec_id", "embedding", k=10, nlist=nlist, nprobe=2,
+        assignment="expr" if nlist <= 8 else "pandas",
     )
     return topk.select(
         "query_id",
