@@ -1,0 +1,88 @@
+"""Write-once materialized hyperplane-LSH index over the embeddings
+table — the ANN twin of ``operators.neardup_index``.
+
+``cosine_topk_lsh`` spends most of its corpus-side time signing: a
+``planes``-term hyperplane fold over every vector, and with the
+corpus-adaptive geometry (``similarity.lsh_bits_for``) planes grows as
+4·log2(n), so per-run signing cost grows n·log n. At 100 TB nobody
+signs the corpus per query batch: the signed, banded corpus persists
+next to the data (FAISS on disk, Milvus segments, Vespa posting lists
+all share this shape) and serving is probe-only. This module
+reproduces that architecture locally: first call per (embeddings file,
+geometry) builds the ``similarity.lsh_corpus_frame`` and writes it as
+parquet under ``SPARK_GRAFT_INDEX_DIR`` (default
+``<repo>/.cache/ann_index``); every later call — including later
+processes, which in-memory memoization cannot serve — is one parquet
+scan, partition-pruned to the probed (band, key) buckets by the scan's
+pushed filters.
+
+Freshness/atomicity follow ``neardup_index``: the cache key embeds the
+source file's (mtime_ns, size) and the geometry, builds go to a temp
+dir and ``os.rename`` into place, concurrent builders race benignly.
+
+Results are bit-identical to inline signing (same deterministic
+md5-derived hyperplanes), so DuckDB-oracle parity is unaffected.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelinedemo_spark.operators import similarity as SIM
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+INDEX_DIR_ENV = "SPARK_GRAFT_INDEX_DIR"
+
+
+def _index_root() -> str:
+    return os.environ.get(
+        INDEX_DIR_ENV, os.path.join(_REPO_ROOT, ".cache", "ann_index")
+    )
+
+
+def _cache_tag(sf_dir: str, planes: int, bands: int, dim: int) -> str:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return (
+        f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}"
+        f"-p{planes}b{bands}d{dim}"
+    )
+
+
+def lsh_index(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Return the banded LSH corpus frame for the embeddings table at
+    ``sf_dir``, served from the write-once parquet index (building it
+    on first use). Bit-identical to ``similarity.lsh_corpus_frame``
+    computed inline — only the storage location of the intermediate
+    changes."""
+    dest = os.path.join(_index_root(), _cache_tag(sf_dir, planes, bands, dim))
+    if not os.path.isdir(dest):
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        frame = SIM.lsh_corpus_frame(emb, id_col, vec_col, planes, dim, bands)
+        # partition-friendly order: bucket rows of one (band, key)
+        # cluster inside row groups, so probe-time pushed filters on
+        # (band, key) skip most of the file via footer min/max stats
+        frame.repartitionByRange(8, "band", "key").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(dest)

