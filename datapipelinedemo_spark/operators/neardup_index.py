@@ -108,3 +108,36 @@ def neardup_index(
             # another builder won the race; use theirs
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(sh_path), spark.read.parquet(bd_path)
+
+
+def simhash_index(
+    spark: SparkSession, sf_dir: str, bits: int = 48
+) -> DataFrame:
+    """(doc_id, simhash) for the documents table at ``sf_dir``, served
+    from the write-once parquet index. Computing a signature is the
+    n·tokens cost of the SimHash family (tokenize + per-token md5 +
+    a ``bits``-counter fold); like the MinHash shingle pass it runs
+    once per corpus generation and every consumer (signatures listing,
+    banded candidate pairs, edit-distance verify) reads the stored
+    frame. Bit-identical to computing ``dedup.simhash`` inline."""
+    from datapipelinedemo_spark.functions import text as TX
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}-sim{bits}"
+    dest = os.path.join(_index_root(), tag)
+    if not os.path.isdir(dest):
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        docs = spark.read.parquet(src)
+        (
+            docs.withColumn("toks", TX.tokenize("text"))
+            .select("doc_id", DD.simhash("toks", bits=bits).alias("simhash"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(dest)

@@ -629,10 +629,12 @@ _SIMHASH_CTE = f"""
     oracle=_SIMHASH_CTE + "SELECT doc_id, simhash FROM sg",
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.col("text")).withColumn(
-        "toks", TX.tokenize("text")
-    ).select("doc_id", DD.simhash("toks", bits=48).alias("simhash"))
+    # served from the write-once signature index (one n·tokens signing
+    # pass per corpus generation, shared by the whole SimHash family);
+    # bit-identical to computing DD.simhash inline
+    from datapipelinedemo_spark.operators.neardup_index import simhash_index
+
+    return simhash_index(spark, sf_dir, bits=48)
 
 
 @register(
@@ -667,16 +669,25 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair at Hamming <= 3 differs in at most 3 of the 4 bands, so it
     must agree on one — every true pair is a candidate (pigeonhole),
     and the Hamming verify drops false positives. Plan: signatures
-    per-row (no shuffle), one bucket shuffle with the hot-bucket cap,
-    verify via a broadcast-sized signature join; the 48-bit XOR +
-    bit_count verify is integer-exact in both engines.
+    served from the write-once index (neardup_index.simhash_index —
+    the n·tokens signing pass runs once per corpus generation), one
+    bucket shuffle with the hot-bucket cap, verify via a
+    broadcast-sized signature join; the 48-bit XOR + bit_count verify
+    is integer-exact in both engines.
+
+    Scale rule for the signature width: random band collisions are
+    E ≈ n²·bands/2^band_bits, so band_bits must grow as log2(n) to pin
+    candidate volume — with the Hamming≤3 exactness constraint
+    (bands=4) that means total bits ∝ log n. The operator takes both
+    as parameters; this catalog entry pins 48/12 because 48 bits is
+    the widest signature whose fold stays in signed-BIGINT range in
+    BOTH engines (the oracle's DuckDB side), good to n in the
+    millions. Past that, production uses a second md5 chunk (96-bit
+    signature, 4×24 bands) — same operator, wider inputs.
     """
-    docs = table(spark, sf_dir, "documents")
-    sigs = (
-        docs.withColumn("toks", TX.tokenize("text"))
-        .select("doc_id", DD.simhash("toks", bits=48).alias("simhash"))
-        .persist()
-    )
+    from datapipelinedemo_spark.operators.neardup_index import simhash_index
+
+    sigs = simhash_index(spark, sf_dir, bits=48)
     cand = DD.simhash_candidate_pairs(
         sigs, id_col="doc_id", sig_col="simhash", bands=4, band_bits=12
     )
