@@ -127,10 +127,15 @@ PRIORITY = [
     "distinct_parts_per_flag",
     "suppliers_per_nation_list",
     "brand_revenue",
-    "customer_revenue_gini",
+    # --- new this round: F14/F15 parity shims need a first driver row
+    #     (a never-certified query outranks re-certifying
+    #     customer_revenue_gini, which holds a green r3 row and slides
+    #     to position 51 for the r7 rotation) ---
+    "pair_struct_extract_reverse",
     # --- sentinels (r4 / r5 suites) ---
     "tweets_sentiment2d_monthly",
     "incremental_dedup_candidates",
+    "customer_revenue_gini",
 ]
 
 

@@ -847,3 +847,53 @@ def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd"
         ).alias("ship_by"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reference-parity shims under oracle certification (SURVEY §2 F14/F15):
+# positional struct access + pair reversal as native expressions. The
+# main pipelines never need these (groups key on real columns), but the
+# inventory is complete and the semantics are driver-certified.
+# --------------------------------------------------------------------------
+@register(
+    "pair_struct_extract_reverse",
+    oracle="""
+    SELECT lang AS topic, source AS topic2,
+           source AS rev0, lang AS rev1,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def pair_struct_extract_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the reference's tuple shapes (a struct pair and an array
+    pair) from real columns, then round-trips them through the F14/F15
+    shims: positional struct-field access (``functions.compat.field_at``,
+    the native ``lambda x: x[i]``), chained ``x[0][i]`` access
+    (``nested_item``), and the dead-code pair reversal
+    (``pair_reversed``, ``demo.py:417,479`` intended semantics). The
+    oracle states what the accessors must return — lang/source in the
+    original and reversed positions."""
+    from datapipelinedemo_spark.functions.compat import (
+        field_at,
+        nested_item,
+        pair_reversed,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.struct(F.col("lang"), F.col("source")).alias("key"),
+        F.array(F.col("lang"), F.col("source")).alias("pair"),
+    )
+    shaped = docs.select(
+        field_at(docs, "key", 0).alias("topic"),
+        field_at(docs, "key", 1).alias("topic2"),
+        pair_reversed("pair").alias("rev"),
+    )
+    return shaped.select(
+        "topic",
+        "topic2",
+        nested_item("rev", 0).alias("rev0"),
+        nested_item("rev", 1).alias("rev1"),
+    ).groupBy("topic", "topic2", "rev0", "rev1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select("topic", "topic2", "rev0", "rev1", "n_docs")
