@@ -26,7 +26,28 @@ from datapipelinedemo_spark.plans import tweets as TW
 from datapipelinedemo_spark.plans.catalog import register
 from datapipelinedemo_spark.sources.csv import TWEET_SCHEMA
 
-FIXTURE = "/root/repo/fixtures/tweets.parquet"
+# Fixture paths derived from this file's location so the queries (and
+# the oracle SQL embedding them) survive a checkout anywhere.
+_FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+)
+FIXTURE = os.path.join(_FIXTURES_DIR, "tweets.parquet")
+
+# Operation-for-operation mirror of parse_human_number
+# (functions/cleaning.py): same anchored numeric-prefix regex (so
+# whitespace and lowercase k/m behave identically), TRY_CAST so
+# garbage like 'xK' yields 0 instead of aborting the oracle, and the
+# same double-multiply-then-floor grid as Spark's cast("long")
+# truncation on non-negative values.
+_HUM = """
+           COALESCE(CAST(FLOOR(
+               TRY_CAST(regexp_extract({c},
+                   '^\\s*([0-9]*\\.?[0-9]+)\\s*[KkMm]?\\s*$', 1) AS DOUBLE)
+               * CASE WHEN regexp_matches({c}, '[Kk]\\s*$') THEN 1000
+                      WHEN regexp_matches({c}, '[Mm]\\s*$') THEN 1000000
+                      ELSE 1 END) AS BIGINT), 0)
+"""
 
 PATTERNS = [
     ("soda", 1, "Brand", "Soda"),
@@ -102,21 +123,12 @@ WITH raw AS (
               'None') AS cat2
     FROM kw WHERE keyword IS NOT NULL
 ), nums AS (
+    -- robust _HUM form (regexp_extract + TRY_CAST), same as the CSV
+    -- oracle — the earlier LIKE '%K' + rtrim form aborted DuckDB on
+    -- shapes like 'xK' and missed lowercase k/m that Spark accepts
     SELECT rid, Text, cat2, year(d) AS y, month(d) AS m,
-           CASE WHEN likes_s LIKE '%K'
-                  THEN CAST(FLOOR(CAST(rtrim(likes_s,'K') AS DOUBLE)*1000) AS BIGINT)
-                WHEN likes_s LIKE '%M'
-                  THEN CAST(FLOOR(CAST(rtrim(likes_s,'M') AS DOUBLE)*1000000) AS BIGINT)
-                WHEN regexp_matches(likes_s, '^\\s*[0-9]*\\.?[0-9]+\\s*$')
-                  THEN CAST(FLOOR(CAST(likes_s AS DOUBLE)) AS BIGINT)
-                ELSE 0 END AS likes,
-           CASE WHEN rts_s LIKE '%K'
-                  THEN CAST(FLOOR(CAST(rtrim(rts_s,'K') AS DOUBLE)*1000) AS BIGINT)
-                WHEN rts_s LIKE '%M'
-                  THEN CAST(FLOOR(CAST(rtrim(rts_s,'M') AS DOUBLE)*1000000) AS BIGINT)
-                WHEN regexp_matches(rts_s, '^\\s*[0-9]*\\.?[0-9]+\\s*$')
-                  THEN CAST(FLOOR(CAST(rts_s AS DOUBLE)) AS BIGINT)
-                ELSE 0 END AS rts
+           {_HUM.format(c='likes_s')} AS likes,
+           {_HUM.format(c='rts_s')} AS rts
     FROM cat
 ), logs AS (
     SELECT *, CAST(round(log2(likes + 1.0), 0) AS BIGINT) + 1 AS llog,
@@ -284,26 +296,7 @@ def tweets_sentiment2d_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB read_csv twin hash-checks scan + F1/F2/F4 parse parity.
 # Fixture path derived from this file's location so the query (and the
 # oracle SQL embedding it) survive a checkout anywhere (ADVICE r5).
-CSV_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "fixtures",
-    "tweets_csv",
-)
-
-# Operation-for-operation mirror of parse_human_number
-# (functions/cleaning.py): same anchored numeric-prefix regex (so
-# whitespace and lowercase k/m behave identically), TRY_CAST so
-# garbage like 'xK' yields 0 instead of aborting the oracle, and the
-# same double-multiply-then-floor grid as Spark's cast("long")
-# truncation on non-negative values.
-_HUM = """
-           COALESCE(CAST(FLOOR(
-               TRY_CAST(regexp_extract({c},
-                   '^\\s*([0-9]*\\.?[0-9]+)\\s*[KkMm]?\\s*$', 1) AS DOUBLE)
-               * CASE WHEN regexp_matches({c}, '[Kk]\\s*$') THEN 1000
-                      WHEN regexp_matches({c}, '[Mm]\\s*$') THEN 1000000
-                      ELSE 1 END) AS BIGINT), 0)
-"""
+CSV_DIR = os.path.join(_FIXTURES_DIR, "tweets_csv")
 
 _CSV_ORACLE = f"""
 WITH src AS (
