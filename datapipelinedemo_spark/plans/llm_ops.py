@@ -1881,3 +1881,103 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("quality_logit_micro"),
         (logit > F.lit(2000000)).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4-style corpus-level boilerplate-line dedup (T5/C4 preprocessing:
+# drop any line that repeats across >= 3 documents in the corpus —
+# navigation bars, cookie banners, license footers — while keeping
+# each document's remaining lines in order). The testdata documents
+# are single-line word streams, so the "line" segmenter here is a
+# fixed 4-word block (the segmenter is the only corpus-specific seam;
+# on real web data it is split('\n')). Plan shape is the 100 TB one:
+# blocks are built IN-ROW (transform over a sequence — no explode
+# before the per-block counting shuffle), the global block count is
+# one partial-agg shuffle, the boilerplate set joins back as a
+# shuffle join on the block text (NOT broadcast — the >=3-docs set
+# grows with the corpus per Heaps' law, same lesson as the bigram-LM
+# scoring join), and documents reassemble with one groupBy(doc_id)
+# whose per-group state is the document itself — bounded by doc
+# length, not corpus size.
+# --------------------------------------------------------------------------
+_C4_B = 4  # words per pseudo-line block
+_C4_MIN_DOCS = 3  # C4 drops lines occurring in >= 3 pages
+
+@register(
+    "c4_line_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ix AS (
+        SELECT doc_id, ws,
+               unnest(range(CAST(ceil(len(ws) / {_C4_B}.0) AS BIGINT))) AS idx
+        FROM w
+    ), b AS (
+        SELECT doc_id, idx,
+               array_to_string(
+                   list_slice(ws, idx * {_C4_B} + 1, idx * {_C4_B} + {_C4_B}),
+                   ' ') AS blk
+        FROM ix
+    ), boiler AS (
+        SELECT blk FROM b GROUP BY blk
+        HAVING count(DISTINCT doc_id) >= {_C4_MIN_DOCS}
+    ), j AS (
+        SELECT b.doc_id, b.idx, b.blk,
+               boiler.blk IS NOT NULL AS is_b
+        FROM b LEFT JOIN boiler USING (blk)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_blocks,
+           CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS INT)
+               AS removed_blocks,
+           COALESCE(string_agg(CASE WHEN NOT is_b THEN blk END,
+                               ' ' ORDER BY idx), '') AS cleaned_text
+    FROM j GROUP BY doc_id
+    """,
+)
+def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return c4_line_dedup_frame(docs)
+
+
+def c4_line_dedup_frame(
+    docs: DataFrame,
+    block_words: int = _C4_B,
+    min_docs: int = _C4_MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, n_blocks, removed_blocks, cleaned_text) with every
+    block repeated across >= ``min_docs`` documents removed, remaining
+    blocks rejoined in document order."""
+    b = F.lit(block_words)
+    words = F.split(F.col("text"), " ")
+    nblk = F.ceil(F.size(words) / b.cast("double")).cast("long")
+    blocks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nblk - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, (i * b + 1).cast("int"), block_words), " "
+        ),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(blocks).alias("idx", "blk")
+    )
+    boiler = (
+        ex.groupBy("blk")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("blk", F.lit(True).alias("is_b"))
+    )
+    j = ex.join(boiler, "blk", "left")
+    kept_struct = F.when(
+        F.col("is_b").isNull(), F.struct(F.col("idx"), F.col("blk"))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_blocks"),
+        F.count("is_b").cast("int").alias("removed_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

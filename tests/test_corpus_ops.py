@@ -124,3 +124,39 @@ def test_fixed_window_repack_invariants(spark, sf_dir):
     assert total_windowed == total_tokens
     # window ids are dense 0..n-1
     assert out.agg(F.max("window_id")).collect()[0][0] == n_windows - 1
+
+
+def test_c4_line_dedup_planted_boilerplate(spark):
+    from datapipelinedemo_spark.plans.llm_ops import c4_line_dedup_frame
+
+    boiler = "accept all cookies now"  # one 4-word block, in 3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"unique two words here {boiler}"),
+            (3, f"{boiler}"),
+            (4, "totally fresh content only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in c4_line_dedup_frame(docs, block_words=4, min_docs=3).collect()
+    }
+    # the planted block is gone everywhere, order preserved
+    assert out[1]["cleaned_text"] == "alpha beta gamma delta"
+    assert out[2]["cleaned_text"] == "unique two words here"
+    assert out[3]["cleaned_text"] == ""  # fully-boilerplate doc survives as empty
+    assert out[4]["cleaned_text"] == "totally fresh content only"
+    assert [out[i]["removed_blocks"] for i in (1, 2, 3, 4)] == [1, 1, 1, 0]
+    assert out[1]["n_blocks"] == 2 and out[3]["n_blocks"] == 1
+
+
+def test_c4_line_dedup_order_preserved_many_blocks(spark):
+    from datapipelinedemo_spark.plans.llm_ops import c4_line_dedup_frame
+
+    # 12 distinct 1-word blocks; no boilerplate -> text round-trips
+    text = " ".join(f"w{i:02d}" for i in range(12))
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = c4_line_dedup_frame(docs, block_words=1, min_docs=2).collect()[0]
+    assert row["cleaned_text"] == text and row["removed_blocks"] == 0
