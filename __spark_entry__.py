@@ -132,7 +132,12 @@ PRIORITY = [
     #     customer_revenue_gini, which holds a green r3 row and slides
     #     to position 51 for the r7 rotation) ---
     "pair_struct_extract_reverse",
-    # --- sentinels (r4 / r5 suites) ---
+    "c4_line_dedup",
+    # --- sentinel (r4 tweets suite; incremental_dedup_candidates
+    #     holds a fresh green r5 row, so the never-certified
+    #     c4_line_dedup above outranks re-certifying it — it and
+    #     customer_revenue_gini slide past the 50-query window to the
+    #     r7 rotation) ---
     "tweets_sentiment2d_monthly",
     "incremental_dedup_candidates",
     "customer_revenue_gini",
