@@ -164,8 +164,6 @@ def embedding_neardup_pairs(
 
     # LSH path: signature per row (no shuffle) → explode bands → bucket
     # group → in-row pair expansion → distinct ids → score exact cosine.
-    from datapipelinedemo_spark.operators.pairs import pair_combinations
-
     r = planes // bands
     assert planes % bands == 0
     banded = (
@@ -183,6 +181,21 @@ def embedding_neardup_pairs(
             ).alias("band", "key"),
         )
     )
+    return banded_neardup_pairs(banded, base, threshold)
+
+
+def banded_neardup_pairs(
+    banded: DataFrame, base: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate generation + exact-cosine verify over a prebuilt
+    banded frame ``(id, band, key)`` and a vector frame
+    ``(id, v, nrm)``. Split out of ``embedding_neardup_pairs`` so the
+    banded side can come from the write-once parquet index
+    (``operators.ann_index``) instead of per-run signing — the verify
+    joins read the raw vectors either way, so scores are bit-identical
+    to the inline path."""
+    from datapipelinedemo_spark.operators.pairs import pair_combinations
+
     cand = (
         banded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("id")).alias("ds"))

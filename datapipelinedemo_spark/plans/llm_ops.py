@@ -940,12 +940,32 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py): no all-pairs join anywhere — candidate
     generation is one shuffle on (band, key). The 0.3 threshold is set
     by the synthetic data (no true near-dup pairs exist above 0.5);
-    recall vs the exact answer is pinned in tests and PERF.md."""
+    recall vs the exact answer is pinned in tests and PERF.md.
+
+    The banded side comes from the write-once parquet index
+    (operators/ann_index.py, same md5 hyperplanes as inline signing —
+    bit-identical, oracle unchanged); the exact-cosine verify reads the
+    raw embeddings table. Per-run cost is a probe of the stored index,
+    not an n·planes·dim signing pass."""
+    from datapipelinedemo_spark.operators.ann_index import lsh_index
+
     emb = table(spark, sf_dir, "embeddings")
-    pairs = SIM.embedding_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3,
-        planes=16, bands=4, dim=64,
+    # Geometry scales with the corpus like similarity_topk_lsh:
+    # bits-per-band ∝ log2(n) pins expected bucket size, so candidate
+    # pairs stay ~linear in n (fixed 16/4 measured quadratic at 10× —
+    # the sf1 slice took >10 min vs seconds adaptive). At sf0.01
+    # (n=500) the formula lands on r=4/planes=16, the committed
+    # oracle's exact geometry, so parity is untouched.
+    r = SIM.lsh_bits_for(_corpus_count(sf_dir, emb))
+    banded = lsh_index(
+        spark, sf_dir, planes=4 * r, bands=4, dim=64
+    ).select(F.col("neighbor_id").alias("id"), "band", "key")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        SIM.norm("embedding").alias("nrm"),
     )
+    pairs = SIM.banded_neardup_pairs(banded, base, threshold=0.3)
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
