@@ -49,6 +49,8 @@ QUERIES = [
     "q1_pricing_summary",
     "q18_large_quantity_orders",
     "events_sliding_2h_1h",
+    "embedding_neardup_pairs",
+    "c4_line_dedup",
 ]
 
 BASE = "/root/testdata/sf0.1"
