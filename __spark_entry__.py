@@ -127,20 +127,16 @@ PRIORITY = [
     "distinct_parts_per_flag",
     "suppliers_per_nation_list",
     "brand_revenue",
-    # --- new this round: F14/F15 parity shims need a first driver row
-    #     (a never-certified query outranks re-certifying
-    #     customer_revenue_gini, which holds a green r3 row and slides
-    #     to position 51 for the r7 rotation) ---
+    "customer_revenue_gini",
+    # --- new this round: F14/F15 parity shims need a first driver row ---
     "pair_struct_extract_reverse",
     "c4_line_dedup",
-    # --- sentinel (r4 tweets suite; incremental_dedup_candidates
-    #     holds a fresh green r5 row, so the never-certified
-    #     c4_line_dedup above outranks re-certifying it — it and
-    #     customer_revenue_gini slide past the 50-query window to the
-    #     r7 rotation) ---
+    # --- past the 50-query window: sentinels for the r7 rotation.
+    #     48 r3-vintage + 2 never-certified fill the window exactly, so
+    #     after r6 no certification is older than round 4; these
+    #     re-certification candidates (green r4/r5 rows) lead round 7. ---
     "tweets_sentiment2d_monthly",
     "incremental_dedup_candidates",
-    "customer_revenue_gini",
 ]
 
 
