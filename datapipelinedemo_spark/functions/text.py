@@ -110,11 +110,18 @@ def char_shingles(c, k: int = 5) -> Column:
 
 
 def word_ngrams(arr, n: int = 3) -> Column:
-    """Word n-grams (space-joined) over a token array column."""
+    """Word n-grams (space-joined) over a token array column.
+
+    ANSI-safe for short docs: fewer than ``n`` tokens yields an empty
+    array. (``sequence(1, greatest(size-n+1, 0))`` would count DOWN to
+    0 there and feed ``slice`` an invalid 0 start — the same trap
+    ``ngrams`` documents.)"""
     name = _name(arr)
     return F.expr(
-        f"transform(sequence(1, greatest(size({name}) - {n - 1}, 0)),"
+        f"case when size({name}) >= {n} then"
+        f" transform(sequence(1, size({name}) - {n - 1}),"
         f" i -> array_join(slice({name}, i, {n}), ' '))"
+        f" else cast(array() as array<string>) end"
     )
 
 

@@ -396,3 +396,100 @@ def neardup_pipeline(
     return jaccard_verify(
         df, cand, id_col, text, k, threshold, shingles=shingles
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003) — the distributable
+# exact-substring-dedup primitive.
+# --------------------------------------------------------------------------
+
+WINNOW_K = 5  # token k-gram length
+WINNOW_W = 4  # window size; guarantee: shared runs >= w+k-1 = 8 tokens
+
+
+def winnow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS fingerprinter) →
+    ``(doc_id, pos, fingerprint, gram)``, pos 1-based over the doc's
+    token k-gram sequence.
+
+    Selection rule: a position is kept iff it is the rightmost
+    minimum of at least one length-``w`` window of consecutive k-gram
+    hashes (docs with fewer than ``w`` k-grams form a single window).
+    Expected density 2/(w+1); the guarantee that makes this the
+    distributable relaxation of exact-substring dedup (Lee et al.
+    2022): any token run of length >= w+k-1 shared by two docs yields
+    a shared fingerprint.
+
+    Plan shape: per-row k-gram + hash expressions (whole-stage
+    codegen), one explode to <=w rows per k-gram, one partial-agg
+    groupBy (doc, window) taking min(struct(hash, -pos)) — the
+    rightmost-min — then distinct. No window functions, so both
+    shuffles are map-side combinable and keyed at (doc, window)
+    grain; the explode factor w is a constant. The md5-derived 60-bit
+    gram hash is the repo's cross-engine parity choice; production
+    would flip to xxhash64 like the MinHash family.
+    """
+    from datapipelinedemo_spark.functions import text as TX
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            TX.tokenize(text_col).alias("toks"),
+        )
+        .withColumn("grams", TX.word_ngrams("toks", n=k))
+        .withColumn("m", F.size("grams"))
+        .filter(F.col("m") > 0)
+    )
+    hashed = toks.select(
+        "doc_id",
+        "m",
+        F.posexplode("grams").alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "m",
+        (F.col("pos0") + 1).alias("pos"),
+        "gram",
+        F.expr(
+            "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    # window-start ids containing pos (1-based); for m < w the whole
+    # doc is the single window 1.
+    exploded = hashed.withColumn(
+        "win",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("pos") - F.lit(w - 1)),
+                F.least(
+                    F.col("pos"),
+                    F.greatest(F.lit(1), F.col("m") - F.lit(w - 1)),
+                ),
+            )
+        ),
+    )
+    return (
+        exploded.groupBy("doc_id", "win")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("h").alias("h"),
+                    (-F.col("pos")).alias("np"),
+                    F.col("gram").alias("gram"),
+                )
+            ).alias("sel")
+        )
+        .select(
+            "doc_id",
+            (-F.col("sel.np")).alias("pos"),
+            F.col("sel.h").alias("fingerprint"),
+            F.col("sel.gram").alias("gram"),
+        )
+        .distinct()
+    )

@@ -141,3 +141,32 @@ def simhash_index(
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(dest)
+
+
+def winnow_index(
+    spark: SparkSession, sf_dir: str, k: int | None = None, w: int | None = None
+) -> DataFrame:
+    """Winnowed fingerprints ``(doc_id, pos, fingerprint, gram)`` for
+    the documents table at ``sf_dir``, served from the write-once
+    parquet index. The k-gram md5 pass + window selection is the
+    dominant cost of the exact-substring family; like the MinHash
+    shingle pass it runs once per corpus generation and every
+    consumer (the fingerprint listing, the substring-match pair join
+    and its boilerplate-df filter) reads the stored frame.
+    Bit-identical to computing ``dedup.winnow`` inline."""
+    k = DD.WINNOW_K if k is None else k
+    w = DD.WINNOW_W if w is None else w
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}-win{k}_{w}"
+    dest = os.path.join(_index_root(), tag)
+    if not os.path.isdir(dest):
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        docs = spark.read.parquet(src)
+        DD.winnow(docs, k=k, w=w).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(dest)

@@ -68,3 +68,4 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import tweets_catalog  # noqa: F401
     from datapipelinedemo_spark.plans import analytics_ops  # noqa: F401
     from datapipelinedemo_spark.plans import ml_ops  # noqa: F401
+    from datapipelinedemo_spark.plans import dedup_ext  # noqa: F401

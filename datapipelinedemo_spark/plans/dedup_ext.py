@@ -1,0 +1,343 @@
+"""Paper-grade dedup extensions beyond the MinHash/SimHash family:
+
+- **SemDeDup** (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+  at web-scale through semantic deduplication"): k-means-cluster the
+  embedding space, then prune semantic duplicates *within* each
+  cluster — pairwise work is bounded by cluster size, never the
+  corpus.
+- **Winnowing** (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+  fingerprinter): position-robust selection of token k-gram hashes
+  such that any shared token run of length >= w + k - 1 between two
+  documents is GUARANTEED to share at least one selected fingerprint.
+  This is the scalable relaxation of exact-substring dedup (Lee et
+  al. 2022, "Deduplicating Training Data Makes Language Models
+  Better"): suffix-array substring matching does not distribute,
+  winnowed fingerprints join on a hash key like any other shuffle.
+
+Both follow the repo's exactness playbook: integer / md5-derived
+arithmetic only, so the DuckDB oracles hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.operators import similarity as SIM
+from datapipelinedemo_spark.operators.dedup import WINNOW_K, WINNOW_W, winnow
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.plans.ml_ops import (
+    _kmeans_cte,
+    kmeans_assign_cached,
+)
+from datapipelinedemo_spark.tables import table
+
+# --------------------------------------------------------------------------
+# SemDeDup: within-cluster semantic near-dup pruning
+# --------------------------------------------------------------------------
+
+# Cosine threshold above which two same-cluster embeddings are
+# semantic duplicates. The paper uses ~0.95+ on real embeddings; the
+# synthetic testdata has no true near-dups above 0.5 (the same reason
+# embedding_neardup_pairs uses 0.3), so the catalog query pins 0.3 to
+# exercise the prune path on data that actually contains pairs.
+_SEM_TAU = 0.3
+_SEM_K = 8          # oracle-parity cluster count (sf0.01, n=500)
+_TARGET_CLUSTER = 64  # production: k grows so clusters stay ~this size
+
+
+def semdedup_k_for(n: int, target: int = _TARGET_CLUSTER) -> int:
+    """Cluster count ∝ corpus size so the expected cluster stays at
+    ``target`` docs and the within-cluster pairwise stage is O(n ·
+    target), not O(n²/k_fixed) — the same adaptive-geometry move as
+    ``similarity.lsh_bits_for``. Fixed point: n=500 (the sf0.01
+    oracle corpus) → k=8, the committed oracle's exact geometry."""
+    return max(_SEM_K, n // target)
+
+
+def semdedup(
+    assignment: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    cluster_cap: int = 2048,
+) -> DataFrame:
+    """SemDeDup prune over a cluster ``assignment`` frame
+    ``(vec_id, cluster, sq_dist)`` and the raw ``embeddings``.
+
+    Keep rule (the paper's): within every duplicate pair, keep the
+    example FARTHEST from its centroid (max ``sq_dist`` — exact
+    BIGINT, no float ambiguity), ties keep the smaller ``vec_id``.
+    A doc is dropped iff some same-cluster doc within ``threshold``
+    cosine outranks it. No transitive closure is needed — the rule is
+    a per-doc EXISTS, one self-join on the cluster key.
+
+    Scale shape: ONE shuffle on ``cluster`` for the self-join; with
+    ``semdedup_k_for`` geometry each cluster is ~64 docs, so pairwise
+    work is linear in the corpus. ``cluster_cap`` bounds the
+    degenerate case (a mega-cluster of boilerplate embeddings) the
+    same way the LSH ``bucket_cap`` does: only the cap-ranked head of
+    an oversized cluster enters the pairwise join (rank by sq_dist
+    desc / vec_id — the keep-priority order, so the retained
+    representative is always compared). No-op for clusters at or
+    under the cap; at the sf0.01 oracle scale every cluster is far
+    below it.
+    """
+    scored = assignment.join(
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            SIM.norm("embedding").alias("nrm"),
+        ),
+        "vec_id",
+    )
+    ranked = scored.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(
+                F.desc("sq_dist"), F.asc("vec_id")
+            )
+        ),
+    )
+    head = ranked.filter(F.col("__rn") <= cluster_cap)
+    a = head.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("sq_dist").alias("d_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = head.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("sq_dist").alias("d_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            SIM.dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
+            >= threshold
+        )
+        .filter(
+            (F.col("d_b") > F.col("d_a"))
+            | (
+                (F.col("d_b") == F.col("d_a"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assignment.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+_SD_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE,"
+    " [CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)"
+    "  for i in generate_series(1, 64)]), (x, y) -> x + y)"
+)
+_SD_NRM_A = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE,"
+    " [CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)"
+    "  for i in generate_series(1, 64)]), (x, y) -> x + y))"
+)
+_SD_NRM_B = _SD_NRM_A.replace("ea.embedding", "eb.embedding")
+
+
+@register(
+    "semdedup_prune",
+    oracle=_kmeans_cte()
+    + f"""
+    , dropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM asg x
+        JOIN asg y ON y.cid = x.cid AND y.vec_id <> x.vec_id
+        JOIN embeddings ea ON ea.vec_id = x.vec_id
+        JOIN embeddings eb ON eb.vec_id = y.vec_id
+        WHERE {_SD_DOT} / ({_SD_NRM_A} * {_SD_NRM_B}) >= {_SEM_TAU}
+          AND (y.d > x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
+    )
+    SELECT asg.vec_id, asg.cid AS cluster,
+           (dropped.vec_id IS NULL) AS kept
+    FROM asg LEFT JOIN dropped ON dropped.vec_id = asg.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding table: deterministic k-means
+    clustering (the ``kmeans_embedding_clusters`` engine — exact
+    integer-grid Lloyd's, shared oracle CTE), then within-cluster
+    cosine pruning keeping the farthest-from-centroid representative
+    of every duplicate pair.
+
+    The oracle-parity geometry is k=8 at sf0.01 — exactly what
+    ``semdedup_k_for(500)`` returns, so the adaptive production
+    geometry and the committed oracle coincide at the certification
+    scale (the lsh_bits_for precedent). The raw-double cosine
+    threshold compare is the proven embedding_neardup_pairs pattern:
+    both engines fold the same float32 inputs left-to-right in double
+    precision, so the comparison is bit-identical.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assignment = kmeans_assign_cached(spark, sf_dir, k=semdedup_k_for(n))
+    return semdedup(assignment, emb, threshold=_SEM_TAU)
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints + exact-substring match candidates
+# --------------------------------------------------------------------------
+
+# winnow() itself lives in operators/dedup.py (WINNOW_K=5, WINNOW_W=4);
+# aliases kept for the oracle templates below.
+_WIN_K = WINNOW_K
+_WIN_W = WINNOW_W
+# A k-gram shared by more than this many docs is boilerplate — joining
+# on it would square pair counts (the C4 problem, handled corpus-wide
+# by c4_line_dedup); matching drops it, mirrored exactly in the oracle.
+_WIN_MAXDF = 64
+
+
+# DuckDB twin of the k-gram/hash/window derivation, ending in CTE
+# ``fp`` = (doc_id, pos, fingerprint, gram). Same rightmost-min rule
+# via ROW_NUMBER (h ASC, pos DESC) — a different formulation than
+# Spark's min(struct), same selected set.
+_WINNOW_CTE = f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    pp AS (
+        SELECT doc_id, len(toks) - {_WIN_K - 1} AS m,
+               unnest(generate_series(1, len(toks) - {_WIN_K - 1})) AS pos,
+               toks
+        FROM tk
+    ),
+    gr AS (
+        SELECT doc_id, m, pos,
+               array_to_string(toks[pos : pos + {_WIN_K - 1}], ' ') AS gram
+        FROM pp
+    ),
+    hs AS (
+        SELECT doc_id, m, pos, gram,
+               CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) AS h
+        FROM gr
+    ),
+    ww AS (
+        SELECT doc_id, pos, gram, h,
+               unnest(generate_series(
+                   GREATEST(1, pos - {_WIN_W - 1}),
+                   LEAST(pos, GREATEST(1, m - {_WIN_W - 1})))) AS win
+        FROM hs
+    ),
+    wn AS (SELECT doc_id, pos, gram, h, win FROM ww),
+    fp AS (
+        SELECT DISTINCT doc_id, pos, h AS fingerprint, gram FROM (
+            SELECT doc_id, pos, gram, h,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, win
+                                      ORDER BY h, pos DESC) AS rn
+            FROM wn
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=_WINNOW_CTE
+    + """
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, fingerprint, gram FROM fp
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (doc_id, pos, fingerprint, gram) selection over the
+    documents table — see ``operators.dedup.winnow`` for the
+    guarantee and plan shape. Served from the write-once parquet
+    index (the k-gram md5 pass runs once per corpus generation —
+    the MinHash-shingle precedent), bit-identical to inline."""
+    from datapipelinedemo_spark.operators.neardup_index import winnow_index
+
+    out = winnow_index(spark, sf_dir)
+    return out.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        "fingerprint", "gram",
+    )
+
+
+@register(
+    "winnowed_substring_matches",
+    oracle=_WINNOW_CTE
+    + f"""
+    , keep AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS df FROM fp GROUP BY gram
+        ) WHERE df <= {_WIN_MAXDF}
+    ),
+    j AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gram
+        FROM fp a JOIN fp b ON b.gram = a.gram AND a.doc_id < b.doc_id
+        JOIN keep k ON k.gram = a.gram
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS shared_grams
+    FROM j GROUP BY doc_a, doc_b
+    """,
+)
+def winnowed_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication candidates: pairs of documents
+    sharing winnowed k-gram fingerprints, with fingerprint-occurrence
+    and distinct-gram counts. By the winnowing guarantee every shared
+    token run of >= w+k-1 = 8 tokens appears here; matches are joined
+    on the GRAM TEXT (not the hash), so there are no collision false
+    positives — the join key is hash-partitioned identically either
+    way.
+
+    Boilerplate guard: grams present in more than 64 docs (_WIN_MAXDF)
+    are excluded BEFORE the pair join (document-frequency filter — one
+    extra groupBy on the fingerprint frame), because one corpus-wide
+    boilerplate gram would emit O(df²) pairs; corpus-level
+    boilerplate is the c4_line_dedup operator's job. The filter is
+    mirrored in the oracle, so it is part of the checked semantics,
+    not a silent cap.
+
+    Scale: fingerprints are ~2/(w+1) of k-gram positions; the pair
+    join shuffles on the gram key with per-key fan-out bounded by
+    maxdf² — no quadratic blowup anywhere. The fingerprint frame is
+    read from the write-once parquet index — it feeds three branches
+    (df filter, both join sides) and Catalyst would otherwise
+    re-derive the full k-gram/md5/window lineage per branch.
+    """
+    from datapipelinedemo_spark.operators.neardup_index import winnow_index
+
+    fp = winnow_index(spark, sf_dir)
+    keep = (
+        fp.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _WIN_MAXDF)
+        .select("gram")
+    )
+    a = fp.join(keep, "gram").select(
+        "gram", F.col("doc_id").alias("doc_a")
+    )
+    b = fp.select("gram", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_fingerprints"),
+            F.count_distinct("gram").alias("shared_grams"),
+        )
+    )

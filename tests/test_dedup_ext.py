@@ -1,0 +1,151 @@
+"""SemDeDup and winnowing (plans/dedup_ext.py) semantics tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.plans.dedup_ext import (
+    _WIN_K,
+    _WIN_W,
+    semdedup,
+    semdedup_k_for,
+    winnow,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestWinnow:
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        # Any shared token run of length >= w+k-1 must yield a shared
+        # fingerprint (the winnowing guarantee, Schleimer et al. 2003).
+        run = " ".join(f"shared{i}" for i in range(_WIN_W + _WIN_K - 1))
+        a = "alpha beta gamma " + run + " delta epsilon"
+        b = "one two three four five " + run + " six seven"
+        fp = winnow(_docs(spark, [a, b])).collect()
+        fp_a = {r.fingerprint for r in fp if r.doc_id == 0}
+        fp_b = {r.fingerprint for r in fp if r.doc_id == 1}
+        assert fp_a & fp_b, "shared run did not produce a shared fingerprint"
+
+    def test_position_robust(self, spark):
+        # Shifting the shared run inside unrelated prefixes of different
+        # lengths must not break the guarantee (the property that makes
+        # winnowing superior to stride sampling).
+        run = " ".join(f"tok{i}" for i in range(_WIN_W + _WIN_K - 1))
+        for shift in range(1, 6):
+            prefix = " ".join(f"pad{j}" for j in range(shift))
+            fp = winnow(_docs(spark, [run, prefix + " " + run])).collect()
+            fp_a = {r.fingerprint for r in fp if r.doc_id == 0}
+            fp_b = {r.fingerprint for r in fp if r.doc_id == 1}
+            assert fp_a & fp_b, f"guarantee broken at shift={shift}"
+
+    def test_disjoint_docs_share_nothing(self, spark):
+        a = " ".join(f"left{i}" for i in range(30))
+        b = " ".join(f"right{i}" for i in range(30))
+        fp = winnow(_docs(spark, [a, b])).collect()
+        fp_a = {r.fingerprint for r in fp if r.doc_id == 0}
+        fp_b = {r.fingerprint for r in fp if r.doc_id == 1}
+        assert not (fp_a & fp_b)
+
+    def test_short_doc_single_window(self, spark):
+        # m < w k-grams: the whole doc is one window -> exactly one
+        # fingerprint; fewer than k tokens -> no k-grams, no rows.
+        short = " ".join(f"s{i}" for i in range(_WIN_K + 1))  # m = 2 < w
+        tiny = "a b"  # < k tokens
+        fp = winnow(_docs(spark, [short, tiny])).collect()
+        assert len([r for r in fp if r.doc_id == 0]) == 1
+        assert not [r for r in fp if r.doc_id == 1]
+
+    def test_density(self, spark):
+        # Expected density 2/(w+1); allow a wide band around it.
+        words = [f"w{(i * 7919) % 997}" for i in range(400)]
+        fp = winnow(_docs(spark, [" ".join(words)])).collect()
+        m = len(words) - _WIN_K + 1
+        density = len(fp) / m
+        assert 0.2 < density < 0.8, density
+
+
+class TestSemDeDup:
+    def _frames(self, spark, vecs, clusters, dists):
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        asg = spark.createDataFrame(
+            list(zip(range(len(vecs)), clusters, dists)),
+            "vec_id long, cluster long, sq_dist long",
+        )
+        return asg, emb
+
+    def test_keeps_farthest_of_duplicate_pair(self, spark):
+        v = [1.0, 0.0]
+        asg, emb = self._frames(
+            spark, [v, v, [0.0, 1.0]], [0, 0, 0], [10, 99, 5]
+        )
+        rows = {
+            r.vec_id: r.kept
+            for r in semdedup(asg, emb, threshold=0.99).collect()
+        }
+        # 0 and 1 are identical: keep the farther-from-centroid (id 1).
+        assert rows == {0: False, 1: True, 2: True}
+
+    def test_tie_keeps_smaller_id(self, spark):
+        v = [0.5, 0.5]
+        asg, emb = self._frames(spark, [v, v], [0, 0], [7, 7])
+        rows = {
+            r.vec_id: r.kept
+            for r in semdedup(asg, emb, threshold=0.99).collect()
+        }
+        assert rows == {0: True, 1: False}
+
+    def test_cross_cluster_pairs_ignored(self, spark):
+        v = [1.0, 0.0]
+        asg, emb = self._frames(spark, [v, v], [0, 1], [1, 2])
+        rows = {
+            r.vec_id: r.kept
+            for r in semdedup(asg, emb, threshold=0.99).collect()
+        }
+        assert rows == {0: True, 1: True}
+
+    def test_below_threshold_kept(self, spark):
+        asg, emb = self._frames(
+            spark, [[1.0, 0.0], [0.0, 1.0]], [0, 0], [1, 2]
+        )
+        rows = {
+            r.vec_id: r.kept
+            for r in semdedup(asg, emb, threshold=0.5).collect()
+        }
+        assert rows == {0: True, 1: True}
+
+    def test_k_for_fixed_point_and_growth(self):
+        assert semdedup_k_for(500) == 8  # sf0.01 oracle geometry
+        assert semdedup_k_for(64_000) == 1000  # clusters stay ~64 docs
+        assert semdedup_k_for(10) == 8  # floor at the parity k
+
+
+class TestKmeansAssignStrategies:
+    def test_literal_and_join_paths_identical(self, spark, sf_dir):
+        # The broadcast-join assignment (large k) must produce the
+        # bit-identical (cluster, sq_dist) per vector as the
+        # inlined-literal path — same BIGINT math, same (d, cid)
+        # tie-break.
+        from datapipelinedemo_spark.plans import ml_ops
+
+        lit = {
+            r.vec_id: (r.cluster, r.sq_dist)
+            for r in ml_ops.kmeans_assign(spark, sf_dir, k=10).collect()
+        }
+        orig = ml_ops._LITERAL_K_MAX
+        ml_ops._LITERAL_K_MAX = 1  # force the join path
+        try:
+            joined = {
+                r.vec_id: (r.cluster, r.sq_dist)
+                for r in ml_ops.kmeans_assign(spark, sf_dir, k=10).collect()
+            }
+        finally:
+            ml_ops._LITERAL_K_MAX = orig
+        assert lit == joined and len(lit) > 0

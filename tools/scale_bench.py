@@ -51,6 +51,8 @@ QUERIES = [
     "events_sliding_2h_1h",
     "embedding_neardup_pairs",
     "c4_line_dedup",
+    "semdedup_prune",
+    "winnowed_substring_matches",
 ]
 
 BASE = "/root/testdata/sf0.1"
