@@ -104,7 +104,6 @@ PRIORITY = [
     "order_value_deciles",
     "orders_above_customer_average",
     "monthly_revenue_yoy",
-    "order_date_features",
     "events_tumbling_1h",
     "events_sliding_2h_1h",
     "events_session_windows",
@@ -124,17 +123,24 @@ PRIORITY = [
     "rollup_orders_year_priority",
     "cube_lineitem_flags",
     "two_level_time_rollup",
-    "distinct_parts_per_flag",
     "suppliers_per_nation_list",
-    "brand_revenue",
     "customer_revenue_gini",
-    # --- new this round: F14/F15 parity shims need a first driver row ---
+    # --- new this round (never-certified queries outrank everything:
+    #     a query with NO driver row is a bigger trust gap than a
+    #     stale-but-green one): F14/F15 parity shims + the SemDeDup /
+    #     winnowing dedup additions ---
     "pair_struct_extract_reverse",
     "c4_line_dedup",
-    # --- past the 50-query window: sentinels for the r7 rotation.
-    #     48 r3-vintage + 2 never-certified fill the window exactly, so
-    #     after r6 no certification is older than round 4; these
-    #     re-certification candidates (green r4/r5 rows) lead round 7. ---
+    "semdedup_prune",
+    "winnowing_fingerprints",
+    "winnowed_substring_matches",
+    # --- past the 50-query window → lead the r7 rotation: the 3
+    #     r3-vintage simple-agg shapes displaced by the new queries
+    #     (their shapes are co-covered by certified TPC-H rows) and
+    #     the r4/r5 sentinels ---
+    "distinct_parts_per_flag",
+    "brand_revenue",
+    "order_date_features",
     "tweets_sentiment2d_monthly",
     "incremental_dedup_candidates",
 ]
