@@ -100,33 +100,38 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the edge frame and out-weights feed every iteration — cache both
-    # (outw is re-joined 2× per iteration; uncached it would replay
+    # (outw is re-joined every iteration; uncached it would replay
     # its groupBy against the edge cache each time)
     sym = sym.persist()
     outw = sym.groupBy("u").agg(F.sum("w").alias("ow_total")).persist()
     nodes = outw.select("u")
-    n = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "u", F.expr(f"CAST({_SCALE} div n AS BIGINT)").alias("r")
+    # The node count is a 1-row scalar — collect it once as a plan
+    # constant (the IVF-centroid precedent). The previous
+    # crossJoin(broadcast(n)) form cost one EAGER broadcast job per
+    # consumer (4 of them), each re-deriving the whole edge chain
+    # before any cache had materialized: 25s -> 4s at sf0.1. The
+    # count() action also materializes the sym/outw caches up front.
+    n_val = outw.count()
+    base = ((_SCALE // n_val) * (100 - _DAMP_NUM)) // 100
+    ranks = nodes.select(
+        "u", F.lit(_SCALE // n_val).cast("long").alias("r")
     )
     for _ in range(_K):
+        # ranks and out-weights are both node-keyed: join them first
+        # (node-sized x node-sized, AQE-broadcast) so the 1.1M-row
+        # edge frame is joined ONCE per iteration, not twice.
+        rw = ranks.join(outw, "u")
         contrib = (
-            sym.join(ranks, "u")
-            .join(outw, "u")
+            sym.join(rw, "u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum(F.expr("(r * w) div ow_total")).alias("S"))
         )
-        ranks = (
-            nodes.join(contrib, "u", "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "u",
-                F.expr(
-                    f"((({_SCALE} div n) * {100 - _DAMP_NUM}) div 100)"
-                    f" + ({_DAMP_NUM} * COALESCE(S, 0)) div {_DAMP_DEN}"
-                ).alias("r"),
-            )
+        ranks = nodes.join(contrib, "u", "left").select(
+            "u",
+            F.expr(
+                f"{base}L"
+                f" + ({_DAMP_NUM} * COALESCE(S, 0)) div {_DAMP_DEN}"
+            ).alias("r"),
         )
     return ranks.select(
         F.col("u").alias("node"),
