@@ -12,8 +12,9 @@ Scale shape: each iteration is one shuffle keyed on the source node
 (join ranks→edges) plus one partial-agg groupBy on the destination;
 K iterations = K passes, the same plan GraphX/Pregel would schedule.
 The rank and out-weight frames stay partitioned by node key across
-iterations (AQE reuses the exchange). No driver-side collect; K is a
-fixed small constant (power iteration converges geometrically).
+iterations (AQE reuses the exchange). The only driver-side value is
+the 1-row node count (a plan constant — the IVF-centroid precedent);
+K is a fixed small constant (power iteration converges geometrically).
 """
 
 from __future__ import annotations
