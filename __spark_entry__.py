@@ -98,7 +98,6 @@ PRIORITY = [
     # --- r3-vintage: windows / time-series ---
     "window_top3_orders_per_customer",
     "running_total_per_customer",
-    "moving_avg_daily_revenue",
     "order_gap_days_lag",
     "order_rank_profile",
     "order_value_deciles",
@@ -134,13 +133,16 @@ PRIORITY = [
     "semdedup_prune",
     "winnowing_fingerprints",
     "winnowed_substring_matches",
-    # --- past the 50-query window → lead the r7 rotation: the 3
-    #     r3-vintage simple-agg shapes displaced by the new queries
-    #     (their shapes are co-covered by certified TPC-H rows) and
-    #     the r4/r5 sentinels ---
+    "bloom_decontamination",
+    # --- past the 50-query window → lead the r7 rotation: the 4
+    #     r3-vintage simple shapes displaced by the new queries (each
+    #     co-covered by certified in-window relatives: TPC-H aggs,
+    #     running_total / trailing_7d windows) and the r4/r5
+    #     sentinels ---
     "distinct_parts_per_flag",
     "brand_revenue",
     "order_date_features",
+    "moving_avg_daily_revenue",
     "tweets_sentiment2d_monthly",
     "incremental_dedup_candidates",
 ]

@@ -91,3 +91,115 @@ def contamination_counts(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership: the corpus side never shuffles at all.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # 65536-bit filter (2048 x 32-bit words)
+
+
+def bloom_words(
+    bench: DataFrame, text_col: str, n: int, m_bits: int = BLOOM_BITS
+) -> list[int]:
+    """Build the benchmark Bloom bitmap as ``m_bits // 32`` 32-bit
+    words (stored in Python ints, embedded as a plan literal).
+
+    Two md5-derived hash functions per gram (hex chars 1-15 and 17-31
+    of one md5, each mod ``m_bits``) — fully deterministic, so an
+    oracle that recomputes the same bitmap reproduces EXACTLY the same
+    member set, false positives included.
+
+    The driver-side collect is bounded by ``m_bits`` distinct bit
+    positions (512 KB of ints at the default), a plan constant in the
+    IVF-centroid sense — NOT benchmark-sized: the distinct-position
+    frame saturates at m long before a real benchmark set does.
+    """
+    grams = (
+        bench.select(tokenize(text_col).alias("__toks"))
+        .select(F.explode(ngrams_of_tokens("__toks", n)).alias("gram"))
+        .distinct()
+    )
+    pos = (
+        grams.select(F.expr("md5(gram)").alias("h"))
+        .select(
+            F.explode(
+                F.array(
+                    F.expr(
+                        "cast(conv(substring(h, 1, 15), 16, 10) as bigint)"
+                        f" % {m_bits}"
+                    ),
+                    F.expr(
+                        "cast(conv(substring(h, 17, 15), 16, 10) as bigint)"
+                        f" % {m_bits}"
+                    ),
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+    words = [0] * (m_bits // 32)
+    for r in pos.collect():
+        p = int(r.p)
+        words[p // 32] |= 1 << (p % 32)
+    return words
+
+
+def bloom_contamination_counts(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """``contamination_counts`` with the benchmark side folded into a
+    Bloom bitmap: per training doc, how many of its DISTINCT n-grams
+    test positive (``(id_col, bloom_hits)``, only docs with >= 1 hit).
+
+    This is the true 100 TB shape when the benchmark set is too large
+    to broadcast-join comfortably: the bitmap is O(m_bits) bytes no
+    matter how many benchmark grams exist, membership is a pure in-row
+    expression (md5 once per gram, two word probes against a
+    constant-folded literal array), and the corpus side has ZERO wide
+    exchanges — not even the gram explode+join of the broadcast
+    variant; the only shuffle anywhere is the tiny distinct-positions
+    build. Superset semantics: Bloom false positives make
+    ``bloom_hits >= n_shared_grams`` per doc; size m_bits against the
+    benchmark gram count for the target FP rate (m = 65536 with 2
+    hashes and ~2k grams -> FP ~ 0.4%), and feed flagged docs to the
+    exact `contamination_counts` join as the verify stage when
+    over-flagging matters (the LSH-then-verify pattern).
+    """
+    words = bloom_words(bench, text_col, n, m_bits)
+    wlit = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    def bit(sub_from: int, var: str) -> str:
+        h = (
+            f"cast(conv(substring({var}, {sub_from}, 15), 16, 10)"
+            f" as bigint) % {m_bits}"
+        )
+        return (
+            f"(shiftright(element_at(__W, cast(({h}) div 32 as int) + 1),"
+            f" cast(({h}) % 32 as int)) & 1) = 1"
+        )
+
+    member = f"{bit(1, 'h')} and {bit(17, 'h')}"
+    return (
+        train.select(
+            F.col(id_col), tokenize(text_col).alias("__toks")
+        )
+        .withColumn("__grams", ngrams_of_tokens("__toks", n))
+        .withColumn(
+            "__hs",
+            F.expr("transform(array_distinct(__grams), g -> md5(g))"),
+        )
+        .withColumn("__W", F.expr(wlit))
+        .withColumn(
+            "bloom_hits",
+            F.expr(f"cast(size(filter(__hs, h -> {member})) as bigint)"),
+        )
+        .filter(F.col("bloom_hits") >= 1)
+        .select(id_col, "bloom_hits")
+    )

@@ -71,6 +71,82 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter decontamination (membership without any corpus shuffle)
+# --------------------------------------------------------------------------
+_BLOOM_M = 1 << 16
+
+
+def _bloom_pos_sql(src: str, col: str, sub_from: int) -> str:
+    return (
+        f"SELECT CAST('0x' || substring(md5({col}), {sub_from}, 15)"
+        f" AS BIGINT) % {_BLOOM_M} AS p FROM {src}"
+    )
+
+
+@register(
+    "bloom_decontamination",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, {_grams_sql(4)} AS gs FROM tok),
+    eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+    ep AS (
+        SELECT DISTINCT p FROM (
+            {_bloom_pos_sql('eg', 'gram', 1)}
+            UNION ALL
+            {_bloom_pos_sql('eg', 'gram', 17)}
+        )
+    ),
+    w AS (
+        SELECT p // 32 AS wi,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS wv
+        FROM ep GROUP BY 1
+    ),
+    tg AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram
+           FROM g WHERE doc_id % 50 <> 0),
+    tp AS (
+        SELECT doc_id,
+               CAST('0x' || substring(h, 1, 15) AS BIGINT)
+                   % {_BLOOM_M} AS p1,
+               CAST('0x' || substring(h, 17, 15) AS BIGINT)
+                   % {_BLOOM_M} AS p2
+        FROM (SELECT doc_id, md5(gram) AS h FROM tg)
+    ),
+    hit AS (
+        SELECT doc_id FROM tp
+        JOIN w w1 ON w1.wi = p1 // 32
+        JOIN w w2 ON w2.wi = p2 // 32
+        WHERE ((w1.wv >> CAST(p1 % 32 AS INT)) & 1) = 1
+          AND ((w2.wv >> CAST(p2 % 32 AS INT)) & 1) = 1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits
+    FROM hit GROUP BY 1
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decontamination_overlap` with the benchmark side folded into a
+    deterministic 65536-bit Bloom filter (2 md5-derived hashes): the
+    corpus side has ZERO shuffles — membership is an in-row
+    expression against a constant-folded bitmap literal, so at 100 TB
+    every training partition is scanned exactly once with no
+    exchange, however large the benchmark gram set grows. The oracle
+    rebuilds the identical bitmap relationally, so the hash compare
+    covers false positives too (same bits -> same member set in both
+    engines). See ``operators.decontamination.bloom_contamination_counts``
+    for sizing and the bloom-then-exact-verify pattern.
+    """
+    from datapipelinedemo_spark.operators.decontamination import (
+        bloom_contamination_counts,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return bloom_contamination_counts(
+        train, bench, "doc_id", "text", n=4, m_bits=_BLOOM_M
+    )
+
+
+# --------------------------------------------------------------------------
 # TF-IDF keyword extraction: top-3 terms per document
 # --------------------------------------------------------------------------
 @register(

@@ -160,3 +160,66 @@ def test_c4_line_dedup_order_preserved_many_blocks(spark):
     docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
     row = c4_line_dedup_frame(docs, block_words=1, min_docs=2).collect()[0]
     assert row["cleaned_text"] == text and row["removed_blocks"] == 0
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_dir):
+    # Bloom membership can only ADD false positives, never lose a true
+    # hit: every exact-flagged doc must be bloom-flagged with
+    # bloom_hits >= n_shared_grams.
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.operators.decontamination import (
+        bloom_contamination_counts,
+        contamination_counts,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    exact = {
+        r.doc_id: r.n_shared_grams
+        for r in contamination_counts(
+            train, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    bloom = {
+        r.doc_id: r.bloom_hits
+        for r in bloom_contamination_counts(
+            train, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert exact, "fixture produced no contaminated docs"
+    for doc_id, n_shared in exact.items():
+        assert doc_id in bloom and bloom[doc_id] >= n_shared
+
+
+def test_bloom_planted_gram_always_hits(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datapipelinedemo_spark.operators.decontamination import (
+        bloom_contamination_counts,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the secret answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "padding words the secret answer is forty two exactly more"),
+            (2, "completely unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.bloom_hits
+        for r in bloom_contamination_counts(
+            train, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert out[1] >= 4  # every benchmark 4-gram inside the span hits
+    # deterministic filter: with ~5 benchmark grams in 65536 bits the
+    # unrelated doc does not collide (and if the constants ever change
+    # to make it collide, this documents the FP)
+    assert 2 not in out
