@@ -153,6 +153,7 @@ def bloom_contamination_counts(
     text_col: str,
     n: int = 13,
     m_bits: int = BLOOM_BITS,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """``contamination_counts`` with the benchmark side folded into a
     Bloom bitmap: per training doc, how many of its DISTINCT n-grams
@@ -160,46 +161,49 @@ def bloom_contamination_counts(
 
     This is the true 100 TB shape when the benchmark set is too large
     to broadcast-join comfortably: the bitmap is O(m_bits) bytes no
-    matter how many benchmark grams exist, membership is a pure in-row
-    expression (md5 once per gram, two word probes against a
-    constant-folded literal array), and the corpus side has ZERO wide
-    exchanges — not even the gram explode+join of the broadcast
-    variant; the only shuffle anywhere is the tiny distinct-positions
-    build. Superset semantics: Bloom false positives make
-    ``bloom_hits >= n_shared_grams`` per doc; size m_bits against the
-    benchmark gram count for the target FP rate (m = 65536 with 2
-    hashes and ~2k grams -> FP ~ 0.4%), and feed flagged docs to the
-    exact `contamination_counts` join as the verify stage when
-    over-flagging matters (the LSH-then-verify pattern).
+    matter how many benchmark grams exist, membership is a pure
+    projection (md5 once per gram, two word probes against a
+    constant-folded literal array — no join), and the corpus side's
+    only shuffle is the map-side-combining per-doc count. Superset
+    semantics: Bloom false positives make ``bloom_hits >=
+    n_shared_grams`` per doc; size m_bits against the benchmark gram
+    count for the target FP rate (m = 65536 with 2 hashes and ~2k
+    grams -> FP ~ 0.4%), and feed flagged docs to the exact
+    `contamination_counts` join as the verify stage when over-flagging
+    matters (the LSH-then-verify pattern).
+
+    The probes run on EXPLODED gram rows, not inside an array-lambda:
+    higher-order-function lambdas evaluate interpreted (outside
+    whole-stage codegen), which made the lambda form ~4x slower than
+    the exact broadcast join it was meant to beat; as a flat
+    projection the md5+conv+probe chain stays in codegen.
     """
-    words = bloom_words(bench, text_col, n, m_bits)
+    if words is None:
+        words = bloom_words(bench, text_col, n, m_bits)
     wlit = "array(" + ",".join(f"{w}L" for w in words) + ")"
 
-    def bit(sub_from: int, var: str) -> str:
+    def bit(sub_from: int) -> str:
         h = (
-            f"cast(conv(substring({var}, {sub_from}, 15), 16, 10)"
+            f"cast(conv(substring(__h, {sub_from}, 15), 16, 10)"
             f" as bigint) % {m_bits}"
         )
         return (
-            f"(shiftright(element_at(__W, cast(({h}) div 32 as int) + 1),"
+            f"(shiftright(element_at({wlit}, cast(({h}) div 32 as int) + 1),"
             f" cast(({h}) % 32 as int)) & 1) = 1"
         )
 
-    member = f"{bit(1, 'h')} and {bit(17, 'h')}"
     return (
         train.select(
             F.col(id_col), tokenize(text_col).alias("__toks")
         )
-        .withColumn("__grams", ngrams_of_tokens("__toks", n))
-        .withColumn(
-            "__hs",
-            F.expr("transform(array_distinct(__grams), g -> md5(g))"),
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(ngrams_of_tokens("__toks", n))
+            ).alias("__g"),
         )
-        .withColumn("__W", F.expr(wlit))
-        .withColumn(
-            "bloom_hits",
-            F.expr(f"cast(size(filter(__hs, h -> {member})) as bigint)"),
-        )
-        .filter(F.col("bloom_hits") >= 1)
-        .select(id_col, "bloom_hits")
+        .select(id_col, F.expr("md5(__g)").alias("__h"))
+        .filter(F.expr(f"{bit(1)} and {bit(17)}"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("bloom_hits"))
     )
