@@ -69,6 +69,54 @@ class TestWinnow:
         assert 0.2 < density < 0.8, density
 
 
+def _py_winnow(tokens, k, w):
+    """Pure-Python reference winnow: rightmost-min of every length-w
+    window over the k-gram md5 hashes (single window if m < w)."""
+    import hashlib
+
+    grams = [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ]
+    if not grams:
+        return set()
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+        for g in grams
+    ]
+    m = len(hs)
+    sel = set()
+    for j in range(max(1, m - w + 1)):
+        win = hs[j : j + w]
+        best = min(range(len(win)), key=lambda i: (win[i], -i))
+        sel.add((j + best + 1, hs[j + best]))
+    return sel
+
+
+class TestWinnowReference:
+    def test_matches_python_reference_on_random_docs(self, spark):
+        # 40 seeded random docs (varied lengths incl. < k and < w+k-1)
+        # in ONE Spark call, checked position-for-position against the
+        # pure-Python reference implementation.
+        import random
+
+        rng = random.Random(20260814)
+        docs = []
+        for i in range(40):
+            n_tok = rng.choice([0, 2, 4, 5, 6, 7, 9, 15, 40, 120])
+            docs.append(
+                (i, " ".join(f"t{rng.randrange(50)}" for _ in range(n_tok)))
+            )
+        fp = winnow(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+        got = {}
+        for r in fp:
+            got.setdefault(r.doc_id, set()).add((r.pos, r.fingerprint))
+        for i, text in docs:
+            want = _py_winnow(text.split(), _WIN_K, _WIN_W)
+            assert got.get(i, set()) == want, f"doc {i} mismatch"
+
+
 class TestSemDeDup:
     def _frames(self, spark, vecs, clusters, dists):
         emb = spark.createDataFrame(
