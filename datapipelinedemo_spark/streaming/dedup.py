@@ -31,3 +31,90 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def start_neardup_ingest_stream(
+    docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 4,
+    k: int = 9,
+    bucket_cap: int | None = 1024,
+    hash: str = "md5",
+):
+    """Streaming NEAR-dup ingest: the production loop that keeps a
+    growing corpus deduplicated without ever re-signing it.
+
+    Each micro-batch is MinHash-signed and banded
+    (``operators.dedup.banded_minhash`` — only the batch is hashed),
+    joined against the stored banded index at ``index_dir`` via
+    ``incremental_lsh_candidates`` (batch-vs-corpus + in-batch
+    candidate pairs, hot buckets capped), the pairs are appended to
+    ``pairs_dir`` tagged with the batch id, and the batch's own index
+    rows are appended to ``index_dir`` — so batch N+1 dedups against
+    everything through batch N. This is the streaming twin of the
+    batch ``incremental_dedup_candidates`` query and shares all its
+    operators and its stored-index format (a batch-built
+    ``neardup_index`` can seed ``index_dir`` directly).
+
+    State story at 100 TB: Spark streaming state holds NOTHING here —
+    the "state" is the on-disk index, which is exactly the artifact
+    the batch pipeline maintains anyway; foreachBatch gives the batch
+    plan (one shuffle of the batch into the index's buckets).
+    Exactly-once: the checkpoint replays an unacknowledged batch;
+    both writes are appends keyed by ``batch_id``, so a replay
+    overwrites its own partition rather than double-counting
+    (idempotent per-batch-id overwrite).
+    """
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.operators.dedup import (
+        banded_minhash,
+        bucketed_candidate_pairs,
+        incremental_lsh_candidates,
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new_banded = banded_minhash(
+            batch, id_col, text_col, num_hashes, bands, k, hash=hash
+        ).persist()
+        try:
+            corpus = spark.read.parquet(index_dir)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            pairs = incremental_lsh_candidates(
+                new_banded, corpus, bucket_cap
+            )
+        else:
+            pairs = bucketed_candidate_pairs(
+                new_banded, bucket_cap
+            ).withColumn("pair_type", F.lit("in_batch"))
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+        (
+            new_banded.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+        new_banded.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -146,3 +146,63 @@ def test_upsert_migrates_legacy_real_dir(spark, tmp_path):
     assert os.path.islink(target)
     got = {r.user_id: r.value for r in spark.read.parquet(target).collect()}
     assert got == {1: 99.0}
+
+
+def test_neardup_ingest_stream_two_batches(spark, tmp_path):
+    """Streaming twin of incremental_dedup_candidates: batch 1 builds
+    the index from scratch (in-batch pair), batch 2 dedups against the
+    stored index (vs_corpus pairs) without re-signing batch 1."""
+    from datapipelinedemo_spark.streaming.dedup import (
+        start_neardup_ingest_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    index_dir = str(tmp_path / "nd_index")
+    pairs_dir = str(tmp_path / "nd_pairs")
+    ckpt = str(tmp_path / "nd_ckpt")
+    os.makedirs(src)
+
+    dup_text = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays the same nine char shingles throughout"
+    )
+    other = (
+        "completely different content about parquet row groups and "
+        "shuffle partitions with no overlapping shingle material here"
+    )
+    doc_schema = "doc_id long, text string"
+
+    # batch 1: docs 1 and 2 are exact near-dups
+    spark.createDataFrame(
+        [(1, dup_text), (2, dup_text)], doc_schema
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(doc_schema).parquet(src)
+    q = start_neardup_ingest_stream(stream, index_dir, pairs_dir, ckpt)
+    q.awaitTermination(120)
+
+    got1 = {
+        (r.doc_a, r.doc_b, r.pair_type)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert (1, 2, "in_batch") in got1
+    assert not any(t == "vs_corpus" for (_, _, t) in got1)
+
+    # batch 2: doc 3 duplicates the corpus text, doc 4 is novel
+    spark.createDataFrame(
+        [(3, dup_text), (4, other)], doc_schema
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(doc_schema).parquet(src)
+    q2 = start_neardup_ingest_stream(stream2, index_dir, pairs_dir, ckpt)
+    q2.awaitTermination(120)
+
+    got2 = {
+        (r.doc_a, r.doc_b, r.pair_type)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert {(3, 1, "vs_corpus"), (3, 2, "vs_corpus")} <= got2
+    assert not any(a == 4 or b == 4 for (a, b, _) in got2)
+    # the index now holds all four docs' bands
+    idx_docs = {
+        r.doc for r in spark.read.parquet(index_dir).select("doc").collect()
+    }
+    assert idx_docs == {1, 2, 3, 4}
