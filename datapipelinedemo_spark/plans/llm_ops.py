@@ -1755,10 +1755,13 @@ def simhash_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-level Levenshtein over the 200-char prefixes, keeping
     pairs at distance <= 60. SimHash agreement says the token
     DISTRIBUTIONS match; the edit-distance pass adds positional
-    evidence (cheap O(200²) per pair, and only candidate pairs —
-    never the corpus cross product — pay it). Both engines implement
-    classic unit-cost Levenshtein, so the integer distances agree
-    exactly.
+    evidence (and only candidate pairs — never the corpus cross
+    product — pay it). Spark's THRESHOLD-bounded levenshtein does
+    O(threshold·len) work via the banded DP and returns -1 past the
+    bound, so rejected pairs (the overwhelming majority at scale) stop
+    early; kept rows carry the exact distance, bit-equal to the
+    oracle's classic unit-cost levenshtein (DuckDB computes it
+    unbounded — same integers for every surviving pair).
     """
     docs = table(spark, sf_dir, "documents")
     pairs = simhash_neardup_pairs(spark, sf_dir)
@@ -1775,9 +1778,9 @@ def simhash_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, "doc_b")
         .withColumn(
             "prefix_edit_dist",
-            F.levenshtein("pa", "pb").cast("long"),
+            F.levenshtein("pa", "pb", 60).cast("long"),
         )
-        .filter(F.col("prefix_edit_dist") <= 60)
+        .filter(F.col("prefix_edit_dist") >= 0)
         .select("doc_a", "doc_b", "prefix_edit_dist")
     )
 
