@@ -84,10 +84,11 @@ def _bloom_pos_sql(src: str, col: str, sub_from: int) -> str:
     )
 
 
-@register(
-    "bloom_decontamination",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# CTE chain ending in ``hit`` = one row per (train doc, member gram);
+# shared by the bloom_decontamination oracle and the composed
+# training_corpus_pipeline_v2 oracle (plans/dedup_ext.py).
+_BLOOM_CORE = f"""
+    tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     g AS (SELECT doc_id, {_grams_sql(4)} AS gs FROM tok),
     eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
     ep AS (
@@ -118,7 +119,14 @@ def _bloom_pos_sql(src: str, col: str, sub_from: int) -> str:
         JOIN w w2 ON w2.wi = p2 // 32
         WHERE ((w1.wv >> CAST(p1 % 32 AS INT)) & 1) = 1
           AND ((w2.wv >> CAST(p2 % 32 AS INT)) & 1) = 1
-    )
+    )"""
+
+
+@register(
+    "bloom_decontamination",
+    oracle="WITH "
+    + _BLOOM_CORE
+    + """
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits
     FROM hit GROUP BY 1
     """,

@@ -341,3 +341,110 @@ def winnowed_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("gram").alias("shared_grams"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Composed round-6 corpus build: bloom decontamination + SemDeDup +
+# length gate, with per-source accounting
+# --------------------------------------------------------------------------
+_V2_MIN_TOKENS = 20
+_V2_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _v2_oracle() -> str:
+    from datapipelinedemo_spark.plans.corpus_ops import _BLOOM_CORE
+
+    return (
+        _kmeans_cte()
+        + ", "
+        + _BLOOM_CORE
+        + f"""
+    , sdropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM asg x
+        JOIN asg y ON y.cid = x.cid AND y.vec_id <> x.vec_id
+        JOIN embeddings ea ON ea.vec_id = x.vec_id
+        JOIN embeddings eb ON eb.vec_id = y.vec_id
+        WHERE {_SD_DOT} / ({_SD_NRM_A} * {_SD_NRM_B}) >= {_SEM_TAU}
+          AND (y.d > x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
+    ),
+    tokc AS (
+        SELECT doc_id, source, CAST(len({_V2_TOKS}) AS BIGINT) AS ntok
+        FROM documents WHERE doc_id % 50 <> 0
+    ),
+    flagged AS (
+        SELECT t.source, t.ntok,
+               CASE WHEN b.doc_id IS NOT NULL THEN 'contaminated'
+                    WHEN s.vec_id IS NOT NULL THEN 'semantic_dup'
+                    WHEN t.ntok < {_V2_MIN_TOKENS} THEN 'low_quality'
+                    ELSE 'kept' END AS reason
+        FROM tokc t
+        LEFT JOIN (SELECT DISTINCT doc_id FROM hit) b
+               ON b.doc_id = t.doc_id
+        LEFT JOIN sdropped s ON s.vec_id = t.doc_id
+    )
+    SELECT source, reason,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(ntok) AS BIGINT) AS tokens
+    FROM flagged GROUP BY 1, 2
+    """
+    )
+
+
+@register("training_corpus_pipeline_v2", oracle=_v2_oracle())
+def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 corpus build, composed from this round's operators
+    with full per-source accounting: benchmark decontamination via the
+    Bloom bitmap (zero corpus shuffles), semantic dedup via SemDeDup
+    (kmeans assignment from the write-once index, within-cluster
+    prune), and a token-length quality gate — each surviving doc
+    counted once under its FIRST applicable drop reason
+    (contaminated > semantic_dup > low_quality > kept), with doc and
+    token volumes per (source, reason).
+
+    Contrast with ``training_corpus_pipeline`` (the MinHash-chain
+    build): that one resolves lexical near-dup clusters; this one is
+    the semantic/contamination pass a production pipeline runs
+    alongside it. Both read stored indexes, so the per-run cost is
+    flags + one accounting aggregate. doc_id ≡ vec_id (the hybrid RRF
+    precedent) links documents to their embeddings.
+    """
+    from datapipelinedemo_spark.functions import text as TX
+    from datapipelinedemo_spark.plans.corpus_ops import bloom_decontamination
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bloom = (
+        bloom_decontamination(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("__bloom", F.lit(True))
+    )
+    sem = (
+        semdedup_prune(spark, sf_dir)
+        .filter(~F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("__semdup", F.lit(True))
+    )
+    return (
+        train.select(
+            "doc_id",
+            "source",
+            F.size(TX.tokenize("text")).cast("long").alias("ntok"),
+        )
+        .join(bloom, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .withColumn(
+            "reason",
+            F.when(F.col("__bloom"), F.lit("contaminated"))
+            .when(F.col("__semdup"), F.lit("semantic_dup"))
+            .when(
+                F.col("ntok") < _V2_MIN_TOKENS, F.lit("low_quality")
+            )
+            .otherwise(F.lit("kept")),
+        )
+        .groupBy("source", "reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("ntok").cast("long").alias("tokens"),
+        )
+    )
