@@ -96,13 +96,17 @@ def start_neardup_ingest_stream(
             pairs = bucketed_candidate_pairs(
                 new_banded, bucket_cap
             ).withColumn("pair_type", F.lit("in_batch"))
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(pairs_dir)
-        )
+        # an all-empty partitioned write leaves an unreadable dir (no
+        # part files to infer a schema from) — skip it; a replayed
+        # empty batch needs no cleanup either
+        if not pairs.isEmpty():
+            (
+                pairs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(pairs_dir)
+            )
         (
             new_banded.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -114,6 +118,107 @@ def start_neardup_ingest_stream(
 
     return (
         docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_embedding_ingest_stream(
+    vectors: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    threshold: float = 0.3,
+):
+    """Streaming embedding near-dup ingest — the ANN twin of
+    ``start_neardup_ingest_stream``: each micro-batch of vectors is
+    hyperplane-signed (``similarity.lsh_corpus_frame``, batch only),
+    its band keys are joined against the stored LSH index, candidate
+    pairs are verified with the exact cosine IN the join (the vector
+    and its norm ride in the index rows, so no join back to the
+    corpus), and the batch's index rows are appended so batch N+1
+    screens against everything through batch N.
+
+    Emits ``(id_new, id_corpus, cos_sim, batch_id)`` for pairs at or
+    above ``threshold`` — the "is this embedding already in the
+    corpus?" screen a production ingest runs before admitting a
+    vector. Same idempotent per-batch-id dynamic-partition-overwrite
+    contract as the near-dup text ingest; a batch-built
+    ``ann_index.lsh_index`` directory can seed ``index_dir``.
+    """
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.operators import similarity as SIM
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new_banded = SIM.lsh_corpus_frame(
+            batch, id_col, vec_col, planes, dim, bands
+        ).persist()
+        try:
+            corpus = spark.read.parquet(index_dir)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            n = new_banded.select(
+                F.col("neighbor_id").alias("id_new"),
+                F.col("cv").alias("v_new"),
+                F.col("cn").alias("n_new"),
+                "band",
+                "key",
+            )
+            c = corpus.select(
+                F.col("neighbor_id").alias("id_corpus"),
+                F.col("cv").alias("v_corpus"),
+                F.col("cn").alias("n_corpus"),
+                "band",
+                "key",
+            )
+            pairs = (
+                n.join(c, ["band", "key"])
+                .filter(F.col("id_new") != F.col("id_corpus"))
+                .select(
+                    "id_new",
+                    "id_corpus",
+                    (
+                        SIM.dot("v_new", "v_corpus")
+                        / (F.col("n_new") * F.col("n_corpus"))
+                    ).alias("cos_sim"),
+                )
+                .filter(F.col("cos_sim") >= threshold)
+                .distinct()
+            )
+        else:
+            pairs = None
+        # an all-empty partitioned write leaves an unreadable dir (no
+        # part files to infer a schema from) — skip it; a replayed
+        # empty batch needs no cleanup either
+        if pairs is not None and not pairs.isEmpty():
+            (
+                pairs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(pairs_dir)
+            )
+        (
+            new_banded.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+        new_banded.unpersist()
+
+    return (
+        vectors.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -206,3 +206,49 @@ def test_neardup_ingest_stream_two_batches(spark, tmp_path):
         r.doc for r in spark.read.parquet(index_dir).select("doc").collect()
     }
     assert idx_docs == {1, 2, 3, 4}
+
+
+def test_embedding_ingest_stream_screens_against_corpus(spark, tmp_path):
+    """ANN twin of the near-dup ingest: batch 2's duplicate vector is
+    flagged against the stored index; the orthogonal one is not."""
+    from datapipelinedemo_spark.streaming.dedup import (
+        start_embedding_ingest_stream,
+    )
+
+    src = str(tmp_path / "vec_src")
+    index_dir = str(tmp_path / "ann_index")
+    pairs_dir = str(tmp_path / "ann_pairs")
+    ckpt = str(tmp_path / "ann_ckpt")
+    os.makedirs(src)
+
+    base = [1.0] + [0.0] * 63
+    ortho = [0.0, 1.0] + [0.0] * 62
+    vec_schema = "vec_id long, embedding array<float>"
+
+    spark.createDataFrame([(1, base), (2, ortho)], vec_schema).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(vec_schema).parquet(src)
+    q = start_embedding_ingest_stream(stream, index_dir, pairs_dir, ckpt)
+    q.awaitTermination(120)
+    # first batch has no corpus to screen against -> no pairs output
+    assert not os.path.isdir(pairs_dir)
+
+    # batch 2: vec 3 duplicates vec 1; vec 4 is orthogonal to everything
+    far = [0.0, 0.0, 1.0] + [0.0] * 61
+    spark.createDataFrame([(3, base), (4, far)], vec_schema).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(vec_schema).parquet(src)
+    q2 = start_embedding_ingest_stream(stream2, index_dir, pairs_dir, ckpt)
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(pairs_dir).collect()
+    flagged = {(r.id_new, r.id_corpus): r.cos_sim for r in rows}
+    assert (3, 1) in flagged and abs(flagged[(3, 1)] - 1.0) < 1e-9
+    assert not any(idn == 4 for (idn, _) in flagged)
+    idx_ids = {
+        r.neighbor_id
+        for r in spark.read.parquet(index_dir).select("neighbor_id").collect()
+    }
+    assert idx_ids == {1, 2, 3, 4}
