@@ -169,6 +169,26 @@ class TestSemDeDup:
         }
         assert rows == {0: True, 1: True}
 
+    def test_cluster_cap_bounds_join_conservatively(self, spark):
+        # Oversized cluster: only the cap-ranked head (by sq_dist desc,
+        # vec_id) enters the pairwise join. Within the head the normal
+        # keep rule applies; beyond-cap docs escape the prune (the cap
+        # under-prunes, never over-prunes) — same contract as the LSH
+        # bucket_cap.
+        v = [1.0, 0.0]
+        asg, emb = self._frames(
+            spark, [v, v, v, v], [0, 0, 0, 0], [40, 30, 20, 10]
+        )
+        rows = {
+            r.vec_id: r.kept
+            for r in semdedup(
+                asg, emb, threshold=0.99, cluster_cap=2
+            ).collect()
+        }
+        # head = ids 0 (d=40) and 1 (d=30): 0 kept (farthest), 1
+        # dropped; ids 2 and 3 are beyond the cap -> kept untouched.
+        assert rows == {0: True, 1: False, 2: True, 3: True}
+
     def test_k_for_fixed_point_and_growth(self):
         assert semdedup_k_for(500) == 8  # sf0.01 oracle geometry
         assert semdedup_k_for(64_000) == 1000  # clusters stay ~64 docs
