@@ -133,7 +133,7 @@ PRIORITY = [
     "winnowed_substring_matches",
     "bloom_decontamination",
     "training_corpus_pipeline_v2",
-    # --- past the 50-query window → lead the r7 rotation: the 4
+    # --- past the 50-query window → lead the r7 rotation: the 5
     #     r3-vintage simple shapes displaced by the new queries (each
     #     co-covered by certified in-window relatives: TPC-H aggs,
     #     running_total / trailing_7d windows, value_percentiles) and

@@ -109,20 +109,10 @@ def char_shingles(c, k: int = 5) -> Column:
     )
 
 
-def word_ngrams(arr, n: int = 3) -> Column:
-    """Word n-grams (space-joined) over a token array column.
-
-    ANSI-safe for short docs: fewer than ``n`` tokens yields an empty
-    array. (``sequence(1, greatest(size-n+1, 0))`` would count DOWN to
-    0 there and feed ``slice`` an invalid 0 start — the same trap
-    ``ngrams`` documents.)"""
-    name = _name(arr)
-    return F.expr(
-        f"case when size({name}) >= {n} then"
-        f" transform(sequence(1, size({name}) - {n - 1}),"
-        f" i -> array_join(slice({name}, i, {n}), ' '))"
-        f" else cast(array() as array<string>) end"
-    )
+# Space-joined word n-grams over a token array live in
+# operators/decontamination.py::ngrams_of_tokens — one implementation,
+# one short-doc guard. ``ngrams`` above is the same shape for callers
+# composing further per-gram expressions on the Column level.
 
 
 def punct_ratio(c) -> Column:

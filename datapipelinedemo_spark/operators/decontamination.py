@@ -180,18 +180,15 @@ def bloom_contamination_counts(
     """
     if words is None:
         words = bloom_words(bench, text_col, n, m_bits)
+    # the bitmap literal appears ONCE in the plan (a projected
+    # constant-folded column) and each probe references it by name —
+    # inlining it per probe would put 2x m/32 literals into the
+    # filter's expression tree
     wlit = "array(" + ",".join(f"{w}L" for w in words) + ")"
-
-    def bit(sub_from: int) -> str:
-        h = (
-            f"cast(conv(substring(__h, {sub_from}, 15), 16, 10)"
-            f" as bigint) % {m_bits}"
-        )
-        return (
-            f"(shiftright(element_at({wlit}, cast(({h}) div 32 as int) + 1),"
-            f" cast(({h}) % 32 as int)) & 1) = 1"
-        )
-
+    probe = (
+        "(shiftright(element_at(__W, cast(__p{i} div 32 as int) + 1),"
+        " cast(__p{i} % 32 as int)) & 1) = 1"
+    )
     return (
         train.select(
             F.col(id_col), tokenize(text_col).alias("__toks")
@@ -203,7 +200,19 @@ def bloom_contamination_counts(
             ).alias("__g"),
         )
         .select(id_col, F.expr("md5(__g)").alias("__h"))
-        .filter(F.expr(f"{bit(1)} and {bit(17)}"))
+        .select(
+            id_col,
+            F.expr(
+                f"cast(conv(substring(__h, 1, 15), 16, 10) as bigint)"
+                f" % {m_bits}"
+            ).alias("__p1"),
+            F.expr(
+                f"cast(conv(substring(__h, 17, 15), 16, 10) as bigint)"
+                f" % {m_bits}"
+            ).alias("__p2"),
+        )
+        .withColumn("__W", F.expr(wlit))
+        .filter(F.expr(f"{probe.format(i=1)} and {probe.format(i=2)}"))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("bloom_hits"))
     )

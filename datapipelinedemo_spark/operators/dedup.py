@@ -437,13 +437,16 @@ def winnow(
     would flip to xxhash64 like the MinHash family.
     """
     from datapipelinedemo_spark.functions import text as TX
+    from datapipelinedemo_spark.operators.decontamination import (
+        ngrams_of_tokens,
+    )
 
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             TX.tokenize(text_col).alias("toks"),
         )
-        .withColumn("grams", TX.word_ngrams("toks", n=k))
+        .withColumn("grams", ngrams_of_tokens("toks", k))
         .withColumn("m", F.size("grams"))
         .filter(F.col("m") > 0)
     )

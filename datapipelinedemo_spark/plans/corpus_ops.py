@@ -11,6 +11,8 @@ value is genuinely continuous.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from datapipelinedemo_spark.pin import pin
@@ -151,10 +153,14 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
-    # The bitmap is a deterministic plan constant per (corpus, n, m) —
-    # memoize it like the pivot labels / corpus counts so repeated
-    # calls skip the two benchmark-side build jobs.
-    key = (sf_dir, 4, _BLOOM_M)
+    # The bitmap is a deterministic plan constant per (corpus
+    # generation, n, m) — memoize it like the pivot labels / corpus
+    # counts so repeated calls skip the two benchmark-side build jobs.
+    # The key carries the source file's (mtime_ns, size) like the
+    # on-disk index tags, so a regenerated corpus in a long-lived
+    # process rebuilds instead of serving a stale bitmap.
+    src = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (sf_dir, src.st_mtime_ns, src.st_size, 4, _BLOOM_M)
     words = _BLOOM_WORDS_MEMO.get(key)
     if words is None:
         words = bloom_words(bench, "text", 4, _BLOOM_M)

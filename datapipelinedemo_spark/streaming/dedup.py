@@ -33,6 +33,30 @@ def dedup_within_watermark(
     )
 
 
+def _read_index(spark, index_dir: str, batch_id: int) -> DataFrame | None:
+    """Read a stored ingest index; ``None`` only when it does not
+    exist yet (first batch). Distinguishes path-missing from real read
+    failures — a transient error must FAIL the batch so the checkpoint
+    retries it, not silently degrade to "no corpus" and permanently
+    lose that batch's vs-corpus pairs. Excludes the replaying batch's
+    own partition: a crashed attempt may have appended it before the
+    checkpoint committed, and joining a batch against itself would
+    emit self/duplicate pairs on replay.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    try:
+        corpus = spark.read.parquet(index_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    if "batch_id" in corpus.columns:
+        corpus = corpus.filter(F.col("batch_id") != batch_id)
+    return corpus
+
+
 def start_neardup_ingest_stream(
     docs: DataFrame,
     index_dir: str,
@@ -66,9 +90,11 @@ def start_neardup_ingest_stream(
     the batch pipeline maintains anyway; foreachBatch gives the batch
     plan (one shuffle of the batch into the index's buckets).
     Exactly-once: the checkpoint replays an unacknowledged batch;
-    both writes are appends keyed by ``batch_id``, so a replay
-    overwrites its own partition rather than double-counting
-    (idempotent per-batch-id overwrite).
+    both writes are keyed by ``batch_id`` with dynamic partition
+    overwrite, and the index read EXCLUDES the replaying batch's own
+    partition (a crashed attempt may have appended it before the
+    checkpoint committed), so a replay reproduces the original
+    output instead of joining against itself.
     """
     from pyspark.sql import functions as F
 
@@ -83,12 +109,8 @@ def start_neardup_ingest_stream(
         new_banded = banded_minhash(
             batch, id_col, text_col, num_hashes, bands, k, hash=hash
         ).persist()
-        try:
-            corpus = spark.read.parquet(index_dir)
-            have_index = True
-        except Exception:
-            have_index = False
-        if have_index:
+        corpus = _read_index(spark, index_dir, batch_id)
+        if corpus is not None:
             pairs = incremental_lsh_candidates(
                 new_banded, corpus, bucket_cap
             )
@@ -143,64 +165,79 @@ def start_embedding_ingest_stream(
     pairs are verified with the exact cosine IN the join (the vector
     and its norm ride in the index rows, so no join back to the
     corpus), and the batch's index rows are appended so batch N+1
-    screens against everything through batch N.
+    screens against everything through batch N. Within-batch
+    duplicates are screened too (the batch's band frame joined with
+    itself, ``id_new < id_corpus``) — two copies of a vector arriving
+    in one micro-batch must not both slip past the admission check.
 
-    Emits ``(id_new, id_corpus, cos_sim, batch_id)`` for pairs at or
-    above ``threshold`` — the "is this embedding already in the
-    corpus?" screen a production ingest runs before admitting a
-    vector. Same idempotent per-batch-id dynamic-partition-overwrite
-    contract as the near-dup text ingest; a batch-built
-    ``ann_index.lsh_index`` directory can seed ``index_dir``.
+    Emits ``(id_new, id_corpus, cos_sim, pair_type, batch_id)`` for
+    pairs at or above ``threshold`` (``pair_type`` in ``vs_corpus`` /
+    ``in_batch``) — the "is this embedding already in the corpus?"
+    screen a production ingest runs before admitting a vector. Same
+    replay contract as the near-dup text ingest (per-batch-id dynamic
+    partition overwrite; the index read excludes the replaying
+    batch's own partition); a batch-built ``ann_index.lsh_index``
+    directory can seed ``index_dir``.
     """
     from pyspark.sql import functions as F
 
     from datapipelinedemo_spark.operators import similarity as SIM
+
+    def _scored_pairs(n: DataFrame, c: DataFrame, pair_type: str):
+        return (
+            n.join(c, ["band", "key"])
+            .filter(F.col("id_new") != F.col("id_corpus"))
+            .select(
+                "id_new",
+                "id_corpus",
+                (
+                    SIM.dot("v_new", "v_corpus")
+                    / (F.col("n_new") * F.col("n_corpus"))
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct()
+            .withColumn("pair_type", F.lit(pair_type))
+        )
+
+    def _sides(frame: DataFrame):
+        n = frame.select(
+            F.col("neighbor_id").alias("id_new"),
+            F.col("cv").alias("v_new"),
+            F.col("cn").alias("n_new"),
+            "band",
+            "key",
+        )
+        c = frame.select(
+            F.col("neighbor_id").alias("id_corpus"),
+            F.col("cv").alias("v_corpus"),
+            F.col("cn").alias("n_corpus"),
+            "band",
+            "key",
+        )
+        return n, c
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         new_banded = SIM.lsh_corpus_frame(
             batch, id_col, vec_col, planes, dim, bands
         ).persist()
-        try:
-            corpus = spark.read.parquet(index_dir)
-            have_index = True
-        except Exception:
-            have_index = False
-        if have_index:
-            n = new_banded.select(
-                F.col("neighbor_id").alias("id_new"),
-                F.col("cv").alias("v_new"),
-                F.col("cn").alias("n_new"),
-                "band",
-                "key",
-            )
-            c = corpus.select(
-                F.col("neighbor_id").alias("id_corpus"),
-                F.col("cv").alias("v_corpus"),
-                F.col("cn").alias("n_corpus"),
-                "band",
-                "key",
-            )
-            pairs = (
-                n.join(c, ["band", "key"])
-                .filter(F.col("id_new") != F.col("id_corpus"))
-                .select(
-                    "id_new",
-                    "id_corpus",
-                    (
-                        SIM.dot("v_new", "v_corpus")
-                        / (F.col("n_new") * F.col("n_corpus"))
-                    ).alias("cos_sim"),
-                )
-                .filter(F.col("cos_sim") >= threshold)
-                .distinct()
-            )
+        corpus = _read_index(spark, index_dir, batch_id)
+        n_side, self_side = _sides(new_banded)
+        in_batch = _scored_pairs(
+            n_side,
+            self_side,
+            "in_batch",
+        ).filter(F.col("id_new") < F.col("id_corpus"))
+        if corpus is not None:
+            vs_corpus = _scored_pairs(n_side, _sides(corpus)[1], "vs_corpus")
+            pairs = vs_corpus.unionByName(in_batch)
         else:
-            pairs = None
+            pairs = in_batch
         # an all-empty partitioned write leaves an unreadable dir (no
         # part files to infer a schema from) — skip it; a replayed
         # empty batch needs no cleanup either
-        if pairs is not None and not pairs.isEmpty():
+        if not pairs.isEmpty():
             (
                 pairs.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

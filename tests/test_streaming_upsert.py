@@ -244,11 +244,45 @@ def test_embedding_ingest_stream_screens_against_corpus(spark, tmp_path):
     q2.awaitTermination(120)
 
     rows = spark.read.parquet(pairs_dir).collect()
-    flagged = {(r.id_new, r.id_corpus): r.cos_sim for r in rows}
-    assert (3, 1) in flagged and abs(flagged[(3, 1)] - 1.0) < 1e-9
+    flagged = {(r.id_new, r.id_corpus): (r.cos_sim, r.pair_type) for r in rows}
+    assert flagged.get((3, 1), (0, ""))[1] == "vs_corpus"
+    assert abs(flagged[(3, 1)][0] - 1.0) < 1e-9
     assert not any(idn == 4 for (idn, _) in flagged)
+
+    # batch 3: two copies of a NEW vector in the same micro-batch must
+    # be flagged against each other (in_batch), not both admitted
+    novel = [0.0] * 63 + [1.0]
+    spark.createDataFrame([(5, novel), (6, novel)], vec_schema).write.mode(
+        "append"
+    ).parquet(src)
+    stream3 = spark.readStream.schema(vec_schema).parquet(src)
+    q3 = start_embedding_ingest_stream(stream3, index_dir, pairs_dir, ckpt)
+    q3.awaitTermination(120)
+    rows = spark.read.parquet(pairs_dir).collect()
+    flagged = {(r.id_new, r.id_corpus): r.pair_type for r in rows}
+    assert flagged.get((5, 6)) == "in_batch"
+
     idx_ids = {
         r.neighbor_id
         for r in spark.read.parquet(index_dir).select("neighbor_id").collect()
     }
-    assert idx_ids == {1, 2, 3, 4}
+    assert idx_ids == {1, 2, 3, 4, 5, 6}
+
+
+def test_read_index_excludes_replaying_batch(spark, tmp_path):
+    """Replay safety: a crashed attempt's own partition must not be
+    joined against (it would emit self-pairs); real read errors are
+    not swallowed; a missing dir means 'first batch'."""
+    from datapipelinedemo_spark.streaming.dedup import _read_index
+
+    idx = str(tmp_path / "idx")
+    assert _read_index(spark, idx, 0) is None  # not built yet
+
+    spark.createDataFrame(
+        [(1, 0, "k1", 0), (2, 0, "k2", 1)],
+        "doc long, band int, key string, batch_id long",
+    ).write.partitionBy("batch_id").parquet(idx)
+    visible = {r.doc for r in _read_index(spark, idx, 1).collect()}
+    assert visible == {1}  # batch 1's own rows excluded on replay
+    visible = {r.doc for r in _read_index(spark, idx, 7).collect()}
+    assert visible == {1, 2}

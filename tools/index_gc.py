@@ -47,32 +47,49 @@ def _live_keys() -> set[tuple[str, int, int]]:
     return keys
 
 
+# .tmp dirs younger than this may belong to a LIVE builder (the
+# atomic write-then-rename window) — removing one mid-build would
+# fail that build's rename/read. Older ones are crashed builders.
+_TMP_MAX_AGE_S = 6 * 3600
+
+
 def gc(dry_run: bool = False) -> tuple[list[str], list[str]]:
-    """Returns (kept, removed) index dir names."""
-    from datapipelinedemo_spark.operators.neardup_index import _index_root
+    """Returns (kept, removed) index dir names across BOTH index
+    roots (.cache/neardup_index and .cache/ann_index)."""
+    import time
+
+    from datapipelinedemo_spark.operators import ann_index, neardup_index
 
     live = _live_keys()
     kept, removed = [], []
-    root = _index_root()
-    if not os.path.isdir(root):
-        return kept, removed
-    for name in sorted(os.listdir(root)):
-        path = os.path.join(root, name)
-        if not os.path.isdir(path):
+    now = time.time()
+    roots = {neardup_index._index_root(), ann_index._index_root()}
+    for root in sorted(roots):
+        if not os.path.isdir(root):
             continue
-        m = _TAG.match(name)
-        stale = m is None or (
-            (m["sf"], int(m["mtime"]), int(m["size"])) not in live
-        )
-        # half-written tmp dirs from a crashed builder are always stale
-        if ".tmp-" in name:
-            stale = True
-        if stale:
-            removed.append(name)
-            if not dry_run:
-                shutil.rmtree(path, ignore_errors=True)
-        else:
-            kept.append(name)
+        for name in sorted(os.listdir(root)):
+            path = os.path.join(root, name)
+            if not os.path.isdir(path):
+                continue
+            if ".tmp-" in name:
+                # crashed-builder leftovers only; never race a live one
+                if now - os.path.getmtime(path) > _TMP_MAX_AGE_S:
+                    removed.append(name)
+                    if not dry_run:
+                        shutil.rmtree(path, ignore_errors=True)
+                else:
+                    kept.append(name)
+                continue
+            m = _TAG.match(name)
+            stale = m is None or (
+                (m["sf"], int(m["mtime"]), int(m["size"])) not in live
+            )
+            if stale:
+                removed.append(name)
+                if not dry_run:
+                    shutil.rmtree(path, ignore_errors=True)
+            else:
+                kept.append(name)
     return kept, removed
 
 
