@@ -87,13 +87,18 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
+    # group on the integer keys (small fixed-width shuffle payload,
+    # map-side combine on ints); the string node labels are formatted
+    # AFTER aggregation — per distinct edge, not per lineitem row
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("u"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("v"),
+            "w",
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     sym = edges.unionAll(
         edges.select(
