@@ -286,3 +286,45 @@ def test_read_index_excludes_replaying_batch(spark, tmp_path):
     assert visible == {1}  # batch 1's own rows excluded on replay
     visible = {r.doc for r in _read_index(spark, idx, 7).collect()}
     assert visible == {1, 2}
+
+
+def test_neardup_ingest_replay_with_stale_index_is_clean(spark, tmp_path):
+    """Crash-window replay: rerunning from a fresh checkpoint while a
+    prior attempt's index rows are already on disk must produce the
+    same pairs as a clean first run — no self-pairs, no vs_corpus
+    echoes of the batch's own docs."""
+    import shutil
+
+    from datapipelinedemo_spark.streaming.dedup import (
+        start_neardup_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "idx")
+    pairs_dir = str(tmp_path / "pairs")
+    os.makedirs(src)
+    text = (
+        "identical content shared by both documents in this single "
+        "batch so an in-batch candidate pair must appear exactly once"
+    )
+    spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        q = start_neardup_ingest_stream(stream, index_dir, pairs_dir, ckpt)
+        q.awaitTermination(120)
+        return sorted(
+            (r.doc_a, r.doc_b, r.pair_type)
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+
+    first = run(str(tmp_path / "ckpt1"))
+    # simulate the crash window: index rows for batch 0 are on disk,
+    # but the checkpoint is gone -> the batch replays as batch 0 again
+    replay = run(str(tmp_path / "ckpt2"))
+    assert replay == first == [(1, 2, "in_batch")]
+    shutil.rmtree(str(tmp_path / "ckpt2"))
