@@ -53,6 +53,8 @@ QUERIES = [
     "c4_line_dedup",
     "semdedup_prune",
     "winnowed_substring_matches",
+    "bloom_decontamination",
+    "training_corpus_pipeline_v2",
 ]
 
 BASE = "/root/testdata/sf0.1"
