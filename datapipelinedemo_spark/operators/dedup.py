@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datapipelinedemo_spark.functions.text import char_shingles
 
 MH_MOD = 2_147_483_647  # 2^31-1: a*h+b stays < 2^62, no BIGINT overflow
 
