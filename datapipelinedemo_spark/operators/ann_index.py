@@ -16,9 +16,10 @@ processes, which in-memory memoization cannot serve — is one parquet
 scan, partition-pruned to the probed (band, key) buckets by the scan's
 pushed filters.
 
-Freshness/atomicity follow ``neardup_index``: the cache key embeds the
-source file's (mtime_ns, size) and the geometry, builds go to a temp
-dir and ``os.rename`` into place, concurrent builders race benignly.
+Freshness/atomicity/integrity follow ``neardup_index`` via
+``operators.write_once``: the cache key embeds the source file's
+(mtime_ns, size) and the geometry; builds commit atomically with a
+part-file manifest, and reads are pinned to the manifest's file list.
 
 Results are bit-identical to inline signing (same deterministic
 md5-derived hyperplanes), so DuckDB-oracle parity is unaffected.
@@ -27,12 +28,11 @@ md5-derived hyperplanes), so DuckDB-oracle parity is unaffected.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipelinedemo_spark.operators import similarity as SIM
+from datapipelinedemo_spark.operators.write_once import ensure_dir, read_frame
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -71,8 +71,8 @@ def lsh_index(
     computed inline — only the storage location of the intermediate
     changes."""
     dest = os.path.join(_index_root(), _cache_tag(sf_dir, planes, bands, dim))
-    if not os.path.isdir(dest):
-        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+
+    def _build(tmp: str) -> None:
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         frame = SIM.lsh_corpus_frame(emb, id_col, vec_col, planes, dim, bands)
         # partition-friendly order: bucket rows of one (band, key)
@@ -81,8 +81,6 @@ def lsh_index(
         frame.repartitionByRange(8, "band", "key").write.mode(
             "overwrite"
         ).parquet(tmp)
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(dest)
+
+    ensure_dir(dest, _build)
+    return read_frame(spark, dest)

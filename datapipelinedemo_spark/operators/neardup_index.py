@@ -23,21 +23,23 @@ is two parquet scans.
 
 Freshness: the cache key embeds the corpus file's (mtime_ns, size) and
 the signature parameters, so a regenerated testdata file or a
-parameter change rebuilds automatically. Builds are atomic
-(write to a temp dir, ``os.rename`` into place), so concurrent
-builders race benignly — the loser discards its copy.
+parameter change rebuilds automatically. Commit + read integrity are
+delegated to ``operators.write_once``: builds go to a temp dir, a
+``manifest.json`` pinning the part files is written before the atomic
+``os.rename``, and every read scans exactly the manifest's files —
+an externally mutated directory is rebuilt or fails loudly, never
+silently served (the round-6 doubled-part-file incident).
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipelinedemo_spark.operators import dedup as DD
+from datapipelinedemo_spark.operators.write_once import ensure_dir, read_frame
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -79,10 +81,8 @@ def neardup_index(
         "" if hash == "md5" else f"-{hash}"
     )
     dest = os.path.join(_index_root(), tag)
-    sh_path = os.path.join(dest, "shingles")
-    bd_path = os.path.join(dest, "banded")
-    if not os.path.isdir(dest):
-        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+
+    def _build(tmp: str) -> None:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         shingles = docs.select(
             F.col("doc_id").alias("doc"),
@@ -102,12 +102,12 @@ def neardup_index(
             hash=hash,
         )
         banded.write.mode("overwrite").parquet(os.path.join(tmp, "banded"))
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            # another builder won the race; use theirs
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(sh_path), spark.read.parquet(bd_path)
+
+    ensure_dir(dest, _build)
+    return (
+        read_frame(spark, os.path.join(dest, "shingles")),
+        read_frame(spark, os.path.join(dest, "banded")),
+    )
 
 
 def simhash_index(
@@ -127,8 +127,8 @@ def simhash_index(
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}-sim{bits}"
     dest = os.path.join(_index_root(), tag)
-    if not os.path.isdir(dest):
-        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+
+    def _build(tmp: str) -> None:
         docs = spark.read.parquet(src)
         (
             docs.withColumn("toks", TX.tokenize("text"))
@@ -136,11 +136,9 @@ def simhash_index(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(dest)
+
+    ensure_dir(dest, _build)
+    return read_frame(spark, dest)
 
 
 def winnow_index(
@@ -161,12 +159,10 @@ def winnow_index(
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}-win{k}_{w}"
     dest = os.path.join(_index_root(), tag)
-    if not os.path.isdir(dest):
-        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+
+    def _build(tmp: str) -> None:
         docs = spark.read.parquet(src)
         DD.winnow(docs, k=k, w=w).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(dest)
+
+    ensure_dir(dest, _build)
+    return read_frame(spark, dest)

@@ -228,26 +228,26 @@ def kmeans_assign_cached(
     frame is bit-identical to computing inline and oracle parity is
     unaffected."""
     import os
-    import shutil
-    import uuid
 
     from datapipelinedemo_spark.operators.neardup_index import _index_root
+    from datapipelinedemo_spark.operators.write_once import (
+        ensure_dir,
+        read_frame,
+    )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}-km{k}_{iters}"
     dest = os.path.join(_index_root(), tag)
-    if not os.path.isdir(dest):
-        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+
+    def _build(tmp: str) -> None:
         kmeans_assign(spark, sf_dir, k, iters).write.mode(
             "overwrite"
         ).parquet(tmp)
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(dest)
+
+    ensure_dir(dest, _build)
+    return read_frame(spark, dest)
 
 
 @register("kmeans_embedding_clusters", oracle=_kmeans_oracle())

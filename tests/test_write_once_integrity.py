@@ -1,0 +1,152 @@
+"""Corruption-proofing of the write-once index protocol.
+
+Round 6's driver run proved the failure mode: an external process
+merged a SECOND copy of every part file into the committed sf0.01
+index dirs, and the then-trusting ``spark.read.parquet(dest)`` served
+every row twice — silent wrong answers in four catalog queries. These
+tests pin the fix (``operators.write_once``): reads are pinned to the
+manifest's part-file list, and any drift between manifest and disk is
+either ignored (foreign files), rebuilt (at the ensure/cache layer),
+or raised (at the raw read layer) — never silently served.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from datapipelinedemo_spark.operators import ann_index as AX
+from datapipelinedemo_spark.operators import neardup_index as NX
+from datapipelinedemo_spark.operators import write_once as WO
+
+
+@pytest.fixture()
+def index_root(tmp_path, monkeypatch):
+    monkeypatch.setenv(NX.INDEX_DIR_ENV, str(tmp_path))
+    return tmp_path
+
+
+def _committed_dir(index_root) -> str:
+    dirs = [d for d in os.listdir(index_root) if ".tmp-" not in d]
+    assert len(dirs) == 1
+    return os.path.join(index_root, dirs[0])
+
+
+def _parts(frame_dir: str) -> list[str]:
+    return sorted(
+        n for n in os.listdir(frame_dir) if n.endswith(".parquet")
+    )
+
+
+def _plant_foreign(frame_dir: str) -> None:
+    """Simulate the round-6 directory merge: a second copy of every
+    part file lands under a fresh part-style name."""
+    for i, name in enumerate(_parts(frame_dir)):
+        shutil.copyfile(
+            os.path.join(frame_dir, name),
+            os.path.join(
+                frame_dir, f"part-0009{i}-deadbeef-c000.snappy.parquet"
+            ),
+        )
+
+
+def test_manifest_written_at_commit(spark, sf_dir, index_root):
+    NX.simhash_index(spark, sf_dir, bits=16)
+    dest = _committed_dir(index_root)
+    with open(os.path.join(dest, WO.MANIFEST_NAME)) as fh:
+        m = json.load(fh)
+    assert m["files"] == _parts(dest)
+    assert m["rows"] == sum(m["file_rows"].values()) > 0
+
+
+def test_foreign_part_file_is_ignored(spark, sf_dir, index_root):
+    """The round-6 incident in miniature: duplicate every committed
+    part file under a fresh part-style name (a directory merge of a
+    second build). The pinned read must serve the ORIGINAL row count,
+    not double it."""
+    base = NX.simhash_index(spark, sf_dir, bits=16)
+    want = base.count()
+    dest = _committed_dir(index_root)
+    _plant_foreign(dest)
+    again = NX.simhash_index(spark, sf_dir, bits=16)
+    assert again.count() == want
+    # and the raw pinned read agrees
+    assert WO.read_frame(spark, dest).count() == want
+
+
+def test_missing_part_file_raises_on_raw_read(spark, sf_dir, index_root):
+    NX.simhash_index(spark, sf_dir, bits=16)
+    dest = _committed_dir(index_root)
+    os.remove(os.path.join(dest, _parts(dest)[0]))
+    with pytest.raises(WO.IndexIntegrityError, match="missing part file"):
+        WO.read_frame(spark, dest)
+
+
+def test_missing_part_file_rebuilds_at_cache_layer(spark, sf_dir, index_root):
+    base = NX.simhash_index(spark, sf_dir, bits=16)
+    want = base.count()
+    dest = _committed_dir(index_root)
+    os.remove(os.path.join(dest, _parts(dest)[0]))
+    # the cache entry point validates before serving: a torn dir is
+    # rebuilt from source, not trusted
+    assert NX.simhash_index(spark, sf_dir, bits=16).count() == want
+    assert WO.dir_is_valid(_committed_dir(index_root))
+
+
+def test_row_drift_in_listed_file_is_detected(spark, sf_dir, index_root):
+    """A listed part file whose footer row count no longer matches the
+    manifest (overwritten in place) must not be served."""
+    want = NX.simhash_index(spark, sf_dir, bits=16).count()
+    dest = _committed_dir(index_root)
+    # overwrite the first listed file in place with a doubled copy —
+    # row-count drift the footer check must catch
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    victim = os.path.join(dest, _parts(dest)[0])
+    t = pq.read_table(victim)
+    pq.write_table(pa.concat_tables([t, t]), victim)
+    with pytest.raises(WO.IndexIntegrityError, match="row drift"):
+        WO.read_frame(spark, dest)
+    # and the cache layer rebuilds instead of serving doubled rows
+    assert NX.simhash_index(spark, sf_dir, bits=16).count() == want
+
+
+def test_legacy_manifestless_dir_rebuilds(spark, sf_dir, index_root):
+    base = NX.simhash_index(spark, sf_dir, bits=16)
+    want = base.count()
+    dest = _committed_dir(index_root)
+    os.remove(os.path.join(dest, WO.MANIFEST_NAME))
+    with pytest.raises(WO.IndexIntegrityError, match="no readable"):
+        WO.read_frame(spark, dest)
+    assert NX.simhash_index(spark, sf_dir, bits=16).count() == want
+    assert os.path.isfile(
+        os.path.join(_committed_dir(index_root), WO.MANIFEST_NAME)
+    )
+
+
+def test_multi_frame_dirs_each_get_manifest(spark, sf_dir, index_root):
+    sh, bd = NX.neardup_index(spark, sf_dir, num_hashes=8, bands=2, k=9)
+    dest = _committed_dir(index_root)
+    for sub in ("shingles", "banded"):
+        fd = os.path.join(dest, sub)
+        with open(os.path.join(fd, WO.MANIFEST_NAME)) as fh:
+            m = json.load(fh)
+        assert m["files"] == _parts(fd)
+    # planting foreign files in ONE frame leaves both reads exact
+    want_sh, want_bd = sh.count(), bd.count()
+    _plant_foreign(os.path.join(dest, "shingles"))
+    sh2, bd2 = NX.neardup_index(spark, sf_dir, num_hashes=8, bands=2, k=9)
+    assert (sh2.count(), bd2.count()) == (want_sh, want_bd)
+
+
+def test_ann_index_uses_pinned_reads(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv(AX.INDEX_DIR_ENV, str(tmp_path))
+    base = AX.lsh_index(spark, sf_dir, planes=8, bands=4, dim=64)
+    want = base.count()
+    dest = _committed_dir(tmp_path)
+    _plant_foreign(dest)
+    assert AX.lsh_index(spark, sf_dir, planes=8, bands=4, dim=64).count() == want

@@ -5,7 +5,17 @@ plans/ml_ops.py) are keyed by ``{sf_name}-m{mtime_ns}-s{size}-...`` of
 their source parquet, so a regenerated testdata file silently orphans
 every index built against the previous generation. This tool removes
 any index dir whose (mtime_ns, size) no longer matches a live source
-file; current-generation dirs are kept.
+file; current-generation dirs are kept, and dirs failing the
+``write_once`` manifest integrity check (foreign-merged or torn) are
+reported as CORRUPT and removed so the next consumer rebuilds clean.
+
+Directories whose names don't match the tag format are reported and
+SKIPPED, never deleted — an unrecognized name means "not ours", not
+"stale" (indexes from other corpus roots, future tag formats).
+
+Source roots default to /root/testdata/sf* and <repo>/_scaledata/sf*;
+override or extend with SPARK_GRAFT_SOURCE_ROOTS (colon-separated
+globs of sf dirs).
 
 Usage:
     python tools/index_gc.py            # report + delete stale dirs
@@ -27,16 +37,29 @@ _TAG = re.compile(r"^(?P<sf>.+)-m(?P<mtime>\d+)-s(?P<size>\d+)-")
 # every source file an index tag can be derived from, per sf dir
 _SOURCES = ("documents.parquet", "embeddings.parquet")
 
+SOURCE_ROOTS_ENV = "SPARK_GRAFT_SOURCE_ROOTS"
+_DEFAULT_ROOT_GLOBS = (
+    "/root/testdata/sf*",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "_scaledata",
+        "sf*",
+    ),
+)
+
+
+def _source_root_globs() -> tuple[str, ...]:
+    env = os.environ.get(SOURCE_ROOTS_ENV)
+    if env:
+        return tuple(g for g in env.split(":") if g)
+    return _DEFAULT_ROOT_GLOBS
+
 
 def _live_keys() -> set[tuple[str, int, int]]:
     keys = set()
-    roots = glob.glob("/root/testdata/sf*") + glob.glob(
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "_scaledata",
-            "sf*",
-        )
-    )
+    roots: list[str] = []
+    for pat in _source_root_globs():
+        roots.extend(glob.glob(pat))
     for root in roots:
         sf_name = os.path.basename(os.path.normpath(root))
         for src in _SOURCES:
@@ -53,17 +76,27 @@ def _live_keys() -> set[tuple[str, int, int]]:
 _TMP_MAX_AGE_S = 6 * 3600
 
 
-def gc(dry_run: bool = False) -> tuple[list[str], list[str]]:
-    """Returns (kept, removed) index dir names across BOTH index
-    roots (.cache/neardup_index and .cache/ann_index)."""
+def gc(dry_run: bool = False) -> tuple[list[str], list[str], list[str]]:
+    """Returns (kept, removed, skipped) index dir names across BOTH
+    index roots (.cache/neardup_index and .cache/ann_index). Removed
+    entries are annotated ``name (stale)`` / ``(corrupt)`` /
+    ``(crashed tmp)``; skipped ones are unrecognized names left alone.
+    """
     import time
 
     from datapipelinedemo_spark.operators import ann_index, neardup_index
+    from datapipelinedemo_spark.operators.write_once import dir_is_valid
 
     live = _live_keys()
-    kept, removed = [], []
+    kept, removed, skipped = [], [], []
     now = time.time()
     roots = {neardup_index._index_root(), ann_index._index_root()}
+
+    def _rm(path: str, name: str, why: str) -> None:
+        removed.append(f"{name} ({why})")
+        if not dry_run:
+            shutil.rmtree(path, ignore_errors=True)
+
     for root in sorted(roots):
         if not os.path.isdir(root):
             continue
@@ -74,32 +107,39 @@ def gc(dry_run: bool = False) -> tuple[list[str], list[str]]:
             if ".tmp-" in name:
                 # crashed-builder leftovers only; never race a live one
                 if now - os.path.getmtime(path) > _TMP_MAX_AGE_S:
-                    removed.append(name)
-                    if not dry_run:
-                        shutil.rmtree(path, ignore_errors=True)
+                    _rm(path, name, "crashed tmp")
                 else:
                     kept.append(name)
                 continue
             m = _TAG.match(name)
-            stale = m is None or (
-                (m["sf"], int(m["mtime"]), int(m["size"])) not in live
-            )
-            if stale:
-                removed.append(name)
-                if not dry_run:
-                    shutil.rmtree(path, ignore_errors=True)
+            if m is None:
+                # not our tag format — report, never delete
+                skipped.append(name)
+                continue
+            if (m["sf"], int(m["mtime"]), int(m["size"])) not in live:
+                _rm(path, name, "stale")
+            elif not dir_is_valid(path):
+                # manifest missing/mismatched: the round-6 failure
+                # class — foreign part files merged in, torn writes,
+                # or a pre-manifest legacy dir. Readers would rebuild
+                # anyway; GC makes the rebuild explicit.
+                _rm(path, name, "corrupt")
             else:
                 kept.append(name)
-    return kept, removed
+    return kept, removed, skipped
 
 
 def main() -> None:
     dry = "--dry-run" in sys.argv
-    kept, removed = gc(dry_run=dry)
+    kept, removed, skipped = gc(dry_run=dry)
     verb = "would remove" if dry else "removed"
     print(f"kept {len(kept)} index dirs; {verb} {len(removed)}:")
     for name in removed:
         print(f"  {name}")
+    if skipped:
+        print(f"skipped {len(skipped)} unrecognized dirs (not touched):")
+        for name in skipped:
+            print(f"  {name}")
 
 
 if __name__ == "__main__":
