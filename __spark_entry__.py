@@ -67,84 +67,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness snapshot certifies queries() entries in
 # iteration order with a bounded budget (observed: exactly the first 50
-# every round; after r5 all then-registered names had a green driver
-# row — latest rows: 50 in r5, 47 in r4, 48 in r3).
-# Round-6 window = the 7 queries ADDED this round (never-certified
-# outranks everything) + 43 of the 48 round-3-vintage queries; the 5
-# displaced r3 shapes (all co-covered by in-window relatives) lead the
-# round-7 rotation together with the r4/r5 sentinels. Rotate again
-# next round.
+# every round). Freshness after r6: 50 r5 / 47 r4 / 46 r6 / 5 r3, and
+# 4 queries with NO green row ever — the r6 reds (the corrupted
+# write-once index incident, fixed by the manifest-pinned reads in
+# operators/write_once.py).
+# Round-7 window = the 4 never-certified reds FIRST (re-certify on the
+# hardened read path) + the 5 r3-stale shapes + 41 of the 47
+# r4-vintage rows. The 6 displaced r4 shapes (each co-covered by an
+# in-window relative: a2/a4 cover a3, frequency_2d covers
+# sentiment2d, exact_k_per_language covers top5_words, repetition/
+# quality stats cover fingerprints/chunk/f4) lead the r8 rotation.
 PRIORITY = [
-    # --- r3-vintage: TPC-H shapes (17 of the 48; q9/q11/q12/q20/q21
-    #     were re-certified in r5) ---
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_with_late_items",
-    "q5_region_revenue",
-    "q6_forecast_revenue_sql",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
-    "q19_bracketed_revenue",
-    "q22_idle_rich_customers",
-    # --- r3-vintage: windows / time-series ---
-    "window_top3_orders_per_customer",
-    "running_total_per_customer",
-    "order_gap_days_lag",
-    "order_rank_profile",
-    "order_value_deciles",
-    "orders_above_customer_average",
-    "monthly_revenue_yoy",
-    "events_tumbling_1h",
-    "events_sliding_2h_1h",
-    "events_session_windows",
-    "value_percentiles_per_type",
-    # --- r3-vintage: joins / set ops / shapes ---
-    "asof_latest_order_before_event",
-    "asof_sorted_latest_order",
-    "range_join_purchase_attribution",
-    "semi_join_urgent_customers",
-    "anti_join_orderless_customers",
-    "setops_customer_segments",
-    "event_dedup_keep_first",
-    "events_json_props",
-    "events_props_map_explode",
-    "monthly_event_type_pivot",
-    "rollup_orders_year_priority",
-    "cube_lineitem_flags",
-    "two_level_time_rollup",
-    "suppliers_per_nation_list",
-    "customer_revenue_gini",
-    # --- new this round (never-certified queries outrank everything:
-    #     a query with NO driver row is a bigger trust gap than a
-    #     stale-but-green one): F14/F15 parity shims + the SemDeDup /
-    #     winnowing dedup additions ---
-    "pair_struct_extract_reverse",
-    "c4_line_dedup",
+    # --- never-certified: the r6 reds, now served from
+    #     manifest-pinned indexes ---
     "semdedup_prune",
     "winnowing_fingerprints",
     "winnowed_substring_matches",
-    "bloom_decontamination",
     "training_corpus_pipeline_v2",
-    # --- past the 50-query window → lead the r7 rotation: the 5
-    #     r3-vintage simple shapes displaced by the new queries (each
-    #     co-covered by certified in-window relatives: TPC-H aggs,
-    #     running_total / trailing_7d windows, value_percentiles) and
-    #     the r4/r5 sentinels ---
+    # --- r3-stale (last green row is round 3) ---
+    "brand_revenue",
     "distinct_parts_per_flag",
     "events_value_stats",
-    "brand_revenue",
-    "order_date_features",
     "moving_avg_daily_revenue",
+    "order_date_features",
+    # --- r4-vintage: tweet-pipeline reference surface ---
+    "a1_weighted_monthly_frequency",
+    "a2_smoothed_weighted_mean",
+    "a4_pair_frequency",
+    "tweets_frequency_2d_monthly",
+    "tweets_sentiments_monthly",
+    "lexicon_sentiment_documents",
+    "ner_full_dictionary",
+    # --- r4-vintage: dedup / similarity stack ---
+    "exact_dedup_documents",
+    "embedding_neardup_pairs",
+    "ngram_jaccard_neardups",
+    "neardup_clusters",
+    "simhash_signatures",
+    "simhash_neardup_pairs",
+    "simhash_editdist_verify",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "training_corpus_pipeline",
+    "decontamination_overlap",
+    "clean_corpus_after_decontamination",
+    # --- r4-vintage: corpus analytics / quality ---
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "char_entropy_scores",
+    "token_stats_per_source",
+    "lang_id_confusion",
+    "exact_k_per_language",
+    "tfidf_top_terms",
+    "bm25_topk_docs",
+    "hybrid_retrieval_rrf",
+    "bigram_collocations",
+    "unigram_perplexity_scores",
+    "pii_redaction_stats",
+    # --- r4-vintage: sampling / packing / multimodal / misc ---
+    "stratified_sample_documents",
+    "domain_mix_sample",
+    "weighted_sample_by_length",
+    "train_val_test_split",
+    "pack_documents_bins",
+    "fixed_window_repack",
+    "embedding_int8_quantize",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    # --- past the 50-query window → lead the r8 rotation: the 6
+    #     displaced r4 shapes, then the r5/r6 vintages ---
+    "a3_pair_smoothed_sentiment",
     "tweets_sentiment2d_monthly",
-    "incremental_dedup_candidates",
+    "top5_words_per_lang",
+    "chunk_documents",
+    "doc_fingerprints",
+    "f4_human_number_parse",
+    "c4_line_dedup",
 ]
 
 

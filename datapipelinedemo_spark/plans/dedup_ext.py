@@ -42,17 +42,48 @@ from datapipelinedemo_spark.tables import table
 # embedding_neardup_pairs uses 0.3), so the catalog query pins 0.3 to
 # exercise the prune path on data that actually contains pairs.
 _SEM_TAU = 0.3
-_SEM_K = 8          # oracle-parity cluster count (sf0.01, n=500)
+_SEM_K = 8          # floor cluster count (= the sf0.01 value, n=500)
 _TARGET_CLUSTER = 64  # production: k grows so clusters stay ~this size
+_SEM_CAP = 2048     # pairwise head per cluster (mega-cluster guard)
+
+# The oracle derives k from the SAME formula, as a scalar subquery over
+# the corpus it runs on — certification at any sf uses the engine's
+# adaptive geometry, nothing is pinned to n=500 (ADVICE r6).
+_SEM_K_SQL = (
+    f"(SELECT GREATEST({_SEM_K}, COUNT(*) // {_TARGET_CLUSTER})"
+    " FROM embeddings)"
+)
 
 
 def semdedup_k_for(n: int, target: int = _TARGET_CLUSTER) -> int:
     """Cluster count ∝ corpus size so the expected cluster stays at
     ``target`` docs and the within-cluster pairwise stage is O(n ·
     target), not O(n²/k_fixed) — the same adaptive-geometry move as
-    ``similarity.lsh_bits_for``. Fixed point: n=500 (the sf0.01
-    oracle corpus) → k=8, the committed oracle's exact geometry."""
+    ``similarity.lsh_bits_for``. SQL twin: ``_SEM_K_SQL``."""
     return max(_SEM_K, n // target)
+
+
+# Corpus-size memo for the adaptive-k lookup, keyed like the Bloom
+# bitmap memo (corpus_ops._BLOOM_WORDS_MEMO): repeated plan builds pay
+# zero extra Spark jobs; a regenerated source file re-counts. The
+# count comes from the parquet footers (pyarrow metadata) — no Spark
+# job even on the first call.
+_SEM_N_MEMO: dict[tuple, int] = {}
+
+
+def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    n = _SEM_N_MEMO.get(key)
+    if n is None:
+        n = pq.ParquetFile(src).metadata.num_rows
+        _SEM_N_MEMO[key] = n
+    return n
 
 
 def semdedup(
@@ -154,19 +185,37 @@ _SD_NRM_A = (
 _SD_NRM_B = _SD_NRM_A.replace("ea.embedding", "eb.embedding")
 
 
-@register(
-    "semdedup_prune",
-    oracle=_kmeans_cte()
-    + f"""
-    , dropped AS (
+def _sd_dropped_cte(name: str) -> str:
+    """CTE computing the SemDeDup dropped set from ``asg`` — shared by
+    the standalone oracle and the composed-v2 oracle. Mirrors BOTH
+    engine-side guards: the per-cluster pairwise head (``_SEM_CAP``,
+    ranked by the keep-priority order d DESC / vec_id) and the cosine
+    threshold, so neither is a silent Spark-only cap (ADVICE r6)."""
+    return f"""
+    , sdhead AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                                      ORDER BY d DESC, vec_id) AS rn
+            FROM asg
+        ) WHERE rn <= {_SEM_CAP}
+    ),
+    {name} AS (
         SELECT DISTINCT x.vec_id
-        FROM asg x
-        JOIN asg y ON y.cid = x.cid AND y.vec_id <> x.vec_id
+        FROM sdhead x
+        JOIN sdhead y ON y.cid = x.cid AND y.vec_id <> x.vec_id
         JOIN embeddings ea ON ea.vec_id = x.vec_id
         JOIN embeddings eb ON eb.vec_id = y.vec_id
         WHERE {_SD_DOT} / ({_SD_NRM_A} * {_SD_NRM_B}) >= {_SEM_TAU}
           AND (y.d > x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
-    )
+    )"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=_kmeans_cte(k=_SEM_K_SQL)
+    + _sd_dropped_cte("dropped")
+    + """
     SELECT asg.vec_id, asg.cid AS cluster,
            (dropped.vec_id IS NULL) AS kept
     FROM asg LEFT JOIN dropped ON dropped.vec_id = asg.vec_id
@@ -179,18 +228,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine pruning keeping the farthest-from-centroid representative
     of every duplicate pair.
 
-    The oracle-parity geometry is k=8 at sf0.01 — exactly what
-    ``semdedup_k_for(500)`` returns, so the adaptive production
-    geometry and the committed oracle coincide at the certification
-    scale (the lsh_bits_for precedent). The raw-double cosine
-    threshold compare is the proven embedding_neardup_pairs pattern:
-    both engines fold the same float32 inputs left-to-right in double
+    Oracle geometry is ADAPTIVE like the engine's: the SQL derives k
+    from the same ``max(8, n // 64)`` formula via a scalar subquery
+    (``_SEM_K_SQL``) and mirrors the per-cluster pairwise cap, so
+    certification at any corpus size compares like with like — nothing
+    is pinned to the sf0.01 n=500. The raw-double cosine threshold
+    compare is the proven embedding_neardup_pairs pattern: both
+    engines fold the same float32 inputs left-to-right in double
     precision, so the comparison is bit-identical.
     """
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _corpus_n(spark, sf_dir)
     assignment = kmeans_assign_cached(spark, sf_dir, k=semdedup_k_for(n))
-    return semdedup(assignment, emb, threshold=_SEM_TAU)
+    return semdedup(assignment, emb, threshold=_SEM_TAU, cluster_cap=_SEM_CAP)
 
 
 # --------------------------------------------------------------------------
@@ -355,20 +405,12 @@ def _v2_oracle() -> str:
     from datapipelinedemo_spark.plans.corpus_ops import _BLOOM_CORE
 
     return (
-        _kmeans_cte()
+        _kmeans_cte(k=_SEM_K_SQL)
         + ", "
         + _BLOOM_CORE
+        + _sd_dropped_cte("sdropped")
         + f"""
-    , sdropped AS (
-        SELECT DISTINCT x.vec_id
-        FROM asg x
-        JOIN asg y ON y.cid = x.cid AND y.vec_id <> x.vec_id
-        JOIN embeddings ea ON ea.vec_id = x.vec_id
-        JOIN embeddings eb ON eb.vec_id = y.vec_id
-        WHERE {_SD_DOT} / ({_SD_NRM_A} * {_SD_NRM_B}) >= {_SEM_TAU}
-          AND (y.d > x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
-    ),
-    tokc AS (
+    , tokc AS (
         SELECT doc_id, source, CAST(len({_V2_TOKS}) AS BIGINT) AS ntok
         FROM documents WHERE doc_id % 50 <> 0
     ),

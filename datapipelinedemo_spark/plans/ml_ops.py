@@ -25,14 +25,18 @@ _GRID = 1000.0  # milli-unit quantization grid for embedding values
 _LITERAL_K_MAX = 32
 
 
-def _kmeans_cte(k: int = _K, iters: int = _ITERS) -> str:
+def _kmeans_cte(k: int | str = _K, iters: int = _ITERS) -> str:
     """Unrolled Lloyd's-iteration CTE chain ending in ``asg`` =
     ``(vec_id, cid, d)`` — shared by the k-means oracle and the
     SemDeDup oracle (plans/dedup_ext.py), which builds its prune rule
     on the same assignment. The oracle is deliberately *relational*
     (per-dimension rows, join on i) while Spark is *in-row* (array
     fold per vector) — same integer math, independently shaped
-    plans."""
+    plans. ``k`` may be an int or a SQL scalar expression (e.g. a
+    subquery deriving the adaptive cluster count from the corpus
+    size), so oracles using ``semdedup_k_for`` geometry stay correct
+    at ANY certification scale instead of silently pinning the sf0.01
+    value."""
     parts = [
         f"""
     WITH ex AS (
