@@ -215,6 +215,12 @@ def incremental_lsh_candidates(
     cross = (
         new_banded.alias("n")
         .join(corpus.alias("c"), ["band", "key"])
+        # a batch and a corpus are disjoint in the batch pipeline, but
+        # an at-least-once STREAMING source can re-deliver an
+        # already-indexed doc_id in a later batch — without this guard
+        # that emits (doc, doc) self-pairs (the embedding stream's
+        # id_new != id_corpus twin)
+        .filter(F.col("n.doc") != F.col("c.doc"))
         .select(
             F.col("n.doc").alias("doc_a"),
             F.col("c.doc").alias("doc_b"),

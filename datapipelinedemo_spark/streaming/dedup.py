@@ -49,12 +49,56 @@ def _read_index(spark, index_dir: str, batch_id: int) -> DataFrame | None:
     try:
         corpus = spark.read.parquet(index_dir)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # match on the error CLASS (stable across Spark versions),
+        # falling back to the message only where the API predates
+        # getCondition/getErrorClass — message strings are not a
+        # contract.
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond == "PATH_NOT_FOUND" or (
+            cond is None and "Path does not exist" in str(e)
+        ):
             return None
         raise
     if "batch_id" in corpus.columns:
         corpus = corpus.filter(F.col("batch_id") != batch_id)
     return corpus
+
+
+def seed_ingest_index(frame: DataFrame, index_dir: str) -> None:
+    """Seed a streaming ingest index from a batch-built corpus frame
+    (``neardup_index``'s banded frame for the text stream,
+    ``ann_index.lsh_index``'s frame for the embedding stream) BEFORE
+    the first micro-batch.
+
+    Seeds must go through this helper, not a plain parquet copy: the
+    stream appends ``batch_id=N/`` partition subdirectories, so seed
+    part files sitting at the directory ROOT would give the next read
+    Spark's conflicting-directory-structures partition-discovery
+    failure. Writing the seed under ``batch_id=-1`` (a value
+    foreachBatch never produces) keeps the layout uniform and keeps
+    the replay exclusion (``batch_id != current``) meaningful for the
+    seeded rows — they are never mistaken for a crashed first batch.
+    """
+    from pyspark.sql import functions as F
+
+    if "batch_id" in frame.columns:
+        frame = frame.drop("batch_id")
+    (
+        frame.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_dir)
+    )
 
 
 def start_neardup_ingest_stream(
@@ -82,8 +126,11 @@ def start_neardup_ingest_stream(
     rows are appended to ``index_dir`` — so batch N+1 dedups against
     everything through batch N. This is the streaming twin of the
     batch ``incremental_dedup_candidates`` query and shares all its
-    operators and its stored-index format (a batch-built
-    ``neardup_index`` can seed ``index_dir`` directly).
+    operators and its stored-index row format (a batch-built
+    ``neardup_index`` banded frame can seed ``index_dir`` via
+    ``seed_ingest_index`` — never by copying part files to the
+    directory root, which would conflict with the stream's
+    ``batch_id=N/`` partition layout).
 
     State story at 100 TB: Spark streaming state holds NOTHING here —
     the "state" is the on-disk index, which is exactly the artifact
@@ -177,7 +224,7 @@ def start_embedding_ingest_stream(
     replay contract as the near-dup text ingest (per-batch-id dynamic
     partition overwrite; the index read excludes the replaying
     batch's own partition); a batch-built ``ann_index.lsh_index``
-    directory can seed ``index_dir``.
+    frame can seed ``index_dir`` via ``seed_ingest_index``.
     """
     from pyspark.sql import functions as F
 
