@@ -84,6 +84,9 @@ PRIORITY = [
     "winnowing_fingerprints",
     "winnowed_substring_matches",
     "training_corpus_pipeline_v2",
+    # --- new this round (never-certified): DSIR data selection ---
+    "dsir_importance_weights",
+    "dsir_resample_topk",
     # --- r3-stale (last green row is round 3) ---
     "brand_revenue",
     "distinct_parts_per_flag",
@@ -133,10 +136,10 @@ PRIORITY = [
     "pack_documents_bins",
     "fixed_window_repack",
     "embedding_int8_quantize",
+    # --- past the 50-query window → lead the r8 rotation: the
+    #     displaced r4 shapes, then the r5/r6 vintages ---
     "multimodal_feature_extract",
     "multimodal_frame_sample",
-    # --- past the 50-query window → lead the r8 rotation: the 6
-    #     displaced r4 shapes, then the r5/r6 vintages ---
     "a3_pair_smoothed_sentiment",
     "tweets_sentiment2d_monthly",
     "top5_words_per_lang",

@@ -1,0 +1,255 @@
+"""Data SELECTION for LM training — DSIR importance weighting.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): score every raw-corpus document by how much
+more likely its hashed n-gram features are under a TARGET-domain
+bag-of-ngrams model than under the raw-corpus model, then resample
+with probability ∝ the importance weight. It is the standard
+scalable answer to "give me more documents that look like my target
+domain" — the selection sibling of the dedup/quality/contamination
+operators in this catalog.
+
+Model per the paper: features are word-bigram hashes bucketed into B
+buckets; each side (target p, raw q) is a unigram model over buckets
+with add-1 smoothing; a document's log importance weight is
+Σ_grams [ln p(bucket) − ln q(bucket)], counted with multiplicity.
+
+Exactness strategy (the ``unigram_perplexity_scores`` precedent): the
+per-BUCKET log ratio snaps to a 1e-6 integer grid BEFORE the per-doc
+sum, so aggregation is exact BIGINT math and the engines agree
+regardless of gram order. The resampling step derandomizes the
+paper's Gumbel-top-k: g = −ln(−ln(u)) with u drawn from a keyed md5
+bucket of the doc id (the Efraimidis–Spirakis derandomization used by
+``weighted_sample_by_length``), also snapped to the 1e-6 grid, so the
+selected set is deterministic across engines, runs and partitionings.
+
+Scale shape (100 TB): both bucket-count model frames are B rows —
+plan constants that BROADCAST to the scoring join; the corpus sees
+one tokenize/explode pass and ONE partial-agg groupBy(doc_id). The
+target slice is typically tiny (a benchmark/domain sample); its
+count pass is proportional to the target, not the corpus. Gumbel
+top-k is per-partition TopK + single merge — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.plans.corpus_ops import _TOKS, _grams_sql
+from datapipelinedemo_spark.tables import table
+
+_B = 4096            # feature-hash buckets (paper uses 10^4-ish)
+_N = 2               # word-bigram features
+_TARGET_SOURCES = ("src0", "src1")  # the "domain we want more of"
+_RESAMPLE_K = 100
+
+# 60-bit md5 prefix → bucket, identical in both engines (the repo's
+# standard cross-engine hash: conv/base-16 in Spark, '0x' cast in
+# DuckDB — same value, see operators/dedup.py shingle hashing).
+_BUCKET_SQL = (
+    f"CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) % {_B}"
+)
+
+
+def _bucket_col(gram_col: str) -> F.Column:
+    return F.expr(
+        f"cast(conv(substring(md5({gram_col}), 1, 15), 16, 10)"
+        f" as bigint) % {_B}"
+    )
+
+
+_TGT_PRED = "source IN ('" + "', '".join(_TARGET_SOURCES) + "')"
+
+# CTE chain ending in ``lr`` = (bucket, lr6): the 1e-6-grid log ratio
+# of the add-1-smoothed target/raw bucket models, and ``docg`` =
+# (doc_id, bucket) per raw-doc gram occurrence.
+_DSIR_CTE = f"""
+    WITH tok AS (
+        SELECT doc_id, {_TGT_PRED} AS is_tgt, {_TOKS} AS t FROM documents
+    ),
+    g AS (SELECT doc_id, is_tgt, unnest({_grams_sql(_N)}) AS gram FROM tok),
+    gb AS (SELECT doc_id, is_tgt, {_BUCKET_SQL} AS bucket FROM g),
+    cp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM gb
+           WHERE is_tgt GROUP BY 1),
+    cq AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM gb
+           WHERE NOT is_tgt GROUP BY 1),
+    tot AS (
+        SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM cp) AS np,
+               (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM cq) AS nq
+    ),
+    lr AS (
+        SELECT COALESCE(cp.bucket, cq.bucket) AS bucket,
+               CAST(FLOOR((ln((COALESCE(cp.c, 0) + 1.0) / (tot.np + {_B}))
+                           - ln((COALESCE(cq.c, 0) + 1.0) / (tot.nq + {_B})))
+                          * 1e6 + 0.5) AS BIGINT) AS lr6
+        FROM cp FULL JOIN cq ON cq.bucket = cp.bucket, tot
+    ),
+    docg AS (SELECT doc_id, bucket FROM gb WHERE NOT is_tgt)
+"""
+
+
+def _dsir_weight6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, w6) for every raw (non-target) doc: the
+    exact-integer 1e-6-grid log importance weight."""
+    from datapipelinedemo_spark.functions.text import tokenize
+    from datapipelinedemo_spark.operators.decontamination import (
+        ngrams_of_tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    gb = (
+        docs.select(
+            "doc_id",
+            F.col("source").isin(*_TARGET_SOURCES).alias("is_tgt"),
+            F.explode(ngrams_of_tokens(tokenize("text"), _N)).alias("gram"),
+        )
+        .select("doc_id", "is_tgt", _bucket_col("gram").alias("bucket"))
+    )
+    # BOTH bucket models in ONE corpus pass (conditional partial-agg
+    # counts), then pin the B-row result: it feeds three consumers
+    # (the two totals and the log-ratio frame) and Catalyst has no
+    # cross-branch subtree sharing — without the pin the full
+    # tokenize/explode/md5 lineage would re-run per consumer.
+    # B rows is corpus-INdependent, the sanctioned localCheckpoint
+    # case (never pin corpus-sized frames).
+    model = (
+        gb.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+            F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0))
+            .cast("long")
+            .alias("cq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = model.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log(
+                    (F.col("cp") + F.lit(1.0))
+                    / (F.col("np") + F.lit(float(_B)))
+                )
+                - F.log(
+                    (F.col("cq") + F.lit(1.0))
+                    / (F.col("nq") + F.lit(float(_B)))
+                )
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr6"),
+    )
+    return (
+        gb.filter("NOT is_tgt")
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("lr6").cast("long").alias("w6"),
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_CTE
+    + """
+    SELECT docg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(CAST(SUM(lr.lr6) AS DOUBLE) / 1e6, 6) AS log_weight
+    FROM docg JOIN lr ON lr.bucket = docg.bucket
+    GROUP BY 1
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weight per raw-corpus document (target
+    domain = sources {src0, src1}): Σ over the doc's hashed word
+    bigrams of the smoothed target/raw bucket log ratio. Positive →
+    looks more like the target domain than the average raw doc.
+
+    See the module docstring for the paper, the exact-integer grid
+    strategy, and the broadcast-model scale shape.
+    """
+    w = _dsir_weight6(spark, sf_dir)
+    return w.select(
+        "doc_id",
+        "n_grams",
+        F.round(F.col("w6").cast("double") / 1e6, 6).alias("log_weight"),
+    )
+
+
+@register(
+    "dsir_resample_topk",
+    oracle=_DSIR_CTE
+    + f"""
+    , w AS (
+        SELECT docg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(lr.lr6) AS BIGINT) AS w6
+        FROM docg JOIN lr ON lr.bucket = docg.bucket
+        GROUP BY 1
+    ),
+    keyed AS (
+        SELECT doc_id, n_grams,
+               CAST(FLOOR(CAST(w6 AS DOUBLE) / n_grams) AS BIGINT)
+               + CAST(FLOOR(-ln(-ln(
+                     (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                          || '#dsir'), 1, 15) AS BIGINT) % 10000 + 1)
+                     / 10001.0)) * 1e6 + 0.5) AS BIGINT) AS key6
+        FROM w
+    )
+    SELECT doc_id, n_grams,
+           round(CAST(key6 AS DOUBLE) / 1e6, 6) AS gumbel_key
+    FROM keyed
+    ORDER BY key6 DESC, doc_id
+    LIMIT {_RESAMPLE_K}
+    """,
+)
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR, derandomized: Gumbel-top-k over
+    the per-gram-normalized importance weight. key = w̄ + g where w̄
+    is the doc's mean bucket log ratio (integer floor on the 1e-6
+    grid — length-fair, so long docs don't win on gram count alone)
+    and g = −ln(−ln(u)) is Gumbel noise with u drawn from a keyed md5
+    bucket of the doc id — sampling ∝ exp(w̄) in expectation, yet
+    bit-deterministic (the ``weighted_sample_by_length``
+    derandomization precedent). Exact BIGINT key compare; ties break
+    on doc_id; top-k is per-partition TopK + one merge.
+    """
+    w = _dsir_weight6(spark, sf_dir)
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(doc_id as string),"
+            " '#dsir')), 1, 15), 16, 10) as bigint) % 10000"
+        )
+        + 1
+    ).cast("double") / 10001.0
+    keyed = w.select(
+        "doc_id",
+        "n_grams",
+        (
+            F.floor(F.col("w6") / F.col("n_grams")).cast("long")
+            + F.floor(-F.log(-F.log(u)) * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("key6"),
+    )
+    return (
+        keyed.orderBy(F.desc("key6"), F.asc("doc_id"))
+        .limit(_RESAMPLE_K)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(F.col("key6").cast("double") / 1e6, 6).alias(
+                "gumbel_key"
+            ),
+        )
+    )

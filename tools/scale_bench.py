@@ -55,6 +55,7 @@ QUERIES = [
     "winnowed_substring_matches",
     "bloom_decontamination",
     "training_corpus_pipeline_v2",
+    "dsir_importance_weights",
 ]
 
 BASE = "/root/testdata/sf0.1"
