@@ -71,12 +71,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # 4 queries with NO green row ever — the r6 reds (the corrupted
 # write-once index incident, fixed by the manifest-pinned reads in
 # operators/write_once.py).
-# Round-7 window = the 4 never-certified reds FIRST (re-certify on the
-# hardened read path) + the 5 r3-stale shapes + 41 of the 47
-# r4-vintage rows. The 6 displaced r4 shapes (each co-covered by an
+# Round-7 window = the 7 never-certified queries FIRST (the 4 r6 reds
+# re-certifying on the hardened read path + this round's DSIR/CCNet
+# additions) + the 5 r3-stale shapes + 38 of the 47 r4-vintage rows.
+# The 9 displaced r4 shapes (each r4-green; most co-covered by an
 # in-window relative: a2/a4 cover a3, frequency_2d covers
-# sentiment2d, exact_k_per_language covers top5_words, repetition/
-# quality stats cover fingerprints/chunk/f4) lead the r8 rotation.
+# sentiment2d, exact_k_per_language covers top5_words) lead the r8
+# rotation.
 PRIORITY = [
     # --- never-certified: the r6 reds, now served from
     #     manifest-pinned indexes ---
@@ -84,9 +85,11 @@ PRIORITY = [
     "winnowing_fingerprints",
     "winnowed_substring_matches",
     "training_corpus_pipeline_v2",
-    # --- new this round (never-certified): DSIR data selection ---
+    # --- new this round (never-certified): DSIR data selection +
+    #     CCNet perplexity buckets ---
     "dsir_importance_weights",
     "dsir_resample_topk",
+    "ccnet_perplexity_buckets",
     # --- r3-stale (last green row is round 3) ---
     "brand_revenue",
     "distinct_parts_per_flag",

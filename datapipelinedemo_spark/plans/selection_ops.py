@@ -253,3 +253,121 @@ def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style per-language perplexity buckets (Wenzek et al. 2020)
+# --------------------------------------------------------------------------
+# CCNet's quality split: score every document with an LM, then cut each
+# LANGUAGE's distribution into head / middle / tail terciles — "head"
+# is the lowest-perplexity (cleanest) third, the slice most pipelines
+# keep for pre-training. Here the scorer is the corpus-trained unigram
+# LM already used by unigram_perplexity_scores (per-term -ln p snapped
+# to the 1e-6 grid, so per-doc sums are exact BIGINT and the mean is
+# an exact FLOOR on the same grid — cross-engine total order with the
+# doc_id tiebreak).
+
+_CCNET_NLL_CTE = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tc AS (SELECT doc_id, unnest(t) AS term FROM tok),
+    vocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tc GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+    nll AS (
+        SELECT term,
+               CAST(FLOOR(-ln(CAST(c AS DOUBLE) / total) * 1e6 + 0.5)
+                    AS BIGINT) AS nll6
+        FROM vocab, n
+    ),
+    dnll AS (
+        SELECT tc.doc_id,
+               CAST(FLOOR(CAST(SUM(nll.nll6) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS mnll6
+        FROM tc JOIN nll ON nll.term = tc.term
+        GROUP BY 1
+    )
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=_CCNET_NLL_CTE
+    + """
+    SELECT d.lang, dnll.doc_id,
+           round(CAST(dnll.mnll6 AS DOUBLE) / 1e6, 6) AS mean_nll,
+           CASE NTILE(3) OVER (PARTITION BY d.lang
+                               ORDER BY dnll.mnll6, dnll.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM dnll JOIN documents d ON d.doc_id = dnll.doc_id
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles of unigram-LM mean NLL within
+    each language — ``head`` = the cleanest (lowest-perplexity) third
+    of that language's documents.
+
+    Exactness: the per-doc mean NLL is an exact integer on the 1e-6
+    grid (FLOOR of the exact BIGINT sum / count), and the tercile
+    order is total (mnll6, doc_id), so NTILE agrees bit-for-bit
+    across engines.
+
+    Scale shape: the vocabulary scoring join is the
+    ``unigram_perplexity_scores`` plan (one explode, one vocab join,
+    one partial-agg groupBy). The tercile split here is window NTILE
+    per language — exact, but a per-language sort whose parallelism
+    is bounded by |languages|; at 100 TB CCNet itself cuts on
+    QUANTILE THRESHOLDS, and that is the production path: compute
+    per-lang tercile boundaries (``percentile_approx`` or an exact
+    two-pass count/rank), broadcast the |langs|×2 threshold table,
+    and assign each doc by comparison — no global sort, identical
+    output up to threshold precision. The catalog pins the exact
+    NTILE form because the oracle must be bit-deterministic.
+    """
+    from pyspark.sql import Window
+
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    tc = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    vocab = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = vocab.agg(F.sum("c").alias("total"))
+    nll = vocab.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("total")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll6"),
+    )
+    dnll = (
+        tc.join(nll, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum("nll6").cast("double") / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("mnll6")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("mnll6", "doc_id")
+    return (
+        dnll.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("__t", F.ntile(3).over(w))
+        .select(
+            "lang",
+            "doc_id",
+            F.round(F.col("mnll6").cast("double") / 1e6, 6).alias(
+                "mean_nll"
+            ),
+            F.when(F.col("__t") == 1, "head")
+            .when(F.col("__t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
