@@ -73,11 +73,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # operators/write_once.py).
 # Round-7 window = the 7 never-certified queries FIRST (the 4 r6 reds
 # re-certifying on the hardened read path + this round's DSIR/CCNet
-# additions) + the 5 r3-stale shapes + 38 of the 47 r4-vintage rows.
-# The 9 displaced r4 shapes (each r4-green; most co-covered by an
-# in-window relative: a2/a4 cover a3, frequency_2d covers
-# sentiment2d, exact_k_per_language covers top5_words) lead the r8
-# rotation.
+# additions) + the 5 r3-stale shapes + 38 of the 47 r4-vintage rows
+# (verified: exactly 50 entries precede the rotation marker). The 9
+# displaced r4 shapes (each r4-green; most co-covered by an in-window
+# relative: a2/a4 cover a3, frequency_2d covers sentiment2d,
+# exact_k_per_language covers top5_words) lead the r8 rotation.
 PRIORITY = [
     # --- never-certified: the r6 reds, now served from
     #     manifest-pinned indexes ---
@@ -138,9 +138,9 @@ PRIORITY = [
     "train_val_test_split",
     "pack_documents_bins",
     "fixed_window_repack",
-    "embedding_int8_quantize",
     # --- past the 50-query window → lead the r8 rotation: the
     #     displaced r4 shapes, then the r5/r6 vintages ---
+    "embedding_int8_quantize",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "a3_pair_smoothed_sentiment",

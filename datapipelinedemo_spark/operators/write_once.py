@@ -142,6 +142,25 @@ def dir_is_valid(dest: str) -> bool:
     return True
 
 
+def foreign_parts(dest: str) -> list[str]:
+    """Absolute paths of part files on disk that are NOT listed in
+    their frame's manifest — harmless to reads (the pinned scan never
+    touches them) but wasted disk and the signature of the round-6
+    external-merge incident. ``tools/index_gc.py`` purges them."""
+    out: list[str] = []
+    for fd in _frame_dirs(dest):
+        m = _load_manifest(fd)
+        if m is None:
+            continue
+        listed = set(m["files"])
+        out.extend(
+            os.path.join(fd, n)
+            for n in os.listdir(fd)
+            if n.endswith(".parquet") and n not in listed
+        )
+    return out
+
+
 def ensure_dir(dest: str, build) -> None:
     """Make ``dest`` a valid committed index, (re)building if needed.
 
@@ -155,8 +174,28 @@ def ensure_dir(dest: str, build) -> None:
     if os.path.isdir(dest):
         # legacy (pre-manifest) or corrupted: rebuild from source. The
         # index is derived data; a rebuild is always safe, a trusting
-        # read is not.
-        shutil.rmtree(dest)
+        # read is not. Claim the doomed dir with an atomic RENAME
+        # rather than rmtree-ing in place — a concurrent builder may
+        # have committed a fresh valid index between our validity
+        # check and this line, and deleting that would orphan its
+        # already-returned manifest-pinned scans.
+        trash = dest + f".stale-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(dest, trash)
+        except OSError:
+            pass  # another builder already claimed or replaced it
+        else:
+            if dir_is_valid(trash):
+                # we grabbed a concurrent builder's fresh commit —
+                # put it back (or drop ours if dest got rebuilt again)
+                try:
+                    os.rename(trash, dest)
+                except OSError:
+                    shutil.rmtree(trash, ignore_errors=True)
+                if dir_is_valid(dest):
+                    return
+            else:
+                shutil.rmtree(trash, ignore_errors=True)
     tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
     try:
         build(tmp)

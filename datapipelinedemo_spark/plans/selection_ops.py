@@ -90,20 +90,44 @@ _DSIR_CTE = f"""
 """
 
 
+# The weight frame feeds BOTH catalog queries (weights listing and
+# resampling); memoized persisted like the shared LSH candidate frame
+# (_LSH_CAND_MEMO, plans/llm_ops.py) so a certification/bench round
+# running both pays the corpus passes once.
+_DSIR_W_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _dsir_weight6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, w6) for every raw (non-target) doc: the
     exact-integer 1e-6-grid log importance weight."""
+    key = (id(spark), sf_dir)
+    if key not in _DSIR_W_MEMO:
+        _DSIR_W_MEMO[key] = _dsir_weight6_build(spark, sf_dir).persist()
+    return _DSIR_W_MEMO[key]
+
+
+def _dsir_weight6_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelinedemo_spark.functions.text import tokenize
     from datapipelinedemo_spark.operators.decontamination import (
         ngrams_of_tokens,
     )
 
     docs = table(spark, sf_dir, "documents")
+    # tokenize into a REAL column before ngrams_of_tokens — feeding
+    # the tokenize expression in directly would be inlined into the
+    # per-position gram lambda and re-tokenize each doc ~once per
+    # gram (the documented anti-pattern on ngrams_of_tokens; the
+    # decontamination callers use this same two-step shape)
     gb = (
         docs.select(
             "doc_id",
             F.col("source").isin(*_TARGET_SOURCES).alias("is_tgt"),
-            F.explode(ngrams_of_tokens(tokenize("text"), _N)).alias("gram"),
+            tokenize("text").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.explode(ngrams_of_tokens("__toks", _N)).alias("gram"),
         )
         .select("doc_id", "is_tgt", _bucket_col("gram").alias("bucket"))
     )

@@ -49,10 +49,12 @@ def _read_index(spark, index_dir: str, batch_id: int) -> DataFrame | None:
     try:
         corpus = spark.read.parquet(index_dir)
     except AnalysisException as e:
-        # match on the error CLASS (stable across Spark versions),
-        # falling back to the message only where the API predates
-        # getCondition/getErrorClass — message strings are not a
-        # contract.
+        # match on the error CLASS first (stable across Spark
+        # versions); keep the message check as an OR, not an
+        # else-branch — a Spark build may tag path-missing with a
+        # legacy/renamed condition while the message still says
+        # "Path does not exist", and crashing a fresh stream's first
+        # batch on that would be strictly worse than the string match.
         cond = None
         for attr in ("getCondition", "getErrorClass"):
             fn = getattr(e, attr, None)
@@ -63,9 +65,7 @@ def _read_index(spark, index_dir: str, batch_id: int) -> DataFrame | None:
                     cond = None
                 if cond:
                     break
-        if cond == "PATH_NOT_FOUND" or (
-            cond is None and "Path does not exist" in str(e)
-        ):
+        if cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
             return None
         raise
     if "batch_id" in corpus.columns:

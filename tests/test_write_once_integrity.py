@@ -150,3 +150,32 @@ def test_ann_index_uses_pinned_reads(spark, sf_dir, tmp_path, monkeypatch):
     dest = _committed_dir(tmp_path)
     _plant_foreign(dest)
     assert AX.lsh_index(spark, sf_dir, planes=8, bands=4, dim=64).count() == want
+
+
+def test_foreign_parts_listed_and_gc_purges(spark, sf_dir, index_root):
+    """GC detects the round-6 merge signature (unlisted part files in
+    a valid dir) and purges just the junk, keeping the index."""
+    import pyarrow.parquet as pq
+
+    NX.simhash_index(spark, sf_dir, bits=16)
+    dest = _committed_dir(index_root)
+    assert WO.foreign_parts(dest) == []
+    _plant_foreign(dest)
+    fp = WO.foreign_parts(dest)
+    assert len(fp) == len(json.load(open(os.path.join(dest, WO.MANIFEST_NAME)))["files"])
+    # still valid (reads ignore foreign files)
+    assert WO.dir_is_valid(dest)
+    # GC (pointed at this root via the env var the fixture set) purges
+    import tools.index_gc as gc_mod
+
+    os.environ[gc_mod.SOURCE_ROOTS_ENV] = sf_dir.rsplit("/", 1)[0] + "/sf*"
+    try:
+        kept, removed, skipped = gc_mod.gc(dry_run=False)
+    finally:
+        del os.environ[gc_mod.SOURCE_ROOTS_ENV]
+    assert any("foreign part files" in r for r in removed)
+    assert WO.foreign_parts(dest) == []
+    assert WO.dir_is_valid(dest)
+    # the index still reads exactly its manifest rows
+    m = json.load(open(os.path.join(dest, WO.MANIFEST_NAME)))
+    assert WO.read_frame(spark, dest).count() == m["rows"]

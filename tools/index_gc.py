@@ -5,9 +5,13 @@ plans/ml_ops.py) are keyed by ``{sf_name}-m{mtime_ns}-s{size}-...`` of
 their source parquet, so a regenerated testdata file silently orphans
 every index built against the previous generation. This tool removes
 any index dir whose (mtime_ns, size) no longer matches a live source
-file; current-generation dirs are kept, and dirs failing the
-``write_once`` manifest integrity check (foreign-merged or torn) are
-reported as CORRUPT and removed so the next consumer rebuilds clean.
+file; current-generation dirs are kept. Dirs failing the
+``write_once`` manifest integrity check (torn writes, drifted or
+missing listed files, legacy manifest-less dirs) are reported as
+CORRUPT and removed so the next consumer rebuilds clean. Foreign part
+files merged into an otherwise-valid dir (the round-6 incident —
+reads ignore them, but they waste disk) are purged surgically,
+keeping the index.
 
 Directories whose names don't match the tag format are reported and
 SKIPPED, never deleted — an unrecognized name means "not ours", not
@@ -85,7 +89,10 @@ def gc(dry_run: bool = False) -> tuple[list[str], list[str], list[str]]:
     import time
 
     from datapipelinedemo_spark.operators import ann_index, neardup_index
-    from datapipelinedemo_spark.operators.write_once import dir_is_valid
+    from datapipelinedemo_spark.operators.write_once import (
+        dir_is_valid,
+        foreign_parts,
+    )
 
     live = _live_keys()
     kept, removed, skipped = [], [], []
@@ -119,12 +126,26 @@ def gc(dry_run: bool = False) -> tuple[list[str], list[str], list[str]]:
             if (m["sf"], int(m["mtime"]), int(m["size"])) not in live:
                 _rm(path, name, "stale")
             elif not dir_is_valid(path):
-                # manifest missing/mismatched: the round-6 failure
-                # class — foreign part files merged in, torn writes,
-                # or a pre-manifest legacy dir. Readers would rebuild
-                # anyway; GC makes the rebuild explicit.
+                # manifest missing/mismatched: torn writes, drifted
+                # or deleted listed files, or a pre-manifest legacy
+                # dir. Readers would rebuild anyway; GC makes the
+                # rebuild explicit.
                 _rm(path, name, "corrupt")
             else:
+                fp = foreign_parts(path)
+                if fp:
+                    # valid index + unlisted part files (the round-6
+                    # merge signature): purge just the junk, keep the
+                    # index — reads never touched those files
+                    removed.append(
+                        f"{name} (purged {len(fp)} foreign part files)"
+                    )
+                    if not dry_run:
+                        for f in fp:
+                            try:
+                                os.remove(f)
+                            except OSError:
+                                pass
                 kept.append(name)
     return kept, removed, skipped
 

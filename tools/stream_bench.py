@@ -46,7 +46,14 @@ def _run_stream(spark, start_fn, src_schema, batches, work, reader_kwargs):
         stream = spark.readStream.schema(src_schema).parquet(src)
         t0 = time.time()
         q = start_fn(stream, index_dir, pairs_dir, ckpt, **reader_kwargs)
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # a still-running query would overlap the next iteration
+            # on the same checkpoint AND make this batch's dt bogus —
+            # fail loudly rather than report a wrong number
+            q.stop()
+            raise RuntimeError(
+                f"batch {i} did not drain within 600s — bench invalid"
+            )
         dt = time.time() - t0
         out.append(
             {
