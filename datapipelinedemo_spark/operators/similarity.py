@@ -73,12 +73,15 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_sim: float | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     ``queries`` must be small (it is broadcast); the corpus is scanned
     once with no shuffle. Ties broken by neighbor id for determinism.
-    Self-matches (same id) are excluded.
+    Self-matches (same id) are excluded. ``max_sim`` caps the
+    similarity BEFORE ranking (exclusive bound) — the hard-negative
+    mining shape: nearest neighbors that are NOT near-duplicates.
     """
     # norms are computed once per vector (not per pair): same arithmetic
     # as cosine(), just hoisted — dot/(na*nb) is bit-identical.
@@ -100,6 +103,8 @@ def cosine_topk_bruteforce(
             (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
+    if max_sim is not None:
+        scored = scored.filter(F.col("cos_sim") < F.lit(max_sim))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

@@ -490,3 +490,78 @@ def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("long").alias("tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-based canonical doc per near-dup cluster
+# --------------------------------------------------------------------------
+# The keep-rule half of cluster resolution: after connected components
+# groups near-duplicates, a pipeline keeps ONE representative per
+# cluster. training_corpus_pipeline uses the min-doc_id rule (cheap,
+# arbitrary); the Lee et al. 2022 production rule keeps the LONGEST
+# member — dedup should discard the truncated/boilerplate copies, not
+# a random one. This query pins that rule: per cluster, the max
+# n_chars member (ties → smaller doc_id), with member accounting.
+
+
+def _canon_oracle() -> str:
+    from datapipelinedemo_spark.plans.llm_ops import _CC_ORACLE
+
+    return f"""
+    WITH cc AS ({_CC_ORACLE}),
+    m AS (
+        SELECT cc.comp AS cluster_id, d.doc_id, d.n_chars
+        FROM cc JOIN documents d USING (doc_id)
+    ),
+    r AS (
+        SELECT cluster_id, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members
+        FROM m
+    )
+    SELECT cluster_id, doc_id AS canonical_doc,
+           CAST(n_chars AS BIGINT) AS canonical_chars, n_members
+    FROM r WHERE rn = 1
+    """
+
+
+@register("neardup_canonical_quality", oracle=_canon_oracle())
+def neardup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical document per near-dup cluster, chosen by QUALITY
+    (longest member, ties to the smaller doc_id — the Lee et al. 2022
+    keep-rule) instead of min-id: ``(cluster_id, canonical_doc,
+    canonical_chars, n_members)``, singletons included as their own
+    canonical.
+
+    Plan: the cluster assignment comes from ``neardup_clusters``
+    (shared memoized LSH candidate frame + connected components); the
+    keep-rule is one window over the (doc → cluster) frame — ranked on
+    the cluster key, so the shuffle is the same key the components
+    aggregation already used. Near-dup clusters are near-cliques of
+    bounded size (bucket caps bound the candidate degree), so no
+    cluster partition is large at any corpus size.
+    """
+    from datapipelinedemo_spark.plans.llm_ops import neardup_clusters
+
+    clusters = neardup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = clusters.select(
+        F.col("comp").alias("cluster_id"), "doc_id"
+    ).join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+            "n_members",
+        )
+    )

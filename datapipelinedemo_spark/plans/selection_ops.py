@@ -395,3 +395,67 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for retrieval training data
+# --------------------------------------------------------------------------
+# The standard contrastive-training data shape (DPR / Contriever /
+# sentence-transformers): for each query example, the most similar
+# corpus items that are NOT duplicates of it — similar enough to be
+# hard, dissimilar enough to be true negatives. Operationally this is
+# top-k cosine with the similarity capped BELOW the near-dup
+# threshold, so the mined negatives compose exactly with
+# embedding_neardup_pairs' dup definition (cos >= 0.3 on this
+# synthetic corpus): anything the dedup op would flag is excluded
+# here by construction.
+_HN_TAU = 0.3    # = the embedding_neardup_pairs threshold
+_HN_K = 5
+
+
+def _hn_oracle() -> str:
+    # llm_ops' shared per-dimension dot/norm SQL fragments (already
+    # imported by load_catalog before this module)
+    from datapipelinedemo_spark.plans.llm_ops import _CNRM, _QDOT, _QNRM
+
+    return f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_QDOT} / ({_QNRM} * {_CNRM}) AS cs
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM scored WHERE cs < {_HN_TAU})
+    WHERE rnk <= {_HN_K}
+    """
+
+
+@register("hard_negative_mining", oracle=_hn_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives per query vector (every 50th vec_id, the
+    similarity_topk query set): exact cosine ranking restricted to
+    cos < 0.3 — nearest NON-duplicate neighbors.
+
+    Plan shape = ``cosine_topk_bruteforce`` with the ``max_sim`` cap:
+    queries broadcast, corpus scanned once, per-partition TopK; the
+    cap is a scan-side filter, so at 100 TB the ranked set shrinks
+    BEFORE the TopK state, and the LSH/IVF corpus indexes remain the
+    drop-in scale path (same operator contract as similarity_topk_*).
+    """
+    from datapipelinedemo_spark.operators import similarity as SIM
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = SIM.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=_HN_K, max_sim=_HN_TAU
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
