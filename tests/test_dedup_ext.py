@@ -344,3 +344,52 @@ class TestWinnowProductionParams:
         # the literal path inlines centroid coordinates as array(<v>L,
         # ...) expressions; the join path must not
         assert "array(" not in plan or "L," not in plan
+
+
+class TestHardNegativesAndCanonical:
+    def test_max_sim_caps_before_ranking(self, spark):
+        # rank must be assigned AFTER the cap: with max_sim, the top
+        # slots are taken by the best sub-threshold neighbors, not
+        # left empty where dups were excluded.
+        from datapipelinedemo_spark.operators import similarity as SIM
+
+        base = [1.0] + [0.0] * 63
+        near = [0.9, 0.1] + [0.0] * 62          # cos ~0.99 (dup)
+        mid = [0.5, 0.86] + [0.0] * 62          # cos ~0.5
+        far = [0.1, 0.99] + [0.0] * 62          # cos ~0.1
+        emb = spark.createDataFrame(
+            [(0, base), (1, near), (2, mid), (3, far)],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.filter("vec_id = 0")
+        capped = SIM.cosine_topk_bruteforce(
+            emb, q, k=2, max_sim=0.6
+        ).collect()
+        got = [(r.neighbor_id, r.rank) for r in capped]
+        assert got == [(2, 1), (3, 2)]  # dup (1) excluded, ranks packed
+
+    def test_canonical_keep_rule_tie_breaks_on_id(self, spark, sf_dir):
+        # engine vs a replay of the rule on its own cluster frame
+        from datapipelinedemo_spark.plans.dedup_ext import (
+            neardup_canonical_quality,
+        )
+        from datapipelinedemo_spark.plans.llm_ops import neardup_clusters
+        from datapipelinedemo_spark.tables import table
+
+        out = {
+            r.cluster_id: (r.canonical_doc, r.canonical_chars, r.n_members)
+            for r in neardup_canonical_quality(spark, sf_dir).collect()
+        }
+        docs = {
+            r.doc_id: r.n_chars
+            for r in table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .collect()
+        }
+        members: dict[int, list[int]] = {}
+        for r in neardup_clusters(spark, sf_dir).collect():
+            members.setdefault(r.comp, []).append(r.doc_id)
+        assert set(out) == set(members)
+        for cid, ms in members.items():
+            want = min(ms, key=lambda d: (-docs[d], d))
+            assert out[cid] == (want, docs[want], len(ms)), cid
