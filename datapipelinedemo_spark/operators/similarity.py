@@ -348,6 +348,7 @@ def cosine_topk_ivf(
     assignment: str = "expr",
     centroids: list[list[float]] | None = None,
     refine_iters: int = 0,
+    max_sim: float | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k cosine neighbors.
 
@@ -535,6 +536,11 @@ def cosine_topk_ivf(
             (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
+    if max_sim is not None:
+        # cap BEFORE ranking (hard-negative contract, shared with
+        # cosine_topk_bruteforce): sub-threshold neighbors pack into
+        # the top slots instead of leaving holes where dups ranked
+        scored = scored.filter(F.col("cos_sim") < F.lit(max_sim))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -588,6 +594,7 @@ def cosine_topk_lsh(
     probe_hamming: int = 1,
     broadcast_queries: bool = True,
     corpus_frame: DataFrame | None = None,
+    max_sim: float | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: banded hyperplane buckets
     with query-side multiprobe.
@@ -678,6 +685,11 @@ def cosine_topk_lsh(
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
     )
+    if max_sim is not None:
+        # cap BEFORE ranking — see cosine_topk_bruteforce/ivf; a
+        # post-hoc filter on the top-k output would leave holes in the
+        # ranks instead of promoting sub-threshold neighbors
+        scored = scored.filter(F.col("cos_sim") < F.lit(max_sim))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

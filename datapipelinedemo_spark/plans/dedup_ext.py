@@ -527,6 +527,28 @@ def _canon_oracle() -> str:
     """
 
 
+def canonical_by_quality(members: DataFrame) -> DataFrame:
+    """The keep-rule, factored for direct testing: given
+    ``(cluster_id, doc_id, n_chars)`` membership rows, return one
+    canonical per cluster — max ``n_chars``, ties to the SMALLER
+    ``doc_id`` — plus member count. One window over the cluster key."""
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+            "n_members",
+        )
+    )
+
+
 @register("neardup_canonical_quality", oracle=_canon_oracle())
 def neardup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One canonical document per near-dup cluster, chosen by QUALITY
@@ -550,18 +572,4 @@ def neardup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = clusters.select(
         F.col("comp").alias("cluster_id"), "doc_id"
     ).join(docs, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    wc = Window.partitionBy("cluster_id")
-    return (
-        m.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("canonical_doc"),
-            F.col("n_chars").cast("long").alias("canonical_chars"),
-            "n_members",
-        )
-    )
+    return canonical_by_quality(m)

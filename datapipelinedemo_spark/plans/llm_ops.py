@@ -881,6 +881,13 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (label-blocked)
 # --------------------------------------------------------------------------
+# The corpus' near-dup cosine threshold: embedding_neardup_pairs'
+# verify bound, SemDeDup's _SEM_TAU, and hard_negative_mining's
+# exclusion cap (plans/selection_ops.py) all mean THIS boundary —
+# one definition so the dedup rule and the "not a duplicate" negative
+# miner cannot silently drift apart.
+NEARDUP_TAU = 0.3
+
 _DOT = (
     "list_reduce(list_prepend(0.0::DOUBLE,"
     " [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
@@ -932,7 +939,7 @@ _PLANE_DOT = (
     FROM cand c
     JOIN embeddings a ON a.vec_id = c.id_a
     JOIN embeddings b ON b.vec_id = c.id_b
-    WHERE {_DOT} / ({_NRM_A} * {_NRM_B}) >= 0.3
+    WHERE {_DOT} / ({_NRM_A} * {_NRM_B}) >= {NEARDUP_TAU}
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,7 +972,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v"),
         SIM.norm("embedding").alias("nrm"),
     )
-    pairs = SIM.banded_neardup_pairs(banded, base, threshold=0.3)
+    pairs = SIM.banded_neardup_pairs(banded, base, threshold=NEARDUP_TAU)
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
@@ -994,16 +1001,30 @@ _QDOT = _DOT.replace("a.embedding", "q.embedding").replace("b.embedding", "c.emb
 _QNRM = _NRM_A.replace("a.embedding", "q.embedding")
 _CNRM = _NRM_A.replace("a.embedding", "c.embedding")
 
+# Shared by similarity_topk_bruteforce and hard_negative_mining
+# (plans/selection_ops.py): ONE definition of the query set and the
+# exact scored-pairs CTE, so the two catalog queries can never drift
+# onto different query sets — each would still pass its own oracle if
+# the literals were duplicated, making drift invisible to the gate.
+TOPK_QUERY_MOD = 50
 
-@register(
-    "similarity_topk_bruteforce",
-    oracle=f"""
+
+def topk_scored_cte() -> str:
+    """``scored`` = (query_id, neighbor_id, cs) for every query-set
+    vector against the whole corpus — the brute-force scoring frame."""
+    return f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_QDOT} / ({_QNRM} * {_CNRM}) AS cs
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        WHERE q.vec_id % 50 = 0
-    )
+        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+    )"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=topk_scored_cte()
+    + """
     SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
            CAST(rnk AS BIGINT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1013,7 +1034,7 @@ _CNRM = _NRM_A.replace("a.embedding", "c.embedding")
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     topk = SIM.cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=10)
     return topk.select(
         "query_id",

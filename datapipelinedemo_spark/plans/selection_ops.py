@@ -406,32 +406,33 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hard, dissimilar enough to be true negatives. Operationally this is
 # top-k cosine with the similarity capped BELOW the near-dup
 # threshold, so the mined negatives compose exactly with
-# embedding_neardup_pairs' dup definition (cos >= 0.3 on this
-# synthetic corpus): anything the dedup op would flag is excluded
-# here by construction.
-_HN_TAU = 0.3    # = the embedding_neardup_pairs threshold
+# embedding_neardup_pairs' dup definition: anything the dedup op
+# would flag is excluded here by construction. The threshold
+# (llm_ops.NEARDUP_TAU), the query set (llm_ops.TOPK_QUERY_MOD) and
+# the scored CTE (llm_ops.topk_scored_cte) are SHARED definitions
+# with the dedup and similarity_topk queries — duplicated literals
+# would let the dup boundary or the query set silently drift while
+# every query still passed its own oracle (round-7 review finding).
 _HN_K = 5
 
 
 def _hn_oracle() -> str:
-    # llm_ops' shared per-dimension dot/norm SQL fragments (already
-    # imported by load_catalog before this module)
-    from datapipelinedemo_spark.plans.llm_ops import _CNRM, _QDOT, _QNRM
-
-    return f"""
-    WITH scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {_QDOT} / ({_QNRM} * {_CNRM}) AS cs
-        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        WHERE q.vec_id % 50 = 0
+    from datapipelinedemo_spark.plans.llm_ops import (
+        NEARDUP_TAU,
+        topk_scored_cte,
     )
+
+    return (
+        topk_scored_cte()
+        + f"""
     SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
            CAST(rnk AS BIGINT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cs DESC, neighbor_id) AS rnk
-          FROM scored WHERE cs < {_HN_TAU})
+          FROM scored WHERE cs < {NEARDUP_TAU})
     WHERE rnk <= {_HN_K}
     """
+    )
 
 
 @register("hard_negative_mining", oracle=_hn_oracle())
@@ -447,11 +448,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-in scale path (same operator contract as similarity_topk_*).
     """
     from datapipelinedemo_spark.operators import similarity as SIM
+    from datapipelinedemo_spark.plans.llm_ops import (
+        NEARDUP_TAU,
+        TOPK_QUERY_MOD,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     topk = SIM.cosine_topk_bruteforce(
-        emb, queries, "vec_id", "embedding", k=_HN_K, max_sim=_HN_TAU
+        emb, queries, "vec_id", "embedding", k=_HN_K, max_sim=NEARDUP_TAU
     )
     return topk.select(
         "query_id",

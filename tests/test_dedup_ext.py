@@ -347,28 +347,29 @@ class TestWinnowProductionParams:
 
 
 class TestHardNegativesAndCanonical:
-    def test_max_sim_caps_before_ranking(self, spark):
-        # rank must be assigned AFTER the cap: with max_sim, the top
-        # slots are taken by the best sub-threshold neighbors, not
-        # left empty where dups were excluded.
-        from datapipelinedemo_spark.operators import similarity as SIM
-
-        base = [1.0] + [0.0] * 63
-        near = [0.9, 0.1] + [0.0] * 62          # cos ~0.99 (dup)
-        mid = [0.5, 0.86] + [0.0] * 62          # cos ~0.5
-        far = [0.1, 0.99] + [0.0] * 62          # cos ~0.1
-        emb = spark.createDataFrame(
-            [(0, base), (1, near), (2, mid), (3, far)],
-            "vec_id long, embedding array<float>",
+    def test_canonical_tie_breaks_on_smaller_id(self, spark):
+        # Synthetic tied cluster (the sf0.01 fixture has NO ties, so
+        # the catalog oracle cannot pin this clause — round-7 review):
+        # equal n_chars must keep the SMALLER doc_id.
+        from datapipelinedemo_spark.plans.dedup_ext import (
+            canonical_by_quality,
         )
-        q = emb.filter("vec_id = 0")
-        capped = SIM.cosine_topk_bruteforce(
-            emb, q, k=2, max_sim=0.6
-        ).collect()
-        got = [(r.neighbor_id, r.rank) for r in capped]
-        assert got == [(2, 1), (3, 2)]  # dup (1) excluded, ranks packed
 
-    def test_canonical_keep_rule_tie_breaks_on_id(self, spark, sf_dir):
+        m = spark.createDataFrame(
+            [
+                (1, 10, 300), (1, 7, 300), (1, 12, 200),  # tie at 300
+                (2, 5, 100),                              # singleton
+                (3, 20, 50), (3, 21, 80),                 # no tie
+            ],
+            "cluster_id long, doc_id long, n_chars long",
+        )
+        got = {
+            r.cluster_id: (r.canonical_doc, r.canonical_chars, r.n_members)
+            for r in canonical_by_quality(m).collect()
+        }
+        assert got == {1: (7, 300, 3), 2: (5, 100, 1), 3: (21, 80, 2)}
+
+    def test_canonical_keep_rule_replays_on_fixture(self, spark, sf_dir):
         # engine vs a replay of the rule on its own cluster frame
         from datapipelinedemo_spark.plans.dedup_ext import (
             neardup_canonical_quality,

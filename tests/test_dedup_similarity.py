@@ -462,3 +462,41 @@ def test_incremental_lsh_candidates(spark):
     }
     assert (101, 1) in vs_capped  # min-id representative survives
     assert (101, 2) not in vs_capped
+
+
+def test_max_sim_caps_before_ranking_all_topk_variants(spark):
+    """The hard-negative cap is part of the shared top-k operator
+    contract: on every variant the cap applies BEFORE ranking, so the
+    top slots are taken by the best sub-threshold neighbors (packed
+    ranks), never left as holes where dups ranked."""
+    from datapipelinedemo_spark.operators import similarity as SIM
+
+    base = [1.0] + [0.0] * 63
+    near = [0.9, 0.1] + [0.0] * 62          # cos ~0.99 (dup)
+    mid = [0.5, 0.86] + [0.0] * 62          # cos ~0.5
+    far = [0.1, 0.99] + [0.0] * 62          # cos ~0.1
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, mid), (3, far)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0")
+
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in SIM.cosine_topk_bruteforce(
+            emb, q, k=2, max_sim=0.6
+        ).collect()
+    ]
+    assert got == [(2, 1), (3, 2)]  # dup (1) excluded, ranks packed
+
+    # LSH/IVF are approximate (bucketing may miss a neighbor), so pin
+    # the contract properties instead of the exact list: nothing at or
+    # above the cap survives, and whatever survives has packed ranks.
+    for out in (
+        SIM.cosine_topk_lsh(emb, q, k=3, planes=8, bands=4, max_sim=0.6),
+        SIM.cosine_topk_ivf(emb, q, k=3, nlist=2, nprobe=2, max_sim=0.6),
+    ):
+        rows = sorted(out.collect(), key=lambda r: r.rank)
+        assert all(r.cos_sim < 0.6 for r in rows)
+        assert 1 not in {r.neighbor_id for r in rows}
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
