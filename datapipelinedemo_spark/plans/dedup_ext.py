@@ -573,3 +573,132 @@ def neardup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"), "doc_id"
     ).join(docs, "doc_id")
     return canonical_by_quality(m)
+
+
+# --------------------------------------------------------------------------
+# Maximal shared-substring SPANS from winnowed fingerprints
+# --------------------------------------------------------------------------
+# winnowed_substring_matches tells you WHICH pairs share substrings;
+# this recovers WHERE — the span boundaries a Lee et al. 2022-style
+# exact-substring dedup actually cuts. Shared gram occurrences of one
+# run lie on a single alignment DIAGONAL (pos_b - pos_a constant),
+# and inside a shared run both docs select the SAME relative
+# positions (interior windows see identical hashes), so consecutive
+# shared fingerprints sit ≤ w apart. Gaps-and-islands per
+# (pair, diagonal) with break-at-gap>w therefore reconstructs maximal
+# runs; spans report token positions [start, end] with
+# end = last gram pos + k - 1.
+
+_SPAN_MIN_FP = 2  # single-gram hits are noise, not substrings
+
+
+@register(
+    "winnowed_substring_spans",
+    oracle=_WINNOW_CTE
+    + f"""
+    , keep AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS df FROM fp GROUP BY gram
+        ) WHERE df <= {_WIN_MAXDF}
+    ),
+    hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b,
+               b.pos - a.pos AS diag
+        FROM fp a JOIN fp b ON b.gram = a.gram AND a.doc_id < b.doc_id
+        JOIN keep k ON k.gram = a.gram
+    ),
+    brk AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               CASE WHEN pos_a - LAG(pos_a) OVER
+                        (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+                    > {_WIN_W} THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               SUM(new_island) OVER
+                   (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                    ROWS UNBOUNDED PRECEDING) AS grp
+        FROM brk
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pos_a) AS BIGINT) AS a_start,
+           CAST(MAX(pos_a) + {_WIN_K - 1} AS BIGINT) AS a_end,
+           CAST(MIN(pos_b) AS BIGINT) AS b_start,
+           CAST(MAX(pos_b) + {_WIN_K - 1} AS BIGINT) AS b_end,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, grp
+    HAVING COUNT(*) >= {_SPAN_MIN_FP}
+    """,
+)
+def winnowed_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared-substring spans per document pair:
+    ``(doc_a, doc_b, a_start, a_end, b_start, b_end,
+    n_fingerprints)`` in 1-based token k-gram positions
+    (``a_end`` covers the last gram's k tokens). Islands of ≥2 shared
+    fingerprints on one alignment diagonal, split where consecutive
+    shared positions are more than w apart.
+
+    Scale shape: the fingerprint frame comes from the write-once
+    winnow index; the pair join is the df-capped gram join of
+    ``winnowed_substring_matches``; the island pass is two window
+    functions partitioned by (pair, diagonal) — keys at least as fine
+    as the join output, so no new skew. All arithmetic is integer →
+    hash-exact across engines.
+    """
+    from datapipelinedemo_spark.operators.neardup_index import winnow_index
+
+    fp = winnow_index(spark, sf_dir)
+    keep = (
+        fp.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _WIN_MAXDF)
+        .select("gram")
+    )
+    a = fp.join(keep, "gram").select(
+        "gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = fp.select(
+        "gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    hits = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_b") - F.col("pos_a")).alias("diag"),
+        )
+    )
+    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos_a") - F.lag("pos_a").over(wd) > _WIN_W, 1
+        ).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("new_island").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("a_start"),
+            (F.max("pos_a") + F.lit(_WIN_K - 1))
+            .cast("long")
+            .alias("a_end"),
+            F.min("pos_b").cast("long").alias("b_start"),
+            (F.max("pos_b") + F.lit(_WIN_K - 1))
+            .cast("long")
+            .alias("b_end"),
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        )
+        .filter(F.col("n_fingerprints") >= _SPAN_MIN_FP)
+        .drop("diag", "grp")
+    )
