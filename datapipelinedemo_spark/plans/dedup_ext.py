@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from datapipelinedemo_spark.operators import similarity as SIM
 from datapipelinedemo_spark.operators.dedup import WINNOW_K, WINNOW_W, winnow
 from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.plans.llm_ops import NEARDUP_TAU
 from datapipelinedemo_spark.plans.ml_ops import (
     _kmeans_cte,
     kmeans_assign_cached,
@@ -38,10 +39,12 @@ from datapipelinedemo_spark.tables import table
 
 # Cosine threshold above which two same-cluster embeddings are
 # semantic duplicates. The paper uses ~0.95+ on real embeddings; the
-# synthetic testdata has no true near-dups above 0.5 (the same reason
-# embedding_neardup_pairs uses 0.3), so the catalog query pins 0.3 to
-# exercise the prune path on data that actually contains pairs.
-_SEM_TAU = 0.3
+# synthetic testdata has no true near-dups above 0.5, so the catalog
+# pins the corpus' near-dup boundary to exercise the prune path on
+# data that actually contains pairs. ONE definition
+# (llm_ops.NEARDUP_TAU) shared with embedding_neardup_pairs and
+# hard_negative_mining — the boundaries move together or not at all.
+_SEM_TAU = NEARDUP_TAU
 _SEM_K = 8          # floor cluster count (= the sf0.01 value, n=500)
 _TARGET_CLUSTER = 64  # production: k grows so clusters stay ~this size
 _SEM_CAP = 2048     # pairwise head per cluster (mega-cluster guard)
@@ -325,24 +328,61 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "winnowed_substring_matches",
-    oracle=_WINNOW_CTE
-    + f"""
+def kept_gram_pair_hits(fp: DataFrame) -> DataFrame:
+    """Shared candidate frame for the exact-substring pair family:
+    one row per pair of gram OCCURRENCES of a kept (df <= _WIN_MAXDF)
+    gram across two documents —
+    ``(gram, doc_a, doc_b, pos_a, pos_b)`` with doc_a < doc_b.
+    ``winnowed_substring_matches`` aggregates it per pair;
+    ``winnowed_substring_spans`` islands it per alignment diagonal.
+    One definition so a change to the boilerplate guard can never
+    desynchronize the two queries' candidate sets."""
+    keep = (
+        fp.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _WIN_MAXDF)
+        .select("gram")
+    )
+    a = fp.join(keep, "gram").select(
+        "gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = fp.select(
+        "gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("gram", "doc_a", "doc_b", "pos_a", "pos_b")
+    )
+
+
+# DuckDB twin of kept_gram_pair_hits: CTEs ``keep`` + ``hits``,
+# appended after _WINNOW_CTE (which ends in ``fp``). Shared by both
+# substring oracles.
+_WIN_PAIR_CTE = f"""
     , keep AS (
         SELECT gram FROM (
             SELECT gram, COUNT(DISTINCT doc_id) AS df FROM fp GROUP BY gram
         ) WHERE df <= {_WIN_MAXDF}
     ),
-    j AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gram
+    hits AS (
+        SELECT a.gram, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
         FROM fp a JOIN fp b ON b.gram = a.gram AND a.doc_id < b.doc_id
         JOIN keep k ON k.gram = a.gram
     )
+"""
+
+
+@register(
+    "winnowed_substring_matches",
+    oracle=_WINNOW_CTE
+    + _WIN_PAIR_CTE
+    + """
     SELECT doc_a, doc_b,
            CAST(COUNT(*) AS BIGINT) AS shared_fingerprints,
            CAST(COUNT(DISTINCT gram) AS BIGINT) AS shared_grams
-    FROM j GROUP BY doc_a, doc_b
+    FROM hits GROUP BY doc_a, doc_b
     """,
 )
 def winnowed_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,19 +412,8 @@ def winnowed_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelinedemo_spark.operators.neardup_index import winnow_index
 
     fp = winnow_index(spark, sf_dir)
-    keep = (
-        fp.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") <= _WIN_MAXDF)
-        .select("gram")
-    )
-    a = fp.join(keep, "gram").select(
-        "gram", F.col("doc_id").alias("doc_a")
-    )
-    b = fp.select("gram", F.col("doc_id").alias("doc_b"))
     return (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        kept_gram_pair_hits(fp)
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("shared_fingerprints"),
@@ -592,28 +621,64 @@ def neardup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_MIN_FP = 2  # single-gram hits are noise, not substrings
 
 
+def spans_from_fingerprints(fp: DataFrame) -> DataFrame:
+    """The span-recovery plan, factored so unit tests exercise the
+    SAME code the catalog query runs (the ``canonical_by_quality``
+    precedent): df-capped gram occurrence pairs → gaps-and-islands
+    per (pair, diagonal) with break-at-gap>w → [start, end] spans of
+    islands holding >= _SPAN_MIN_FP shared fingerprints."""
+    hits = kept_gram_pair_hits(fp).select(
+        "doc_a",
+        "doc_b",
+        "pos_a",
+        "pos_b",
+        (F.col("pos_b") - F.col("pos_a")).alias("diag"),
+    )
+    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos_a") - F.lag("pos_a").over(wd) > _WIN_W, 1
+        ).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("new_island").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("a_start"),
+            (F.max("pos_a") + F.lit(_WIN_K - 1))
+            .cast("long")
+            .alias("a_end"),
+            F.min("pos_b").cast("long").alias("b_start"),
+            (F.max("pos_b") + F.lit(_WIN_K - 1))
+            .cast("long")
+            .alias("b_end"),
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        )
+        .filter(F.col("n_fingerprints") >= _SPAN_MIN_FP)
+        .drop("diag", "grp")
+    )
+
+
 @register(
     "winnowed_substring_spans",
     oracle=_WINNOW_CTE
+    + _WIN_PAIR_CTE
     + f"""
-    , keep AS (
-        SELECT gram FROM (
-            SELECT gram, COUNT(DISTINCT doc_id) AS df FROM fp GROUP BY gram
-        ) WHERE df <= {_WIN_MAXDF}
-    ),
-    hits AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.pos AS pos_a, b.pos AS pos_b,
-               b.pos - a.pos AS diag
-        FROM fp a JOIN fp b ON b.gram = a.gram AND a.doc_id < b.doc_id
-        JOIN keep k ON k.gram = a.gram
+    , dhits AS (
+        SELECT doc_a, doc_b, pos_a, pos_b, pos_b - pos_a AS diag
+        FROM hits
     ),
     brk AS (
         SELECT doc_a, doc_b, diag, pos_a, pos_b,
                CASE WHEN pos_a - LAG(pos_a) OVER
                         (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
                     > {_WIN_W} THEN 1 ELSE 0 END AS new_island
-        FROM hits
+        FROM dhits
     ),
     isl AS (
         SELECT doc_a, doc_b, diag, pos_a, pos_b,
@@ -650,55 +715,4 @@ def winnowed_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datapipelinedemo_spark.operators.neardup_index import winnow_index
 
-    fp = winnow_index(spark, sf_dir)
-    keep = (
-        fp.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") <= _WIN_MAXDF)
-        .select("gram")
-    )
-    a = fp.join(keep, "gram").select(
-        "gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
-    )
-    b = fp.select(
-        "gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
-    )
-    hits = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "pos_a",
-            "pos_b",
-            (F.col("pos_b") - F.col("pos_a")).alias("diag"),
-        )
-    )
-    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    isl = hits.withColumn(
-        "new_island",
-        F.when(
-            F.col("pos_a") - F.lag("pos_a").over(wd) > _WIN_W, 1
-        ).otherwise(0),
-    ).withColumn(
-        "grp",
-        F.sum("new_island").over(
-            wd.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    return (
-        isl.groupBy("doc_a", "doc_b", "diag", "grp")
-        .agg(
-            F.min("pos_a").cast("long").alias("a_start"),
-            (F.max("pos_a") + F.lit(_WIN_K - 1))
-            .cast("long")
-            .alias("a_end"),
-            F.min("pos_b").cast("long").alias("b_start"),
-            (F.max("pos_b") + F.lit(_WIN_K - 1))
-            .cast("long")
-            .alias("b_end"),
-            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        )
-        .filter(F.col("n_fingerprints") >= _SPAN_MIN_FP)
-        .drop("diag", "grp")
-    )
+    return spans_from_fingerprints(winnow_index(spark, sf_dir))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from datapipelinedemo_spark.functions import text as TX
 from datapipelinedemo_spark.operators import dedup as DD
 from datapipelinedemo_spark.operators import similarity as SIM
+from datapipelinedemo_spark.session import session_key
 from datapipelinedemo_spark.plans.catalog import register
 from datapipelinedemo_spark.tables import table
 
@@ -515,8 +516,8 @@ _LSH_CTE = f"""
 # once per process. The memo only avoids re-reading parquet footers
 # within a session; the real reuse is on disk, which also serves
 # standalone (clearCache'd) bench runs that in-memory persist cannot.
-_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
-_BANDED_MEMO: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_BANDED_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _neardup_frames(
@@ -524,7 +525,7 @@ def _neardup_frames(
 ) -> tuple[DataFrame, DataFrame]:
     from datapipelinedemo_spark.operators.neardup_index import neardup_index
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _SHINGLE_MEMO:
         sh, bd = neardup_index(spark, sf_dir, num_hashes=32, bands=4, k=9)
         _SHINGLE_MEMO[key] = sh
@@ -540,11 +541,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (minhash_lsh_candidates, ngram_jaccard_neardups, neardup_clusters);
 # the pair set is tiny (hundreds of rows), so persist one copy per
 # (session, sf_dir) on top of the disk-resident banded index
-_LSH_CAND_MEMO: dict[tuple[int, str], DataFrame] = {}
+_LSH_CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _LSH_CAND_MEMO:
         _, banded = _neardup_frames(spark, sf_dir)
         _LSH_CAND_MEMO[key] = DD.bucketed_candidate_pairs(
@@ -821,7 +822,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round — memoize the resolved frame per (session, sf_dir) like the
 # candidate frame above so each consumer after the first pays a
 # cached read, not the loop.
-_CC_MEMO: dict[tuple[int, str], DataFrame] = {}
+_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,7 +830,7 @@ def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _CC_MEMO:
         docs = table(spark, sf_dir, "documents")
         sh = _doc_shingles(spark, sf_dir)

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from datapipelinedemo_spark.plans.catalog import register
 from datapipelinedemo_spark.plans.corpus_ops import _TOKS, _grams_sql
+from datapipelinedemo_spark.session import session_key
 from datapipelinedemo_spark.tables import table
 
 _B = 4096            # feature-hash buckets (paper uses 10^4-ish)
@@ -100,7 +101,7 @@ _DSIR_W_MEMO: dict[tuple, DataFrame] = {}
 def _dsir_weight6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, w6) for every raw (non-target) doc: the
     exact-integer 1e-6-grid log importance weight."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _DSIR_W_MEMO:
         _DSIR_W_MEMO[key] = _dsir_weight6_build(spark, sf_dir).persist()
     return _DSIR_W_MEMO[key]

@@ -106,3 +106,15 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _PINNED_SESSIONS.add(spark)
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable per-session cache key for plan/frame memos.
+
+    ``id(spark)`` (the historic key) can collide after a session is
+    stopped and the object garbage-collected — a recycled address
+    would serve DataFrames bound to the dead session. The Spark
+    application id is unique per started context (timestamped in
+    local mode), so memos keyed on it can never cross sessions.
+    """
+    return spark.sparkContext.applicationId

@@ -397,11 +397,12 @@ class TestHardNegativesAndCanonical:
 
 
 class TestSubstringSpans:
-    def test_planted_run_recovered_as_one_island(self, spark, tmp_path):
+    def test_planted_run_recovered_as_one_island(self, spark):
         # Two docs sharing a 30-token run at DIFFERENT offsets inside
-        # unrelated noise: the span op must report ONE island per pair
-        # whose [start, end] covers the run's interior (boundaries may
-        # trim by < w+k because edge windows see outside hashes).
+        # unrelated noise: spans_from_fingerprints (the SAME code the
+        # catalog query runs) must report ONE island per pair whose
+        # [start, end] covers the run's interior (boundaries may trim
+        # by < w+k because edge windows see outside hashes).
         import random
 
         from datapipelinedemo_spark.operators.dedup import (
@@ -409,7 +410,9 @@ class TestSubstringSpans:
             WINNOW_W,
             winnow,
         )
-        from datapipelinedemo_spark.plans.dedup_ext import _WIN_MAXDF
+        from datapipelinedemo_spark.plans.dedup_ext import (
+            spans_from_fingerprints,
+        )
 
         rng = random.Random(4)
         run = [f"r{j}" for j in range(30)]
@@ -424,54 +427,14 @@ class TestSubstringSpans:
             ],
             "doc_id long, text string",
         )
-        # replicate the catalog plan on the synthetic frame
-        from pyspark.sql import Window
-
-        fp = winnow(docs)
-        a = fp.select(
-            "gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
-        )
-        b = fp.select(
-            "gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
-        )
-        hits = (
-            a.join(b, "gram")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select(
-                "doc_a", "doc_b", "pos_a", "pos_b",
-                (F.col("pos_b") - F.col("pos_a")).alias("diag"),
-            )
-        )
-        wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-        isl = hits.withColumn(
-            "new_island",
-            F.when(
-                F.col("pos_a") - F.lag("pos_a").over(wd) > WINNOW_W, 1
-            ).otherwise(0),
-        ).withColumn(
-            "grp",
-            F.sum("new_island").over(
-                wd.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        spans = (
-            isl.groupBy("doc_a", "doc_b", "diag", "grp")
-            .agg(
-                F.min("pos_a").alias("a_start"),
-                (F.max("pos_a") + F.lit(WINNOW_K - 1)).alias("a_end"),
-                F.min("pos_b").alias("b_start"),
-                F.count(F.lit(1)).alias("n_fp"),
-            )
-            .filter(F.col("n_fp") >= 2)
-            .collect()
-        )
+        spans = spans_from_fingerprints(winnow(docs)).collect()
         assert len(spans) == 1, spans
         s = spans[0]
-        # doc_a run occupies token positions 12..41 (1-based); gram
-        # positions 12..37. Interior must be covered; edges may trim
-        # by up to w+k-1.
-        assert s.diag == 23 - 11  # offset difference of the run
-        assert s.a_start >= 12 - (WINNOW_W + WINNOW_K)
-        assert s.a_start <= 12 + (WINNOW_W + WINNOW_K)
-        assert s.a_end >= 41 - (WINNOW_W + WINNOW_K)
-        assert s.b_start - s.a_start == s.diag
+        # doc_a run occupies token positions 12..41 (1-based); doc_b
+        # 24..53 — offset difference 12. Interior must be covered;
+        # edges may trim by up to w+k.
+        slack = WINNOW_W + WINNOW_K
+        assert s.b_start - s.a_start == 23 - 11
+        assert abs(s.a_start - 12) <= slack
+        assert s.a_end >= 41 - slack
+        assert s.n_fingerprints >= 2
