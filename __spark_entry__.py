@@ -71,14 +71,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # 4 queries with NO green row ever — the r6 reds (the corrupted
 # write-once index incident, fixed by the manifest-pinned reads in
 # operators/write_once.py).
-# Round-7 window = the 10 never-certified queries FIRST (the 4 r6
+# Round-7 window = the 11 never-certified queries FIRST (the 4 r6
 # reds re-certifying on the hardened read path + this round's DSIR/
-# CCNet/hard-negative/canonical/spans additions) + the 5 r3-stale
-# shapes + 35 of the 47 r4-vintage rows (verified: exactly 50
-# entries precede the rotation marker). The 12 displaced r4 shapes
-# (each r4-green; most co-covered by an in-window relative: a2/a4
-# cover a3, frequency_2d covers sentiment2d, exact_k_per_language
-# covers top5_words) lead the r8 rotation.
+# CCNet/hard-negative/canonical/spans/soft-dedup additions) + the 5
+# r3-stale shapes + 34 of the 47 r4-vintage rows (verified: exactly
+# 50 entries precede the rotation marker). The 13 displaced r4
+# shapes (each r4-green; most co-covered by an in-window relative:
+# a2/a4 cover a3, frequency_2d covers sentiment2d,
+# exact_k_per_language covers top5_words) lead the r8 rotation.
 PRIORITY = [
     # --- never-certified: the r6 reds, now served from
     #     manifest-pinned indexes ---
@@ -94,6 +94,7 @@ PRIORITY = [
     "hard_negative_mining",
     "neardup_canonical_quality",
     "winnowed_substring_spans",
+    "soft_dedup_weights",
     # --- r3-stale (last green row is round 3) ---
     "brand_revenue",
     "distinct_parts_per_flag",
@@ -138,9 +139,9 @@ PRIORITY = [
     # --- r4-vintage: sampling / packing / multimodal / misc ---
     "stratified_sample_documents",
     "domain_mix_sample",
-    "weighted_sample_by_length",
     # --- past the 50-query window → lead the r8 rotation: the
     #     displaced r4 shapes, then the r5/r6 vintages ---
+    "weighted_sample_by_length",
     "train_val_test_split",
     "pack_documents_bins",
     "fixed_window_repack",

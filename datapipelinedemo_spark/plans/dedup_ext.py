@@ -716,3 +716,52 @@ def winnowed_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelinedemo_spark.operators.neardup_index import winnow_index
 
     return spans_from_fingerprints(winnow_index(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Soft dedup: duplication-aware sampling weights
+# --------------------------------------------------------------------------
+def _soft_oracle() -> str:
+    from datapipelinedemo_spark.plans.llm_ops import _CC_ORACLE
+
+    return f"""
+    WITH cc AS ({_CC_ORACLE}),
+    m AS (SELECT comp AS cluster_id, doc_id FROM cc),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM m GROUP BY 1)
+    SELECT m.doc_id, m.cluster_id, sz.n_members,
+           round(1.0 / sz.n_members, 6) AS sample_weight
+    FROM m JOIN sz USING (cluster_id)
+    """
+
+
+@register("soft_dedup_weights", oracle=_soft_oracle())
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DELETING near-duplicates, keep every
+    copy and weight each by 1/cluster_size, so a duplicate cluster
+    contributes one document's worth of expected training mass — the
+    keep-but-downweight policy pipelines use when hard removal is too
+    aggressive (each cluster member may carry distinct metadata or
+    formatting worth sampling across). Composes with the weighted
+    samplers (``weighted_sample_by_length``'s Efraimidis–Spirakis
+    machinery accepts any weight column) and with DSIR importance
+    weights multiplicatively.
+
+    Plan: the memoized cluster assignment + one partial-agg count per
+    cluster joined back on the cluster key — the shuffle granularity
+    the components aggregation already used. Singletons weigh 1.0.
+    """
+    from datapipelinedemo_spark.plans.llm_ops import neardup_clusters
+
+    m = neardup_clusters(spark, sf_dir).select(
+        F.col("comp").alias("cluster_id"), "doc_id"
+    )
+    sz = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return m.join(sz, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        F.round(F.lit(1.0) / F.col("n_members"), 6).alias("sample_weight"),
+    )

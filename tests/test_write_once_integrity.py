@@ -179,3 +179,58 @@ def test_foreign_parts_listed_and_gc_purges(spark, sf_dir, index_root):
     # the index still reads exactly its manifest rows
     m = json.load(open(os.path.join(dest, WO.MANIFEST_NAME)))
     assert WO.read_frame(spark, dest).count() == m["rows"]
+
+
+def test_concurrent_builders_one_valid_winner(tmp_path):
+    """Two threads race ensure_dir on the same (legacy-invalid) dest
+    with slow builders: exactly one valid committed dir must result,
+    neither thread may crash, and the loser must not delete the
+    winner's commit (the rename-claim protocol). Engine-agnostic:
+    builders write parquet via pyarrow, no Spark involved."""
+    import threading
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = str(tmp_path / "idx")
+    # legacy manifest-less dir — both threads will see it invalid
+    os.makedirs(dest)
+    pq.write_table(
+        pa.table({"x": list(range(7))}),
+        os.path.join(dest, "part-legacy.snappy.parquet"),
+    )
+
+    def build(rows):
+        def _b(tmp):
+            os.makedirs(tmp, exist_ok=True)
+            time.sleep(0.3)  # widen the race window
+            pq.write_table(
+                pa.table({"x": list(range(rows))}),
+                os.path.join(tmp, "part-00000-new.snappy.parquet"),
+            )
+        return _b
+
+    errors = []
+
+    def run(rows):
+        try:
+            WO.ensure_dir(dest, build(rows))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=(5,))
+    t2 = threading.Thread(target=run, args=(9,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errors == []
+    assert WO.dir_is_valid(dest)
+    m = json.load(open(os.path.join(dest, WO.MANIFEST_NAME)))
+    # one build won wholesale: manifest rows are one builder's output,
+    # and the files on disk are exactly the manifest's
+    assert m["rows"] in (5, 9)
+    assert sorted(
+        n for n in os.listdir(dest) if n.endswith(".parquet")
+    ) == m["files"]
+    # no stale claim/tmp litter left behind
+    siblings = os.listdir(tmp_path)
+    assert [d for d in siblings if ".tmp-" in d or ".stale-" in d] == []
