@@ -56,7 +56,15 @@ QUERIES = [
     "bloom_decontamination",
     "training_corpus_pipeline_v2",
     "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    "winnowed_substring_spans",
+    "neardup_canonical_quality",
+    "soft_dedup_weights",
 ]
+# hard_negative_mining is deliberately absent for the same reason as
+# similarity_topk_bruteforce: both its sides scale, so brute force is
+# O(K²) by definition; the max_sim-capped LSH/IVF variants are its
+# scale path and their exponents are measured above.
 
 BASE = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
