@@ -79,12 +79,22 @@ def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
 
     import pyarrow.parquet as pq
 
+    from datapipelinedemo_spark.memo import source_stamp
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    key = (sf_dir, source_stamp(src))
     n = _SEM_N_MEMO.get(key)
     if n is None:
-        n = pq.ParquetFile(src).metadata.num_rows
+        if os.path.isdir(src):
+            # directory-style dataset (ADVICE r7 #1): sum the part
+            # footers — still metadata-only, no Spark job
+            n = sum(
+                pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(src).metadata.num_rows
         _SEM_N_MEMO[key] = n
     return n
 

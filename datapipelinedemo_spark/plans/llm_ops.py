@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipelinedemo_spark.functions import text as TX
+from datapipelinedemo_spark.memo import FrameMemo, table_stamp
 from datapipelinedemo_spark.operators import dedup as DD
 from datapipelinedemo_spark.operators import similarity as SIM
 from datapipelinedemo_spark.session import session_key
@@ -516,8 +517,8 @@ _LSH_CTE = f"""
 # once per process. The memo only avoids re-reading parquet footers
 # within a session; the real reuse is on disk, which also serves
 # standalone (clearCache'd) bench runs that in-memory persist cannot.
-_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
-_BANDED_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_MEMO = FrameMemo()
+_BANDED_MEMO = FrameMemo()
 
 
 def _neardup_frames(
@@ -525,12 +526,28 @@ def _neardup_frames(
 ) -> tuple[DataFrame, DataFrame]:
     from datapipelinedemo_spark.operators.neardup_index import neardup_index
 
-    key = (session_key(spark), sf_dir)
-    if key not in _SHINGLE_MEMO:
-        sh, bd = neardup_index(spark, sf_dir, num_hashes=32, bands=4, k=9)
-        _SHINGLE_MEMO[key] = sh
-        _BANDED_MEMO[key] = bd
-    return _SHINGLE_MEMO[key], _BANDED_MEMO[key]
+    # source-stamped key (memo.py): a regenerated documents.parquet
+    # re-resolves to the new on-disk index generation instead of
+    # serving frames pinned to the old one
+    key = (sf_dir, table_stamp(sf_dir, "documents"))
+    pair: list = []  # filled by the first memo miss; both memos share it
+
+    def _resolve() -> None:
+        if not pair:
+            pair.extend(neardup_index(spark, sf_dir, num_hashes=32, bands=4, k=9))
+
+    def _sh() -> DataFrame:
+        _resolve()
+        return pair[0]
+
+    def _bd() -> DataFrame:
+        _resolve()
+        return pair[1]
+
+    return (
+        _SHINGLE_MEMO.get_or_build(spark, key, _sh),
+        _BANDED_MEMO.get_or_build(spark, key, _bd),
+    )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,17 +558,17 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (minhash_lsh_candidates, ngram_jaccard_neardups, neardup_clusters);
 # the pair set is tiny (hundreds of rows), so persist one copy per
 # (session, sf_dir) on top of the disk-resident banded index
-_LSH_CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LSH_CAND_MEMO = FrameMemo()
 
 
 def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (session_key(spark), sf_dir)
-    if key not in _LSH_CAND_MEMO:
-        _, banded = _neardup_frames(spark, sf_dir)
-        _LSH_CAND_MEMO[key] = DD.bucketed_candidate_pairs(
-            banded, bucket_cap=1024
-        ).persist()
-    return _LSH_CAND_MEMO[key]
+    return _LSH_CAND_MEMO.get_or_build(
+        spark,
+        (sf_dir, table_stamp(sf_dir, "documents")),
+        lambda: DD.bucketed_candidate_pairs(
+            _neardup_frames(spark, sf_dir)[1], bucket_cap=1024
+        ).persist(),
+    )
 
 
 @register(
@@ -822,7 +839,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round — memoize the resolved frame per (session, sf_dir) like the
 # candidate frame above so each consumer after the first pays a
 # cached read, not the loop.
-_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CC_MEMO = FrameMemo()
 
 
 def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,22 +847,24 @@ def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    key = (session_key(spark), sf_dir)
-    if key not in _CC_MEMO:
+    def _build() -> DataFrame:
         docs = table(spark, sf_dir, "documents")
         sh = _doc_shingles(spark, sf_dir)
         cand = _lsh_candidates(spark, sf_dir)
         verified = DD.jaccard_verify(
             docs, cand, "doc_id", "text", k=9, threshold=0.5, shingles=sh
         )
-        _CC_MEMO[key] = connected_components(
+        return connected_components(
             docs.select("doc_id"),
             verified,
             id_col="doc_id",
             src_col="doc_a",
             dst_col="doc_b",
         ).persist()
-    return _CC_MEMO[key]
+
+    return _CC_MEMO.get_or_build(
+        spark, (sf_dir, table_stamp(sf_dir, "documents")), _build
+    )
 
 
 # --------------------------------------------------------------------------

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datapipelinedemo_spark.memo import FrameMemo, table_stamp
 from datapipelinedemo_spark.plans.catalog import register
 from datapipelinedemo_spark.plans.corpus_ops import _TOKS, _grams_sql
 from datapipelinedemo_spark.session import session_key
@@ -95,16 +96,19 @@ _DSIR_CTE = f"""
 # resampling); memoized persisted like the shared LSH candidate frame
 # (_LSH_CAND_MEMO, plans/llm_ops.py) so a certification/bench round
 # running both pays the corpus passes once.
-_DSIR_W_MEMO: dict[tuple, DataFrame] = {}
+_DSIR_W_MEMO = FrameMemo()
 
 
 def _dsir_weight6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, w6) for every raw (non-target) doc: the
-    exact-integer 1e-6-grid log importance weight."""
-    key = (session_key(spark), sf_dir)
-    if key not in _DSIR_W_MEMO:
-        _DSIR_W_MEMO[key] = _dsir_weight6_build(spark, sf_dir).persist()
-    return _DSIR_W_MEMO[key]
+    exact-integer 1e-6-grid log importance weight. Memo key carries
+    the documents.parquet source stamp (memo.py) so a regenerated
+    corpus rebuilds the weights instead of serving the old ones."""
+    return _DSIR_W_MEMO.get_or_build(
+        spark,
+        (sf_dir, table_stamp(sf_dir, "documents")),
+        lambda: _dsir_weight6_build(spark, sf_dir).persist(),
+    )
 
 
 def _dsir_weight6_build(spark: SparkSession, sf_dir: str) -> DataFrame:

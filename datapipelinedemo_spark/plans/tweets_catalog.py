@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datapipelinedemo_spark.functions.ner import pattern_table_from_rows
 from datapipelinedemo_spark.functions.sentiment import lexicon_table
+from datapipelinedemo_spark.memo import FrameMemo, source_stamp
 from datapipelinedemo_spark.plans import tweets as TW
 from datapipelinedemo_spark.plans.catalog import register
 from datapipelinedemo_spark.sources.csv import TWEET_SCHEMA
@@ -65,24 +66,28 @@ LEXICON = [
 LABELS = [(2018, 1), (2018, 3), (2019, 2), (2019, 7), (2020, 3), (2020, 9)]
 
 
-_ENRICHED_MEMO: dict[int, DataFrame] = {}
+_ENRICHED_MEMO = FrameMemo()
 
 
 def _enriched(spark: SparkSession) -> DataFrame:
     """One cached enrichment per session, shared by all four output
     queries — mirrors the pipeline's own run_all behavior (the
-    reference recomputed the prefix per output)."""
-    key = id(spark)
-    if key not in _ENRICHED_MEMO:
+    reference recomputed the prefix per output). FrameMemo keying
+    (memo.py) replaces the historic ``id(spark)`` key, which could
+    collide on a recycled address after a session was collected."""
+
+    def _build() -> DataFrame:
         tweets = spark.read.schema(TWEET_SCHEMA).parquet(FIXTURE)
-        _ENRICHED_MEMO.clear()
-        _ENRICHED_MEMO[key] = TW.enrich(
+        return TW.enrich(
             tweets,
             pattern_table_from_rows(spark, PATTERNS),
             lexicon_table(spark, LEXICON),
             cache=True,
         )
-    return _ENRICHED_MEMO[key]
+
+    return _ENRICHED_MEMO.get_or_build(
+        spark, (source_stamp(FIXTURE),), _build
+    )
 
 
 # ---------------------------------------------------------------- oracle --

@@ -1,0 +1,121 @@
+"""memo.py — source-stamped keys, dead-session eviction, and the
+index_gc handling of orphaned ``.stale-`` claim dirs (ADVICE r7 #1-3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from datapipelinedemo_spark.memo import FrameMemo, source_stamp
+
+
+def test_source_stamp_file_changes_on_rewrite(tmp_path):
+    p = tmp_path / "t.parquet"
+    p.write_bytes(b"abc")
+    s1 = source_stamp(str(p))
+    os.utime(p, ns=(1, 1))
+    assert source_stamp(str(p)) != s1
+
+
+def test_source_stamp_directory_layout(tmp_path):
+    """Directory-style datasets (multi-part parquet) stamp without
+    raising — the regression behind ADVICE r7 #1 — and the stamp
+    tracks part mutations while ignoring _SUCCESS/dotfiles."""
+    d = tmp_path / "docs.parquet"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"x" * 10)
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".crc").write_bytes(b"y")
+    s1 = source_stamp(str(d))
+    assert s1[0] == "dir" and s1[3] == 1  # one counted part
+    (d / "part-00001.parquet").write_bytes(b"z" * 5)
+    s2 = source_stamp(str(d))
+    assert s2 != s1 and s2[3] == 2
+    # marker-file churn alone does not change the stamp
+    (d / "_SUCCESS").write_bytes(b"touched")
+    assert source_stamp(str(d)) == s2
+
+
+class _FakeCtx:
+    def __init__(self, app_id):
+        self.applicationId = app_id
+        self._jsc = object()
+
+
+class _FakeSession:
+    def __init__(self, app_id):
+        self.sparkContext = _FakeCtx(app_id)
+
+    def stop(self):
+        self.sparkContext._jsc = None
+
+
+class _FakeFrame:
+    def __init__(self):
+        self.unpersisted = False
+
+    def unpersist(self):
+        self.unpersisted = True
+        return self
+
+
+def test_frame_memo_hits_and_evicts_dead_sessions():
+    memo = FrameMemo()
+    s1, s2 = _FakeSession("app-1"), _FakeSession("app-2")
+    builds = []
+
+    def build(tag):
+        def _b():
+            f = _FakeFrame()
+            builds.append(tag)
+            return f
+
+        return _b
+
+    f1 = memo.get_or_build(s1, ("k",), build("s1"))
+    assert memo.get_or_build(s1, ("k",), build("s1b")) is f1
+    f2 = memo.get_or_build(s2, ("k",), build("s2"))
+    assert f2 is not f1 and builds == ["s1", "s2"] and len(memo) == 2
+    # stopping s1 evicts + unpersists its entry on the next access
+    s1.stop()
+    assert memo.get_or_build(s2, ("k",), build("s2b")) is f2
+    assert len(memo) == 1 and f1.unpersisted
+    # a revived session with the same app id rebuilds (no stale hit)
+    s1b = _FakeSession("app-1")
+    f1b = memo.get_or_build(s1b, ("k",), build("s1-new"))
+    assert f1b is not f1 and builds == ["s1", "s2", "s1-new"]
+
+
+def test_frame_memo_source_stamp_key_rebuilds_on_regenerate(tmp_path):
+    memo = FrameMemo()
+    s = _FakeSession("app-3")
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"gen1")
+    f1 = memo.get_or_build(s, (source_stamp(str(src)),), _FakeFrame)
+    src.write_bytes(b"gen2-longer")
+    f2 = memo.get_or_build(s, (source_stamp(str(src)),), _FakeFrame)
+    assert f2 is not f1
+
+
+def test_index_gc_reaps_orphaned_stale_dirs(tmp_path, monkeypatch):
+    """A crash between ensure_dir's claim-rename and its cleanup
+    leaves ``<tag>.stale-xxxx``; the tag regex still matches such a
+    name, so without the explicit branch GC would keep it forever
+    even though no consumer can ever read it (ADVICE r7 #3)."""
+    import tools.index_gc as gc_mod
+    from datapipelinedemo_spark.operators import neardup_index as NX
+
+    monkeypatch.setenv(NX.INDEX_DIR_ENV, str(tmp_path))
+    # a source dir so _live_keys works (empty is fine)
+    monkeypatch.setenv(gc_mod.SOURCE_ROOTS_ENV, str(tmp_path / "nosrc*"))
+    old = tmp_path / "sf0.01-m1-s2-k9.stale-deadbeef"
+    old.mkdir()
+    (old / "junk.parquet").write_bytes(b"x")
+    past = time.time() - gc_mod._TMP_MAX_AGE_S - 60
+    os.utime(old, (past, past))
+    fresh = tmp_path / "sf0.01-m1-s2-k9.stale-cafebabe"
+    fresh.mkdir()  # young: may belong to a claim in flight — kept
+    kept, removed, skipped = gc_mod.gc(dry_run=False)
+    assert any("orphaned stale" in r for r in removed)
+    assert not old.exists() and fresh.exists()

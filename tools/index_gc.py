@@ -111,10 +111,18 @@ def gc(dry_run: bool = False) -> tuple[list[str], list[str], list[str]]:
             path = os.path.join(root, name)
             if not os.path.isdir(path):
                 continue
-            if ".tmp-" in name:
-                # crashed-builder leftovers only; never race a live one
+            if ".tmp-" in name or ".stale-" in name:
+                # crashed-builder leftovers only; never race a live
+                # one. ``.stale-`` dirs are ensure_dir's claimed-for-
+                # teardown copies (write_once.py): a crash between the
+                # claim rename and the cleanup orphans one, and no
+                # consumer can ever read it — without this branch the
+                # tag regex would match (the name starts with the
+                # original live tag) and classify it "kept" forever
+                # (ADVICE r7 #3).
                 if now - os.path.getmtime(path) > _TMP_MAX_AGE_S:
-                    _rm(path, name, "crashed tmp")
+                    why = "crashed tmp" if ".tmp-" in name else "orphaned stale"
+                    _rm(path, name, why)
                 else:
                     kept.append(name)
                 continue
