@@ -1,0 +1,155 @@
+"""selection_ops — CCNet bucket-variant equivalence and DSIR.
+
+The threshold-path bucket split (``ccnet_buckets_by_threshold``) must
+be BIT-EQUAL to the NTILE twin, including tie splits at boundary
+values — that equality is what lets both share one oracle SQL.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipelinedemo_spark.plans import selection_ops as SO
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestCcnetThresholdEquivalence:
+    def test_equal_on_testdata(self, spark, sf_dir):
+        a = _rows(SO.ccnet_perplexity_buckets(spark, sf_dir))
+        b = _rows(SO.ccnet_buckets_by_threshold(spark, sf_dir))
+        assert a == b
+        # sanity: all three buckets appear and per-lang sizes follow
+        # NTILE(3) group sizing
+        from collections import Counter
+
+        per = Counter((r[0], r[3]) for r in a)
+        langs = {r[0] for r in a}
+        for lang in langs:
+            n = sum(c for (lg, _), c in per.items() if lg == lang)
+            q, r = divmod(n, 3)
+            assert per[(lang, "head")] == q + (1 if r >= 1 else 0)
+            assert per[(lang, "middle")] == q + (1 if r >= 2 else 0)
+            assert per[(lang, "tail")] == q
+
+    @pytest.mark.parametrize(
+        "lang_sizes",
+        [
+            # n mod 3 ∈ {0,1,2}, singleton and pair languages, and a
+            # language made ENTIRELY of one repeated text (every doc
+            # ties on mnll6 — both cut boundaries land inside one tie
+            # group and split purely on doc_id)
+            {"aa": 9, "bb": 10, "cc": 11, "dd": 1, "ee": 2},
+        ],
+    )
+    def test_equal_on_tie_heavy_corpus(self, spark, tmp_path, lang_sizes):
+        texts = [
+            "alpha beta gamma",
+            "alpha beta gamma",  # exact dup → guaranteed mnll6 tie
+            "delta epsilon",
+            "zeta eta theta iota",
+        ]
+        rows, did = [], 0
+        for lang, n in lang_sizes.items():
+            for i in range(n):
+                t = texts[i % len(texts)] if lang != "cc" else texts[0]
+                rows.append((did, t, lang, "src0", len(t)))
+                did += 1
+        from datapipelinedemo_spark.tables import SCHEMAS
+
+        df = spark.createDataFrame(rows, SCHEMAS["documents"])
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        sf = str(tmp_path)
+        a = _rows(SO.ccnet_perplexity_buckets(spark, sf))
+        b = _rows(SO.ccnet_buckets_by_threshold(spark, sf))
+        assert a == b
+        # the all-ties language really did split on doc_id alone
+        cc = sorted((r[1], r[3]) for r in a if r[0] == "cc")
+        assert [b for _, b in cc] == ["head"] * 4 + ["middle"] * 4 + [
+            "tail"
+        ] * 3
+
+    def test_threshold_plan_has_no_per_language_corpus_sort(
+        self, spark, sf_dir
+    ):
+        """The point of the variant: the only window sorts in the plan
+        run over the value HISTOGRAM or over boundary tie groups —
+        never ``partitionBy(lang) orderBy(...)`` on the doc-grain
+        frame. NTILE twin (by construction) fails this check."""
+        plan = SO.ccnet_buckets_by_threshold(
+            spark, sf_dir
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "ntile" not in plan.lower()
+        # Window node shape: ``Window [exprs], [partCols], [orderCols]``.
+        # Lang-only-partitioned windows are allowed ONLY on the value
+        # histogram (cumulative count ordered by mnll6); a lang-only
+        # window ordering over doc_id would be the doc-grain sort this
+        # variant exists to avoid.
+        import re
+
+        windows = re.findall(
+            r"Window \[.*?\], \[([^\]]*)\], \[([^\]]*)\]", plan
+        )
+        assert windows, "expected Window nodes in the plan"
+        for part, order in windows:
+            part_cols = [c.strip() for c in part.split(",")]
+            if len(part_cols) == 1 and part_cols[0].startswith("lang"):
+                assert "doc_id" not in order, (
+                    f"doc-grain per-language sort found: [{part}] [{order}]"
+                )
+
+
+class TestDsirTargetParameter:
+    def test_pinned_default_matches_catalog_entry(self, spark, sf_dir):
+        a = _rows(SO.dsir_importance_weights(spark, sf_dir))
+        b = _rows(SO.dsir_weights_for(spark, sf_dir))
+        assert a == b
+
+    def test_different_predicate_changes_weights_and_coverage(
+        self, spark, sf_dir
+    ):
+        from datapipelinedemo_spark.tables import table
+
+        alt = SO.dsir_weights_for(spark, sf_dir, target="source = 'src2'")
+        rows = {r["doc_id"]: r["log_weight"] for r in alt.collect()}
+        docs = table(spark, sf_dir, "documents")
+        raw_ids = {
+            r["doc_id"]
+            for r in docs.filter("source <> 'src2'").collect()
+        }
+        # every non-target doc with at least one bigram is scored,
+        # no target doc is
+        assert set(rows) <= raw_ids and len(rows) > 0
+        default = {
+            r["doc_id"]: r["log_weight"]
+            for r in SO.dsir_weights_for(spark, sf_dir).collect()
+        }
+        assert rows != default  # the target actually moved the model
+
+    def test_external_dataframe_target_equals_predicate_split(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Exact cross-check of the two target forms: score a corpus
+        dir holding ONLY the raw docs against an external DataFrame of
+        the target docs — must reproduce the predicate form (which
+        splits one table) bit-for-bit."""
+        from datapipelinedemo_spark.tables import SCHEMAS, table
+
+        docs = table(spark, sf_dir, "documents")
+        pred = "source IN ('src0', 'src1')"
+        tgt_df = docs.filter(pred).select("text")
+        raw_only = docs.filter(f"NOT ({pred})")
+        spark.createDataFrame(
+            raw_only.collect(), SCHEMAS["documents"]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        via_pred = _rows(SO.dsir_weights_for(spark, sf_dir, target=pred))
+        via_frame = _rows(
+            SO.dsir_weights_for(spark, str(tmp_path), target=tgt_df)
+        )
+        assert via_pred == via_frame
