@@ -98,3 +98,59 @@ def test_dim_joins_broadcast(spark, sf_dir):
     for fn, min_bc in ((q10_returned_items, 2), (q11_important_parts, 2)):
         a = audit_flags(plan_string(fn(spark, sf_dir)))
         assert a["broadcasts"] >= min_bc, (fn.__name__, a)
+
+
+def test_int8_quantize_plan_free_of_dim_literals(spark, sf_dir):
+    """The quantize stats must reach the plan as a broadcast 1-row
+    frame, not as per-dimension literal arrays — at d=4096 the
+    literal form is an 8k-node expression tree per query (plan-size /
+    codegen bloat). Guard: the optimized plan contains no literal
+    double array remotely dimension-sized, and does contain the
+    broadcast stats aggregate."""
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        embedding_int8_quantize,
+    )
+
+    plan = plan_string(embedding_int8_quantize(spark, sf_dir))
+    import re
+
+    # a literal double array shows up as e.g. [0.12,0.34,...]; count
+    # comma-separated numeric runs — anything > 8 entries long is a
+    # smuggled per-dim constant
+    runs = re.findall(r"\[(?:-?\d+\.\d+(?:E-?\d+)?,\s*){8,}", plan)
+    assert not runs, f"dim-proportional literal array in plan: {runs[:1]}"
+    assert "collect_list" in plan or "sort_array" in plan.lower()
+
+
+def test_int8_quantize_plan_compile_time_flat_in_dim(spark, tmp_path):
+    """Plan BUILD+optimize time must not grow with embedding width.
+    (The literal form compiled an O(d) expression tree; the broadcast
+    form is O(1).) Build the plan at d=64 and d=1024 over tiny frames
+    and require <5x growth — generous, to stay host-noise-proof."""
+    import time
+
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        embedding_int8_quantize,
+    )
+
+    def _mk(dim, path):
+        rows = [(i, [float((i * 7 + j) % 13) for j in range(dim)])
+                for i in range(8)]
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(path / "embeddings.parquet"))
+
+    def _compile_s(dim):
+        d = tmp_path / f"d{dim}"
+        d.mkdir(exist_ok=True)
+        _mk(dim, d)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = embedding_int8_quantize(spark, str(d))
+            df._jdf.queryExecution().optimizedPlan()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    small, large = _compile_s(64), _compile_s(1024)
+    assert large < small * 5 + 0.5, (small, large)
