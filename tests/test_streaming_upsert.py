@@ -425,3 +425,91 @@ def test_redelivered_doc_emits_no_self_pairs(spark, tmp_path):
         (1, 2, "in_batch"),
         (1, 2, "vs_corpus"),
     }
+
+
+def test_compaction_preserves_stream_semantics(spark, tmp_path):
+    """Fold the ingest index's batch partitions (streaming/compact.py)
+    between runs: the resumed stream must produce EXACTLY the vs-corpus
+    pairs an uncompacted control run produces, and the folded rows must
+    live under batch_id=-1 with the newest batch partition carried."""
+    from datapipelinedemo_spark.streaming.compact import (
+        compact_ingest_index,
+    )
+    from datapipelinedemo_spark.streaming.dedup import (
+        start_neardup_ingest_stream,
+    )
+
+    dup_a = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays the same nine char shingles throughout"
+    )
+    dup_b = (
+        "a second recurring passage about adaptive query execution and "
+        "broadcast hash joins repeated verbatim across ingest batches"
+    )
+    novel = (
+        "completely different content about parquet row groups and "
+        "shuffle partitions with no overlapping shingle material here"
+    )
+    doc_schema = "doc_id long, text string"
+    batches = [
+        [(1, dup_a), (2, novel)],
+        [(3, dup_b)],
+        [(4, dup_a)],          # post-maintenance batch: hits batch-0 rows
+        [(5, dup_b), (6, dup_a)],
+    ]
+
+    def run(tag, compact_after=None):
+        src = str(tmp_path / f"src_{tag}")
+        index_dir = str(tmp_path / f"idx_{tag}")
+        pairs_dir = str(tmp_path / f"pairs_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, doc_schema).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(doc_schema).parquet(src)
+            q = start_neardup_ingest_stream(stream, index_dir, pairs_dir, ckpt)
+            q.awaitTermination(120)
+            if compact_after is not None and i == compact_after:
+                audit = compact_ingest_index(
+                    spark, index_dir, target_bytes=1 << 30
+                )
+                assert audit["folded"], audit
+        return index_dir, {
+            (r.doc_a, r.doc_b, r.pair_type)
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+
+    _, control = run("control")
+    idx, compacted = run("compacted", compact_after=2)
+    assert compacted == control
+    assert {(4, 1, "vs_corpus"), (5, 3, "vs_corpus")} <= compacted
+    # layout: batches 0..1 folded to the seed partition (batch 2
+    # carried as the newest), later partitions appended by the
+    # resumed stream
+    names = sorted(
+        n for n in os.listdir(idx) if n.startswith("batch_id=")
+    )
+    assert "batch_id=-1" in names
+    assert "batch_id=0" not in names
+    # folded + appended rows all present
+    docs = {
+        r.doc for r in spark.read.parquet(idx).select("doc").collect()
+    }
+    assert docs == {1, 2, 3, 4, 5, 6}
+
+
+def test_compaction_noop_on_single_partition(spark, tmp_path):
+    from datapipelinedemo_spark.streaming.compact import (
+        compact_ingest_index,
+    )
+
+    idx = tmp_path / "idx"
+    (idx / "batch_id=0").mkdir(parents=True)
+    spark.createDataFrame([(1, "k")], "doc_id long, key string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(idx / "batch_id=0"))
+    audit = compact_ingest_index(spark, str(idx))
+    assert audit["folded"] == [] and "skipped" in audit
