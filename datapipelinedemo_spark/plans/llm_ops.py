@@ -1122,6 +1122,19 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_lsh_frame(spark, sf_dir, k=10)
+
+
+def topk_lsh_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    max_sim: float | None = None,
+) -> DataFrame:
+    """Banded-LSH ANN top-k over the catalog query set; ``max_sim``
+    caps the similarity below the near-dup threshold (the
+    hard-negative form). One body serves both catalog entries so the
+    geometry/broadcast/scale decisions can never drift apart."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     # Geometry scales with the corpus: bits-per-band ∝ log2(n) keeps
@@ -1143,10 +1156,11 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus_frame = lsh_index(spark, sf_dir, planes=4 * r, bands=4, dim=64)
     topk = SIM.cosine_topk_lsh(
-        emb, queries, "vec_id", "embedding", k=10,
+        emb, queries, "vec_id", "embedding", k=k,
         planes=4 * r, dim=64, bands=4, probe_hamming=1,
         broadcast_queries=probe_rows < 2_000_000,
         corpus_frame=corpus_frame,
+        max_sim=max_sim,
     )
     return topk.select(
         "query_id",
@@ -1225,12 +1239,25 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-nlist plan (an expression tree with nlist×dim literals stops
     codegen-scaling: measured in tools/scale_bench.py, nlist=16 expr at
     sf0.1 is already slower than nlist=50 BLAS at 10× the data)."""
+    return topk_ivf_frame(spark, sf_dir, k=10)
+
+
+def topk_ivf_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    max_sim: float | None = None,
+) -> DataFrame:
+    """IVF-flat ANN top-k over the catalog query set; one body for
+    the plain and ``max_sim``-capped (hard-negative) catalog entries
+    — see ``similarity_topk_ivf`` for the scale notes."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     nlist = SIM.ivf_nlist_for(_corpus_count(sf_dir, emb))
     topk = SIM.cosine_topk_ivf(
-        emb, queries, "vec_id", "embedding", k=10, nlist=nlist, nprobe=2,
+        emb, queries, "vec_id", "embedding", k=k, nlist=nlist, nprobe=2,
         assignment="expr" if nlist <= 8 else "pandas",
+        max_sim=max_sim,
     )
     return topk.select(
         "query_id",

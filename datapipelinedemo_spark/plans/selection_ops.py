@@ -691,3 +691,53 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining, SCALE variants: the same contract served from
+# the LSH and IVF ANN indexes (VERDICT r7 next-round #7 — these were
+# pytest-only compositions; as catalog entries each gets its own
+# driver row). The oracles are DERIVED from the certified
+# similarity_topk_{lsh,ivf} SQL by inserting the max_sim cap into the
+# scored set and re-ranking — string surgery on the registered text,
+# asserted to apply exactly once, so the base geometry (hyperplanes,
+# probes, centroid sample) can never drift from the certified twin.
+# --------------------------------------------------------------------------
+def _hn_scaled_oracle(base_name: str) -> str:
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+    from datapipelinedemo_spark.plans.llm_ops import NEARDUP_TAU
+
+    base = ORACLES[base_name]
+    cut = "AS rnk FROM scored)"
+    lim = "WHERE rnk <= 10"
+    assert base.count(cut) == 1 and base.count(lim) == 1, base_name
+    return base.replace(
+        cut, f"AS rnk FROM scored WHERE cs < {NEARDUP_TAU})"
+    ).replace(lim, f"WHERE rnk <= {_HN_K}")
+
+
+@register(
+    "hard_negative_mining_lsh", oracle=_hn_scaled_oracle("similarity_topk_lsh")
+)
+def hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives served from the banded-LSH ANN index: candidates
+    come from multiprobe bucket joins (never a corpus×queries scan),
+    the near-dup cap filters the exact-rescored candidates BEFORE
+    top-k state. The 100 TB form of ``hard_negative_mining`` — the
+    brute-force twin stays certified as the exactness baseline."""
+    from datapipelinedemo_spark.plans.llm_ops import NEARDUP_TAU, topk_lsh_frame
+
+    return topk_lsh_frame(spark, sf_dir, k=_HN_K, max_sim=NEARDUP_TAU)
+
+
+@register(
+    "hard_negative_mining_ivf", oracle=_hn_scaled_oracle("similarity_topk_ivf")
+)
+def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives served from the IVF-flat index: probed-list
+    exact cosine with the near-dup cap applied pre-ranking; centroid
+    count scales as sqrt(n) with the BLAS mapInPandas assignment past
+    the parity nlist (see ``similarity_topk_ivf``)."""
+    from datapipelinedemo_spark.plans.llm_ops import NEARDUP_TAU, topk_ivf_frame
+
+    return topk_ivf_frame(spark, sf_dir, k=_HN_K, max_sim=NEARDUP_TAU)
