@@ -621,6 +621,68 @@ def incremental_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Streaming ingest, certified: the stream's per-micro-batch pair
+# function (streaming/dedup.py::neardup_batch_pairs — the code object
+# foreachBatch runs) driven as a batch query, so the streaming
+# semantics get driver/oracle rows instead of pytest-only equality
+# checks. Entry 1 = the first batch of a fresh stream (whole input
+# signed, in-batch pairs only); entry 2 = a later batch joining the
+# stored banded index (doc_id % 10 split, matching
+# incremental_dedup_candidates' certified geometry).
+# --------------------------------------------------------------------------
+@register(
+    "streaming_first_batch_pairs",
+    oracle=_LSH_CTE
+    + """
+    SELECT doc_a, doc_b, 'in_batch' AS pair_type FROM cand
+    """,
+)
+def streaming_first_batch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipelinedemo_spark.streaming.dedup import neardup_batch_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    _, pairs = neardup_batch_pairs(docs, None)
+    return pairs
+
+
+@register(
+    "streaming_batch_vs_corpus_pairs",
+    oracle=_LSH_CTE
+    + """
+    , nb AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+    cb AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
+    cross_c AS (
+        SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b,
+               'vs_corpus' AS pair_type
+        FROM nb n JOIN cb c ON n.band = c.band AND n.key = c.key
+    ), inb AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               'in_batch' AS pair_type
+        FROM nb a JOIN nb b2
+          ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+    )
+    SELECT * FROM cross_c UNION ALL SELECT * FROM inb
+    """,
+)
+def streaming_batch_vs_corpus_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unlike ``incremental_dedup_candidates`` (which reads BOTH sides
+    from the stored index), this drives the stream's own function:
+    the batch arrives RAW and is signed fresh — exactly what a
+    micro-batch pays — and only the corpus side comes from the
+    index."""
+    from datapipelinedemo_spark.streaming.dedup import neardup_batch_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    _, banded = _neardup_frames(spark, sf_dir)
+    corpus_b = banded.filter(F.col("doc") % 10 != 0)
+    _, pairs = neardup_batch_pairs(batch, corpus_b)
+    return pairs
+
+
+# --------------------------------------------------------------------------
 # SimHash signatures (48-bit)
 # --------------------------------------------------------------------------
 _SIMHASH_CTE = f"""
