@@ -67,80 +67,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness snapshot certifies queries() entries in
 # iteration order with a bounded budget (observed: exactly the first 50
-# every round). Freshness after r6: 50 r5 / 47 r4 / 46 r6 / 5 r3, and
-# 4 queries with NO green row ever — the r6 reds (the corrupted
-# write-once index incident, fixed by the manifest-pinned reads in
-# operators/write_once.py).
-# Round-7 window = the 11 never-certified queries FIRST (the 4 r6
-# reds re-certifying on the hardened read path + this round's DSIR/
-# CCNet/hard-negative/canonical/spans/soft-dedup additions) + the 5
-# r3-stale shapes + 34 of the 47 r4-vintage rows (verified: exactly
-# 50 entries precede the rotation marker). The 13 displaced r4
-# shapes (each r4-green; most co-covered by an in-window relative:
-# a2/a4 cover a3, frequency_2d covers sentiment2d,
-# exact_k_per_language covers top5_words) lead the r8 rotation.
+# every round). Freshness entering r8 (latest green row per entry,
+# aggregated over CORRECTNESS_r01..r07): 50 r7 / 46 r6 / 50 r5 /
+# 13 r4 — no entry has EVER failed in its latest run.
+# Round-8 window = the 5 never-certified queries added this round
+# (CCNet threshold variant, the two hard-negative scale variants, the
+# two streaming-ingest batch twins) FIRST, then the 13 r4-vintage
+# shapes displaced in r7, then 32 of the 50 r5-vintage rows
+# (verified: exactly 50 entries precede the rotation marker). The 18
+# remaining r5 rows lead the r9 rotation.
 PRIORITY = [
-    # --- never-certified: the r6 reds, now served from
-    #     manifest-pinned indexes ---
-    "semdedup_prune",
-    "winnowing_fingerprints",
-    "winnowed_substring_matches",
-    "training_corpus_pipeline_v2",
-    # --- new this round (never-certified): DSIR data selection +
-    #     CCNet perplexity buckets ---
-    "dsir_importance_weights",
-    "dsir_resample_topk",
-    "ccnet_perplexity_buckets",
-    "hard_negative_mining",
-    "neardup_canonical_quality",
-    "winnowed_substring_spans",
-    "soft_dedup_weights",
-    # --- r3-stale (last green row is round 3) ---
-    "brand_revenue",
-    "distinct_parts_per_flag",
-    "events_value_stats",
-    "moving_avg_daily_revenue",
-    "order_date_features",
-    # --- r4-vintage: tweet-pipeline reference surface ---
-    "a1_weighted_monthly_frequency",
-    "a2_smoothed_weighted_mean",
-    "a4_pair_frequency",
-    "tweets_frequency_2d_monthly",
-    "tweets_sentiments_monthly",
-    "lexicon_sentiment_documents",
-    "ner_full_dictionary",
-    # --- r4-vintage: dedup / similarity stack ---
-    "exact_dedup_documents",
-    "embedding_neardup_pairs",
-    "ngram_jaccard_neardups",
-    "neardup_clusters",
-    "simhash_signatures",
-    "simhash_neardup_pairs",
-    "simhash_editdist_verify",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "training_corpus_pipeline",
-    "decontamination_overlap",
-    "clean_corpus_after_decontamination",
-    # --- r4-vintage: corpus analytics / quality ---
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "char_entropy_scores",
-    "token_stats_per_source",
-    "lang_id_confusion",
-    "exact_k_per_language",
-    "tfidf_top_terms",
-    "bm25_topk_docs",
-    "hybrid_retrieval_rrf",
-    "bigram_collocations",
-    "unigram_perplexity_scores",
-    "pii_redaction_stats",
-    # --- r4-vintage: sampling / packing / multimodal / misc ---
-    "stratified_sample_documents",
-    "domain_mix_sample",
-    # --- past the 50-query window → lead the r8 rotation: the
-    #     displaced r4 shapes, then the r5/r6 vintages ---
+    # --- never-certified: added this round ---
+    "ccnet_buckets_by_threshold",
+    "hard_negative_mining_lsh",
+    "hard_negative_mining_ivf",
+    "streaming_first_batch_pairs",
+    "streaming_batch_vs_corpus_pairs",
+    # --- r4-vintage: displaced by the r7 window; most co-covered by
+    #     an in-window relative until now (a2/a4 cover a3, etc.) ---
     "weighted_sample_by_length",
     "train_val_test_split",
     "pack_documents_bins",
@@ -154,7 +98,59 @@ PRIORITY = [
     "chunk_documents",
     "doc_fingerprints",
     "f4_human_number_parse",
-    "c4_line_dedup",
+    # --- oldest r5-vintage (alphabetical; all same freshness) ---
+    "approx_distinct_users_per_type",
+    "approx_value_percentiles",
+    "basket_part_pairs_lift",
+    "bigram_perplexity_scores",
+    "cms_heavy_hitters",
+    "cohort_retention_weekly",
+    "decayed_user_value_scores",
+    "dq_orders_report",
+    "event_transition_probs",
+    "events_hourly_gapfill",
+    "events_hourly_locf",
+    "first_touch_attribution",
+    "funnel_view_click_purchase",
+    "fuzzy_supplier_names",
+    "gdpr_erasure_audit",
+    "hll_distinct_users",
+    "hll_hourly_to_daily_users",
+    "hll_type_overlap",
+    "hourly_value_regression",
+    "hourly_volume_anomalies",
+    "incremental_dedup_candidates",
+    "key_skew_report",
+    "kmeans_embedding_clusters",
+    "last_touch_attribution",
+    "minhash_lsh_candidates",
+    "ner_phrase_extraction",
+    "normalized_documents",
+    "orders_snapshot_diff",
+    "pagerank_trade_graph",
+    "pit_purchase_user_state",
+    "priority_share_of_year",
+    "q11_important_parts",
+    # --- past the 50-query window -> lead the r9 rotation: the
+    #     remaining r5 rows, then r6 vintages ---
+    "q12_late_shipment_priority",
+    "q20_part_share_suppliers",
+    "q21_waiting_suppliers",
+    "q9_product_profit",
+    "quality_classifier_filter",
+    "scd2_user_type_history",
+    "seeded_sample_orders",
+    "token_budget_grouping_sets",
+    "top_event_trigram_paths",
+    "trailing_7d_revenue",
+    "training_shard_manifest",
+    "tweets_csv_monthly_ingest",
+    "tweets_frequency_monthly",
+    "unpivot_monthly_events",
+    "user_value_ewma",
+    "value_histogram_20bins",
+    "value_hour_correlation",
+    "value_mad_outliers",
 ]
 
 

@@ -26,7 +26,20 @@ Output is NOT test input for correctness (the driver's testdata is
 read-only and authoritative); it exists only so the bench can measure
 wall-clock scaling exponents. Written to ``_scaledata/sf1`` (gitignored).
 
+For K > 26 the Caesar rotation alone COLLIDES (copy i and i+26 share
+identical text, manufacturing cross-copy duplicate lines/grams that
+would make dedup output super-linear by construction), so pass
+``--line-tag`` to additionally suffix every text LINE with a
+copy-unique token: within-copy duplicate lines stay duplicates,
+cross-copy lines can never collide at any K. Used by the 100×
+documents-only slice (``--tables documents``) that validates the
+linear-exponent ops (bloom_decontamination, c4_line_dedup,
+dsir_importance_weights — VERDICT r7 next-round #6); the 10× full
+slice keeps the r5-r7 transform so exponents stay comparable across
+rounds.
+
 Usage: python tools/gen_scale_slice.py [K] [src_dir] [dst_dir]
+           [--tables t1,t2] [--line-tag]
 """
 
 from __future__ import annotations
@@ -49,7 +62,28 @@ def _caesar_expr(col: str, shift_expr: str) -> str:
     )
 
 
+def _doc_text_expr(line_tag: bool) -> str:
+    """Per-copy text transform. Caesar keeps the r5-r7 10x methodology;
+    --line-tag adds a copy-unique suffix per LINE so no two copies can
+    share a line or a gram window at ANY K (the K>26 collision fix)."""
+    caesar = _caesar_expr("text", "i")
+    if not line_tag:
+        return caesar
+    return (
+        f"array_to_string(list_transform(string_split({caesar}, chr(10)),"
+        f" l -> l || ' c' || i), chr(10))"
+    )
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    only_tables = None
+    line_tag = "--line-tag" in flags
+    for f in flags:
+        if f.startswith("--tables"):
+            only_tables = set(f.split("=", 1)[1].split(","))
+    sys.argv = [sys.argv[0]] + args
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -102,7 +136,7 @@ def main() -> None:
             event_type, value, props""",
         "documents": f"""
             doc_id + i * {dmax} AS doc_id,
-            {_caesar_expr('text', 'i')} AS text,
+            {_doc_text_expr(line_tag)} AS text,
             lang, source, n_chars""",
         "embeddings": f"""
             vec_id + i * {vmax} AS vec_id,
@@ -112,6 +146,8 @@ def main() -> None:
     }
 
     for table, sel in shard.items():
+        if only_tables is not None and table not in only_tables:
+            continue
         out = os.path.join(dst, f"{table}.parquet")
         con.execute(
             f"COPY (SELECT {sel} "
@@ -125,6 +161,8 @@ def main() -> None:
         print(f"{table}: {n} rows -> {out}")
 
     for table in ("nation", "region"):
+        if only_tables is not None and table not in only_tables:
+            continue
         out = os.path.join(dst, f"{table}.parquet")
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet')) "
