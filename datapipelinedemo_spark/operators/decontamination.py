@@ -216,3 +216,38 @@ def bloom_contamination_counts(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("bloom_hits"))
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (MinHash-LSH) decontamination: near-duplicate contamination
+# that exact-gram matching misses when benchmark text was lightly
+# paraphrased, re-wrapped, or re-tokenized.
+# --------------------------------------------------------------------------
+
+
+def fuzzy_contamination_counts(
+    banded: "DataFrame", bench_pred, id_alias: str = "doc_id"
+) -> "DataFrame":
+    """Flag corpus docs whose banded MinHash signature collides with
+    any benchmark doc, from ONE banded index frame ``(doc, band,
+    key)`` split by ``bench_pred`` (a Column predicate over ``doc``
+    selecting the benchmark members).
+
+    Scale shape: the corpus side is the STORED write-once banded
+    index — never re-signed per benchmark refresh; the benchmark
+    side (a real eval set is 10³-10⁶ docs, vs a 10¹¹-doc corpus) is
+    broadcast, so the corpus never shuffles for the match: broadcast
+    hash join on (band, key), then one partial-agg distinct-count
+    keyed on the corpus doc. Output ``(id_alias, n_bench_partners)``
+    for flagged docs only — left-anti join back for the clean build.
+    """
+    bench = banded.filter(bench_pred).select(
+        "band", "key", F.col("doc").alias("__bench_doc")
+    )
+    train = banded.filter(~bench_pred)
+    return (
+        train.join(F.broadcast(bench), ["band", "key"])
+        .select(F.col("doc").alias(id_alias), "__bench_doc")
+        .groupBy(id_alias)
+        .agg(F.countDistinct("__bench_doc").alias("n_bench_partners"))
+    )

@@ -373,6 +373,65 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text: str,
+    k: int = 9,
+    threshold: float = 0.7,
+    shingles: DataFrame | None = None,
+    hash: str = "md5",
+) -> DataFrame:
+    """Asymmetric shingle containment over a candidate-pair set:
+    ``C(A,B) = |A∩B| / |A|``, reported as the max of the two
+    directions. Catches subset/quote duplication — a short document
+    wholly embedded in a much longer one — where symmetric Jaccard is
+    diluted by the big side's size (|A∩B|/|A∪B| ≈ |A|/|B| → 0) and
+    never crosses its threshold.
+
+    Same plan shape as ``jaccard_verify``: the pair set is bounded by
+    LSH upstream, each side's distinct shingle array joins back once,
+    and the intersection happens *inside the row* — no shingle-level
+    explode join, so repetitive corpora can't quadratic-blow the
+    shuffle. Both engines filter on the ROUNDED score so boundary
+    pairs agree bit-for-bit.
+    """
+    if shingles is None:
+        shingles = df.select(
+            F.col(id_col).alias("doc"),
+            shingle_hashes(text, k, hash).alias("__sh"),
+        )
+    sh = shingles
+    out = (
+        candidates.join(
+            sh.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("ix", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "containment",
+            F.round(
+                F.greatest(
+                    F.col("ix").cast("double") / F.size("sh_a").cast("double"),
+                    F.col("ix").cast("double") / F.size("sh_b").cast("double"),
+                ),
+                6,
+            ),
+        )
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        F.col("ix").cast("long").alias("n_shared"),
+        "containment",
+    )
+
+
 def neardup_pipeline(
     df: DataFrame,
     id_col: str,

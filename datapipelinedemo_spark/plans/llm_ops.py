@@ -819,6 +819,85 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Asymmetric containment: the subset/quote-duplication detector.
+# --------------------------------------------------------------------------
+@register(
+    "containment_neardup_pairs",
+    oracle=_LSH_CTE
+    + """
+    , cv AS (
+        SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b,
+               CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_shared,
+               round(GREATEST(
+                   CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                       / CAST(len(sa.hs) AS DOUBLE),
+                   CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                       / CAST(len(sb.hs) AS DOUBLE)), 6) AS containment
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, n_shared, containment
+    FROM cv WHERE containment >= 0.7
+    """,
+)
+def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates scored with max-directional shingle containment
+    (``operators/dedup.py::containment_verify``): |A∩B|/min(|A|,|B|)
+    flavor of near-dup that catches a short doc quoted wholesale
+    inside a long one — symmetric Jaccard dilutes that pair below its
+    threshold, so a Jaccard-only dedup pass ships the duplicated text.
+    Candidates, shingles, and the banded index are the SAME memoized
+    write-once frames the Jaccard path reads — the extra operator
+    costs two broadcast joins, zero new corpus passes."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    cand = _lsh_candidates(spark, sf_dir)
+    return DD.containment_verify(
+        docs, cand, "doc_id", "text", k=9, threshold=0.7, shingles=sh
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (MinHash-LSH) benchmark decontamination — completes the
+# decontamination family: exact 13-gram (decontamination_overlap),
+# Bloom-membership (bloom_decontamination), and now NEAR-duplicate
+# contamination, which exact-gram matching misses when the benchmark
+# text was lightly paraphrased or re-tokenized.
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_decontamination_minhash",
+    oracle=_LSH_CTE
+    + """
+    SELECT t.doc_id AS doc_id,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_partners
+    FROM banded t
+    JOIN banded b ON t.band = b.band AND t.key = b.key
+    WHERE b.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def fuzzy_decontamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup decontamination: flag training docs whose banded
+    MinHash signature collides with any benchmark doc (same stand-in
+    benchmark slice as the rest of the family: doc_id % 50 == 0).
+
+    Scale shape: the corpus side reads the stored write-once banded
+    index — NOT re-signed per benchmark refresh — and the benchmark
+    side (a real eval set is a few thousand docs) is banded and
+    broadcast, so the corpus never shuffles: broadcast-hash join on
+    (band, key), then one partial-agg distinct-count keyed on the
+    training doc. Output: (doc_id, n_bench_partners) for flagged docs
+    only; left-anti join back onto the corpus for the clean build."""
+    from datapipelinedemo_spark.operators.decontamination import (
+        fuzzy_contamination_counts,
+    )
+
+    banded = _neardup_frames(spark, sf_dir)[1]
+    return fuzzy_contamination_counts(banded, F.col("doc") % 50 == 0)
+
+
+# --------------------------------------------------------------------------
 # Deterministic stratified sampling: per-language hash-mod rates (the
 # reproducible replacement for rand() sampling in corpus builds). A
 # pure narrow filter — no shuffle, pushes to the scan.

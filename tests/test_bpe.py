@@ -1,0 +1,130 @@
+"""BPE tokenizer training (plans/tokenizer_ops.py) vs a pure-Python
+reference implementation: the merge TABLE (which pairs, in which
+order, with which counts) must match exactly, including the greedy
+non-overlapping merge semantics on same-symbol runs ("aaaa")."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from datapipelinedemo_spark.plans.tokenizer_ops import (
+    MAX_WORD_CHARS,
+    apply_merge,
+    train_bpe,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference BPE (Sennrich et al. 2016, greedy
+# left-to-right non-overlapping merge application)
+# ---------------------------------------------------------------------------
+def _py_histogram(texts: list[str]) -> dict[tuple[str, ...], int]:
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= MAX_WORD_CHARS:
+                words[w] += 1
+    return {tuple(w) + ("</w>",): c for w, c in words.items()}
+
+
+def _py_apply(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_train2(texts: list[str], n: int):
+    hist = _py_histogram(texts)
+    merges = []
+    for step in range(1, n + 1):
+        pc = Counter()
+        for syms, c in hist.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, cnt))
+        nxt = Counter()
+        for syms, c in hist.items():
+            nxt[_py_apply(syms, a, b)] += c
+        hist = dict(nxt)
+    return merges
+
+
+def _spark_words(spark, texts: list[str]):
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.functions.text import tokenize
+    from datapipelinedemo_spark.plans.tokenizer_ops import _SYMS_EXPR
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.length("word") <= MAX_WORD_CHARS)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .withColumn("syms", F.expr(_SYMS_EXPR))
+    )
+
+
+def test_train_matches_python_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "wide wider widest low lower",
+        "the quick brown fox the the",
+    ]
+    got = train_bpe(spark, _spark_words(spark, texts), 6)
+    assert got == _py_train2(texts, 6)
+
+
+def test_same_symbol_run_merges_greedily(spark):
+    # "aaaa" with top pair (a, a): greedy non-overlap → (aa)(aa), so
+    # after one merge the word is ['aa', 'aa', '</w>'] — NOT
+    # ['aa', 'a', 'a', '</w>'] (merge-at-every-match) and NOT a
+    # rescanned ['aaaa', '</w>'].
+    texts = ["aaaa aaaa aaaa"]
+    words = _spark_words(spark, texts)
+    merged = apply_merge(words, "a", "a").collect()
+    assert merged[0].syms == ["aa", "aa", "</w>"]
+    got = train_bpe(spark, _spark_words(spark, texts), 3)
+    assert got == _py_train2(texts, 3)
+
+
+def test_odd_run_leaves_tail_symbol(spark):
+    # "aaa": merges at offsets 0 → (aa) a
+    words = _spark_words(spark, ["aaa"])
+    assert apply_merge(words, "a", "a").collect()[0].syms == [
+        "aa",
+        "a",
+        "</w>",
+    ]
+
+
+def test_merge_consumes_marker_pairs(spark):
+    # merging (o, '</w>') must produce the multi-char 'o</w>' symbol
+    words = _spark_words(spark, ["lo lo go"])
+    out = {
+        r.word: r.syms
+        for r in apply_merge(words, "o", "</w>").collect()
+    }
+    assert out["lo"] == ["l", "o</w>"]
+    assert out["go"] == ["g", "o</w>"]
+
+
+def test_tie_break_is_binary_string_order(spark):
+    # two pairs with equal counts: the (lhs, rhs) binary-ascending
+    # pair must win deterministically in both engines
+    texts = ["ab cd ab cd"]
+    got = train_bpe(spark, _spark_words(spark, texts), 1)
+    assert got == _py_train2(texts, 1)
+    assert (got[0][1], got[0][2]) == min(
+        [("a", "b"), ("c", "d"), ("b", "</w>"), ("d", "</w>")]
+    )

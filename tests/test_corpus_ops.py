@@ -223,3 +223,27 @@ def test_bloom_planted_gram_always_hits(spark):
     # unrelated doc does not collide (and if the constants ever change
     # to make it collide, this documents the FP)
     assert 2 not in out
+
+
+def test_fuzzy_contamination_flags_planted_neardup(spark):
+    from datapipelinedemo_spark.operators.decontamination import (
+        fuzzy_contamination_counts,
+    )
+    from datapipelinedemo_spark.operators.dedup import banded_minhash
+
+    bench_text = (
+        "which of the following best describes the boiling point of "
+        "water at standard atmospheric pressure on earth in celsius"
+    )
+    rows = [
+        (100, bench_text),  # benchmark member (pred: doc >= 100)
+        (1, bench_text.replace("earth", "sea level")),  # paraphrase dup
+        (2, "a totally unrelated training document about spark plans"),
+        (3, "another clean doc discussing broadcast joins and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = banded_minhash(docs, "doc_id", "text")
+    out = fuzzy_contamination_counts(
+        banded, F.col("doc") >= 100
+    ).collect()
+    assert [(r.doc_id, r.n_bench_partners) for r in out] == [(1, 1)]

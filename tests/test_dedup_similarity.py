@@ -500,3 +500,42 @@ def test_max_sim_caps_before_ranking_all_topk_variants(spark):
         assert all(r.cos_sim < 0.6 for r in rows)
         assert 1 not in {r.neighbor_id for r in rows}
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc 11 is a short passage quoted WHOLESALE inside the much
+    # longer doc 12: containment(11→12) ≈ 1, but Jaccard is diluted
+    # to |A|/|B| by the long side and stays below the 0.5 threshold.
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    filler = (
+        "meanwhile the annual report covers supply chains logistics "
+        "warehouse throughput quarterly forecasts and regional pricing "
+        "trends across many unrelated markets and several continents "
+        "with appendices on methodology data sources and assumptions "
+    )
+    rows = [(11, quote), (12, filler * 3 + quote + " " + filler * 3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame([(11, 12)], "doc_a long, doc_b long")
+
+    jac = DD.jaccard_verify(docs, cand, "doc_id", "text", threshold=0.5)
+    assert jac.count() == 0  # symmetric Jaccard misses the quote
+
+    con = DD.containment_verify(
+        docs, cand, "doc_id", "text", threshold=0.7
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in con] == [(11, 12)]
+    assert con[0].containment > 0.95  # quote shingles ⊂ long doc
+
+
+def test_containment_unrelated_pair_scores_low(spark):
+    rows = [
+        (1, "spark catalyst optimizer rewrites logical plans"),
+        (2, "completely different prose about ocean currents and tides"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert (
+        DD.containment_verify(docs, cand, "doc_id", "text", threshold=0.1)
+        .count()
+        == 0
+    )

@@ -154,3 +154,36 @@ def test_int8_quantize_plan_compile_time_flat_in_dim(spark, tmp_path):
 
     small, large = _compile_s(64), _compile_s(1024)
     assert large < small * 5 + 0.5, (small, large)
+
+
+def test_fuzzy_decontamination_broadcasts_benchmark(spark, sf_dir):
+    # the corpus side must never shuffle for the match: the benchmark
+    # bands broadcast into a broadcast-hash join
+    from datapipelinedemo_spark.plans.llm_ops import (
+        fuzzy_decontamination_minhash,
+    )
+
+    a = audit_flags(plan_string(fuzzy_decontamination_minhash(spark, sf_dir)))
+    assert a["broadcasts"] >= 1, a
+
+
+def test_containment_pairs_broadcast_shingle_joins(spark, sf_dir):
+    # candidate set is LSH-bounded (tiny) → both shingle join-backs
+    # should resolve as broadcast-hash joins, not sort-merge
+    from datapipelinedemo_spark.plans.llm_ops import containment_neardup_pairs
+
+    plan = plan_string(containment_neardup_pairs(spark, sf_dir))
+    a = audit_flags(plan)
+    assert a["broadcasts"] >= 2, a
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_histogram_partial_aggregates(spark, sf_dir):
+    # the one corpus-scale pass must map-side combine (two HashAggregate
+    # levels around the exchange), and the training frame must contain
+    # no Python evaluation at all
+    from datapipelinedemo_spark.plans.tokenizer_ops import bpe_pair_counts
+
+    plan = plan_string(bpe_pair_counts(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final x2 stages
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
