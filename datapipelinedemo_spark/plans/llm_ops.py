@@ -625,14 +625,27 @@ def incremental_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # function (streaming/dedup.py::neardup_batch_pairs — the code object
 # foreachBatch runs) driven as a batch query, so the streaming
 # semantics get driver/oracle rows instead of pytest-only equality
-# checks. Entry 1 = the first batch of a fresh stream (whole input
-# signed, in-batch pairs only); entry 2 = a later batch joining the
-# stored banded index (doc_id % 10 split, matching
-# incremental_dedup_candidates' certified geometry).
+# checks. Entry 1 = the first batch of a fresh stream (the batch
+# signed fresh, in-batch pairs only); entry 2 = a later batch joining
+# the stored banded index (the doc_id % 10 == 0 slice,
+# incremental_dedup_candidates' certified geometry). Entry 1 uses the
+# doc_id % 10 < 3 slice — the smallest batch whose in-batch candidate
+# set is non-empty at the sf0.01 certification scale (a 0-row result
+# would certify nothing) — so the signing cost stays batch-sized, not
+# corpus-sized, which is what a micro-batch actually pays.
 # --------------------------------------------------------------------------
+
+# _LSH_CTE restricted to the micro-batch slice (the single
+# `FROM documents` is in its `sh` CTE)
+assert _LSH_CTE.count("FROM documents") == 1
+_LSH_BATCH_CTE = _LSH_CTE.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 10 < 3"
+)
+
+
 @register(
     "streaming_first_batch_pairs",
-    oracle=_LSH_CTE
+    oracle=_LSH_BATCH_CTE
     + """
     SELECT doc_a, doc_b, 'in_batch' AS pair_type FROM cand
     """,
@@ -640,8 +653,8 @@ def incremental_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_first_batch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelinedemo_spark.streaming.dedup import neardup_batch_pairs
 
-    docs = table(spark, sf_dir, "documents")
-    _, pairs = neardup_batch_pairs(docs, None)
+    batch = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 3)
+    _, pairs = neardup_batch_pairs(batch, None)
     return pairs
 
 

@@ -429,7 +429,21 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scored frame shared by BOTH bucket variants (and re-read three
+# times inside the threshold path): persist once per (session,
+# corpus) instead of re-running the explode+vocab join per consumer.
+_CCNET_NLL_MEMO = FrameMemo()
+
+
 def _ccnet_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _CCNET_NLL_MEMO.get_or_build(
+        spark,
+        (sf_dir, table_stamp(sf_dir, "documents")),
+        lambda: _ccnet_doc_nll_build(spark, sf_dir).persist(),
+    )
+
+
+def _ccnet_doc_nll_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, doc_id, mnll6): every doc's grid-exact mean unigram NLL
     — the scored frame both bucket variants cut. One explode, one
     vocab join, one partial-agg groupBy (the
@@ -508,7 +522,7 @@ def ccnet_buckets_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    dnll_lang = _ccnet_doc_nll(spark, sf_dir).persist()
+    dnll_lang = _ccnet_doc_nll(spark, sf_dir)  # memo-persisted
 
     hist = dnll_lang.groupBy("lang", "mnll6").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
