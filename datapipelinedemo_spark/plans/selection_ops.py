@@ -755,3 +755,72 @@ def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelinedemo_spark.plans.llm_ops import NEARDUP_TAU, topk_ivf_frame
 
     return topk_ivf_frame(spark, sf_dir, k=_HN_K, max_sim=NEARDUP_TAU)
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled domain mixing (multilingual-T5 / UniMax style):
+# sampling weights ∝ n_s^(1/T). T=1 is proportional (big domains
+# dominate), T→∞ is uniform (tiny domains over-epoch); T=2 is the
+# standard compromise. Weighted by TOKENS, not documents — the
+# quantity a training budget is actually denominated in.
+# --------------------------------------------------------------------------
+_MIX_T = 2  # weight = n_tokens^(1/2); exponent via sqrt = exact IEEE
+
+
+@register(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), g AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT) AS s6
+        FROM s
+    ), t AS (SELECT CAST(SUM(s6) AS BIGINT) AS tot FROM g)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(s6 AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mix_weight
+    FROM g CROSS JOIN t
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for a temperature-mixed training
+    corpus: ``mix_weight ∝ n_tokens^(1/T)`` (T=2), normalized over
+    sources. Feed into ``domain_mix_sample``-style rate samplers or a
+    shard-manifest epoch allocator.
+
+    Exactness across engines: the temperature-scaled mass is snapped
+    to the 1e-6 grid as a BIGINT (sqrt is IEEE-correctly-rounded in
+    both engines), the normalizer is an EXACT integer sum, and the
+    weight is ONE division of exactly-representable integers — no
+    order-dependent double accumulation anywhere.
+
+    Scale shape: one corpus scan with map-side-combining partial aggs
+    into |sources| rows; the normalizer is a 1-row broadcast. The
+    per-source table is dashboard-sized at any corpus size."""
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokenize("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    g = per.withColumn(
+        "s6",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long"),
+    )
+    tot = g.agg(F.sum("s6").cast("long").alias("tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("s6") / F.col("tot"), 6).alias("mix_weight"),
+    )

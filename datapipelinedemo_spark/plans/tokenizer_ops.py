@@ -22,12 +22,13 @@ The tokenizer-training step of an LLM data pipeline, Spark-first:
   reimplementation).
 
 The DuckDB oracle replays the same training run without recursion:
-greedy non-overlap is window-expressible because two *consecutive*
-positions can both start the pair (a, b) only when a == b (sym[i]=a,
-sym[i+1]=b=a, sym[i+2]=b); islands of consecutive matches therefore
-merge at even offsets only — a gaps-and-islands computation, unrolled
+a merge step is ONE string ``replace`` over a separator-guarded
+encoding of the symbol list (``\\x1f a \\x1f\\x1f b \\x1f`` can only
+match at token boundaries, and SQL ``replace`` scans left-to-right
+non-overlapping — exactly BPE's greedy application order), unrolled
 once per training step with the step's argmax pair read via scalar
-subqueries.
+subqueries. Words containing the 0x1f guard byte are excluded from
+the histogram in BOTH engines so the encoding is unambiguous.
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ _WORDS_CTE = f"""
     WITH words AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
         FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)
-        WHERE length(word) <= {MAX_WORD_CHARS}
+        WHERE length(word) <= {MAX_WORD_CHARS} AND NOT contains(word, chr(31))
         GROUP BY word
     ), cur0 AS (
         SELECT word, wcnt,
@@ -82,41 +83,24 @@ def _pair_cte(s: int) -> str:
 
 
 def _apply_cte(s: int) -> str:
-    """cur{s}: cur{s-1} with top{s}'s pair merged greedily (windowed
-    gaps-and-islands; see module docstring for why this is exact)."""
+    """cur{s}: cur{s-1} with top{s}'s pair merged greedily — encode
+    the symbol list as ``\\x1f sym ( \\x1f\\x1f sym )* \\x1f`` and run
+    ONE ``replace``: the guards make mid-token matches impossible and
+    SQL replace's left-to-right non-overlapping scan IS the greedy
+    BPE application order (module docstring)."""
     a, b = f"(SELECT lhs FROM top{s})", f"(SELECT rhs FROM top{s})"
+    enc = f"chr(31) || array_to_string(syms, chr(31) || chr(31)) || chr(31)"
+    pat = f"chr(31) || {a} || chr(31) || chr(31) || {b} || chr(31)"
+    rep = f"chr(31) || {a} || {b} || chr(31)"
     return f"""
-    , pos{s} AS (
-        SELECT word, wcnt,
-               unnest(generate_series(1, len(syms))) AS i,
-               unnest(syms) AS s
+    , en{s} AS (
+        SELECT word, wcnt, replace({enc}, {pat}, {rep}) AS e
         FROM cur{s - 1}
-    ), m{s} AS (
-        SELECT word, wcnt, i, s,
-               CASE WHEN s = {a}
-                     AND lead(s) OVER (PARTITION BY word ORDER BY i) = {b}
-                    THEN 1 ELSE 0 END AS mt
-        FROM pos{s}
-    ), isl{s} AS (
-        SELECT *, CASE WHEN mt = 1 THEN
-            i - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY i)
-        END AS isl FROM m{s}
-    ), mg{s} AS (
-        SELECT *, CASE WHEN mt = 1 AND
-            (ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) - 1) % 2 = 0
-            THEN 1 ELSE 0 END AS mrg
-        FROM isl{s}
-    ), out{s} AS (
-        SELECT word, wcnt, i,
-               CASE WHEN mrg = 1 THEN {a} || {b}
-                    WHEN lag(mrg) OVER (PARTITION BY word ORDER BY i) = 1
-                    THEN NULL
-                    ELSE s END AS s2
-        FROM mg{s}
     ), cur{s} AS (
         SELECT word, wcnt,
-               list(s2 ORDER BY i) FILTER (WHERE s2 IS NOT NULL) AS syms
-        FROM out{s} GROUP BY word, wcnt
+               string_split(substring(e, 2, length(e) - 2),
+                            chr(31) || chr(31)) AS syms
+        FROM en{s}
     )
 """
 
@@ -153,7 +137,13 @@ def _word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokenize("text")).alias("word"))
-        .filter(F.length("word") <= MAX_WORD_CHARS)
+        # the 0x1f filter mirrors the oracle's separator-guard
+        # exclusion (module docstring) — the Spark fold doesn't need
+        # it, cross-engine histogram equality does
+        .filter(
+            (F.length("word") <= MAX_WORD_CHARS)
+            & ~F.col("word").contains("\x1f")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
         .withColumn("syms", F.expr(_SYMS_EXPR))
@@ -263,14 +253,103 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+# Trained merge tables are tiny (N_MERGES tuples) and deterministic:
+# memoize per (session, corpus-stamp) so train + encode consumers pay
+# the 4-collect training loop once per corpus, not once per query.
+# Values are plain lists (no persisted frames), so stale sessions
+# leak nothing that needs eviction.
+_MERGES_MEMO: dict[tuple, list] = {}
+
+
+def trained_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    from datapipelinedemo_spark.memo import table_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(sf_dir, "documents"),
+        n_merges,
+    )
+    m = _MERGES_MEMO.get(key)
+    if m is None:
+        m = train_bpe(spark, _word_histogram(spark, sf_dir), n_merges)
+        _MERGES_MEMO[key] = m
+    return m
+
+
 @register("bpe_train_merges", oracle=_merges_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four BPE training iterations over the documents corpus:
     (step, lhs, rhs, merged, pair_count) — the learned merge table, in
     order. One corpus pass builds the word histogram; every iteration
     after that is vocab-sized (see module docstring)."""
-    merges = train_bpe(spark, _word_histogram(spark, sf_dir), N_MERGES)
+    merges = trained_merges(spark, sf_dir, N_MERGES)
     return spark.createDataFrame(
         merges,
         "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def _encode_oracle() -> str:
+    """Replays training through cur{N_MERGES} (all merges APPLIED,
+    unlike ``_merges_oracle`` which stops at the last argmax), then
+    charges each document the post-merge symbol count of its words."""
+    parts = [_WORDS_CTE]
+    for s in range(1, N_MERGES + 1):
+        parts.append(_pair_cte(s))
+        parts.append(_apply_cte(s))
+    return (
+        "".join(parts)
+        + f"""
+    , wl AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM cur{N_MERGES}
+    ), dt AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents
+        ) WHERE length(word) <= {MAX_WORD_CHARS}
+    )
+    SELECT dt.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM dt JOIN wl ON wl.word = dt.word
+    GROUP BY dt.doc_id
+    """
+    )
+
+
+@register("bpe_encode_token_counts", oracle=_encode_oracle())
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merge table to the corpus: per-document BPE
+    token counts (the number a token-budget packer or a trainer's
+    cost model actually needs — whitespace counts under-charge rare
+    words). ``n_bpe_tokens`` counts post-merge symbols incl. the
+    ``</w>`` end-of-word marker, i.e. ``Σ_words |bpe(word)|``.
+
+    Scale shape: the merge table is an ``N_MERGES``-tuple plan
+    constant (memoized — training is NOT re-run per encode); merges
+    are applied on the VOCAB-sized histogram (bounded in-row folds),
+    so per-word encode work is paid once per distinct word, not once
+    per occurrence. The corpus-side cost is one explode + one
+    shuffle join on ``word`` + one partial-agg groupBy — and the join
+    key distribution is exactly the word histogram the tokenizer
+    already measures; at 100 TB the word→length frame is
+    vocab-sized (tens of millions of rows), a plain shuffle join,
+    never collected."""
+    docs = table(spark, sf_dir, "documents")
+    cur = _word_histogram(spark, sf_dir)
+    for _step, lhs, rhs, _merged, _cnt in trained_merges(spark, sf_dir):
+        cur = apply_merge(cur, lhs, rhs)
+    wl = cur.select("word", F.size("syms").cast("long").alias("n_tok"))
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
     )

@@ -128,3 +128,50 @@ def test_tie_break_is_binary_string_order(spark):
     assert (got[0][1], got[0][2]) == min(
         [("a", "b"), ("c", "d"), ("b", "</w>"), ("d", "</w>")]
     )
+
+
+def test_encode_token_counts_match_python_reference(spark, tmp_path):
+    # end-to-end train→apply on a tiny corpus written as a real
+    # sf-dir documents table, vs the pure-Python pipeline
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        N_MERGES,
+        bpe_encode_token_counts,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "wide wider widest low lower",
+        "the quick brown fox the the",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["src0"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_token_counts(spark, str(tmp_path)).collect()
+    }
+
+    merges = _py_train2(texts, N_MERGES)
+    want = {}
+    for i, t in enumerate(texts):
+        words = [
+            tuple(w) + ("</w>",)
+            for w in t.lower().split()
+            if w and len(w) <= MAX_WORD_CHARS
+        ]
+        for _, a, b, _, _ in merges:
+            words = [_py_apply(s, a, b) for s in words]
+        want[i] = (len(words), sum(len(s) for s in words))
+    assert got == want

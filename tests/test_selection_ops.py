@@ -153,3 +153,23 @@ class TestDsirTargetParameter:
             SO.dsir_weights_for(spark, str(tmp_path), target=tgt_df)
         )
         assert via_pred == via_frame
+
+
+def test_temperature_mix_weights_flatten_toward_uniform(spark, sf_dir):
+    from datapipelinedemo_spark.plans.selection_ops import (
+        temperature_mix_weights,
+    )
+
+    rows = temperature_mix_weights(spark, sf_dir).collect()
+    assert rows, "no sources"
+    tot = sum(r.mix_weight for r in rows)
+    assert abs(tot - 1.0) < 1e-4  # rounded weights still ~normalize
+    # T=2 pulls every source's share toward uniform relative to
+    # proportional-by-tokens: bigger-than-average sources shrink,
+    # smaller-than-average grow (strictly, unless already average)
+    n_tok_total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        prop = r.n_tokens / n_tok_total
+        uni = 1.0 / len(rows)
+        lo, hi = sorted((prop, uni))
+        assert lo - 1e-6 <= r.mix_weight <= hi + 1e-6, (r, prop, uni)
