@@ -824,3 +824,160 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("s6") / F.col("tot"), 6).alias("mix_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al. 2023): give every source an
+# equal share of the token budget, except sources whose epoch cap
+# (E × n_tokens) is below the fair share — they get exactly their cap
+# and the remainder waterfills among the rest. The epoch cap is the
+# part temperature mixing lacks: it bounds how often a small source
+# may repeat before repetition hurts more than balance helps.
+# --------------------------------------------------------------------------
+_UNIMAX_E = 1          # max epochs per source
+_UNIMAX_B_NUM, _UNIMAX_B_DEN = 9, 10  # budget = 9/10 of corpus tokens
+
+
+@register(
+    "unimax_epoch_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
+               CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(n_tokens) * {_UNIMAX_B_NUM} // {_UNIMAX_B_DEN}
+                    AS BIGINT) AS budget
+        FROM s
+    ), r AS (
+        SELECT source, n_tokens,
+               CAST(n_tokens * {_UNIMAX_E} AS BIGINT) AS cap,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+               CAST(COALESCE(SUM(n_tokens * {_UNIMAX_E}) OVER (
+                    w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS pre
+        FROM s
+        WINDOW w AS (ORDER BY n_tokens * {_UNIMAX_E}, source)
+    ), f AS (
+        SELECT r.*, tot.ns, tot.budget,
+               (pre + cap * (ns - rk + 1) <= budget) AS capped
+        FROM r CROSS JOIN tot
+    ), k AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0)
+                    AS BIGINT) AS k,
+               CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0)
+                    AS BIGINT) AS capped_sum
+        FROM f
+    )
+    SELECT source, n_tokens, cap,
+           CAST(CASE
+             WHEN capped THEN cap
+             ELSE (budget - capped_sum) // (ns - k)
+                  + CASE WHEN rk - k <=
+                             (budget - capped_sum) % (ns - k)
+                         THEN 1 ELSE 0 END
+           END AS BIGINT) AS allocated_tokens,
+           round(CAST(CASE
+             WHEN capped THEN cap
+             ELSE (budget - capped_sum) // (ns - k)
+                  + CASE WHEN rk - k <=
+                             (budget - capped_sum) % (ns - k)
+                         THEN 1 ELSE 0 END
+           END AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM f CROSS JOIN k
+    """,
+)
+def unimax_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfilling: allocate ``budget = 9/10 of corpus
+    tokens`` across sources with an E=1 epoch cap. Sources whose cap
+    fits under the fair share get exactly their cap (rank r is capped
+    iff ``pre_r + cap_r·(N−r+1) ≤ B`` under the ascending-cap total
+    order — the standard waterfill threshold, monotone in r); the
+    rest split the remaining budget evenly, with the division
+    remainder handed to the lowest-ranked uncapped sources so the
+    allocation sums to EXACTLY the budget. All of it is BIGINT math —
+    no float accumulates anywhere; ``epochs`` is one final division.
+
+    Scale shape: one corpus scan partial-aggs into the |sources|-row
+    frame; every window below it runs on that dashboard-sized frame
+    (the single-partition WindowExec is |sources| rows by
+    construction, never corpus rows)."""
+    from pyspark.sql import Window
+
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(tokenize("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+        .withColumn("cap", (F.col("n_tokens") * _UNIMAX_E).cast("long"))
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("long").alias("tn"),
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.floor(
+            F.sum("n_tokens") * _UNIMAX_B_NUM / _UNIMAX_B_DEN
+        )
+        .cast("long")
+        .alias("budget"),
+    )
+    w = Window.orderBy("cap", "source")
+    r = s.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.coalesce(
+            F.sum("cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pre"),
+    )
+    f = r.crossJoin(F.broadcast(tot)).withColumn(
+        "capped",
+        F.col("pre") + F.col("cap") * (F.col("ns") - F.col("rk") + 1)
+        <= F.col("budget"),
+    )
+    k = f.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("capped_sum"),
+    )
+    # integer DIV, not floor(double /): exact past 2^53 corpus tokens
+    alloc = (
+        F.when(F.col("capped"), F.col("cap"))
+        .otherwise(
+            F.expr("(budget - capped_sum) div (ns - k)")
+            + F.when(
+                F.col("rk") - F.col("k")
+                <= (F.col("budget") - F.col("capped_sum"))
+                % (F.col("ns") - F.col("k")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+    )
+    return (
+        f.crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            "n_tokens",
+            "cap",
+            alloc.alias("allocated_tokens"),
+            F.round(
+                alloc.cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs"),
+        )
+    )

@@ -173,3 +173,46 @@ def test_temperature_mix_weights_flatten_toward_uniform(spark, sf_dir):
         uni = 1.0 / len(rows)
         lo, hi = sorted((prop, uni))
         assert lo - 1e-6 <= r.mix_weight <= hi + 1e-6, (r, prop, uni)
+
+
+def test_unimax_allocation_matches_iterative_waterfill(spark, sf_dir):
+    # the closed-form threshold rank must agree with the obvious
+    # iterative algorithm: repeatedly cap every source whose cap is
+    # below the current fair share and redistribute
+    from datapipelinedemo_spark.plans.selection_ops import (
+        _UNIMAX_B_DEN,
+        _UNIMAX_B_NUM,
+        _UNIMAX_E,
+        unimax_epoch_allocation,
+    )
+
+    rows = unimax_epoch_allocation(spark, sf_dir).collect()
+    caps = {r.source: r.cap for r in rows}
+    total = sum(r.n_tokens for r in rows)
+    budget = total * _UNIMAX_B_NUM // _UNIMAX_B_DEN
+    assert all(r.cap == r.n_tokens * _UNIMAX_E for r in rows)
+
+    # iterative waterfill (integer level, remainder to lowest ranks)
+    remaining = dict(caps)
+    alloc = {}
+    b = budget
+    while remaining:
+        level, rem = b // len(remaining), b % len(remaining)
+        ranked = sorted(remaining, key=lambda s: (remaining[s], s))
+        newly = [s for s in ranked if remaining[s] <= level]
+        if not newly:
+            for i, s in enumerate(ranked, 1):
+                alloc[s] = level + (1 if i <= rem else 0)
+            remaining = {}
+        else:
+            for s in newly:
+                alloc[s] = remaining.pop(s)
+                b -= alloc[s]
+
+    got = {r.source: r.allocated_tokens for r in rows}
+    assert got == alloc
+    # exact budget exhaustion whenever someone is uncapped
+    if any(r.allocated_tokens < r.cap for r in rows):
+        assert sum(got.values()) == budget
+    for r in rows:
+        assert r.allocated_tokens <= r.cap
