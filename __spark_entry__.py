@@ -70,19 +70,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # every round). Freshness entering r8 (latest green row per entry,
 # aggregated over CORRECTNESS_r01..r07): 50 r7 / 46 r6 / 50 r5 /
 # 13 r4 — no entry has EVER failed in its latest run.
-# Round-8 window = the 12 never-certified queries added this round
+# Round-8 window = the 13 never-certified queries added this round
 # (BPE tokenizer training/encode ×3, temperature mixing, containment
 # pairs, fuzzy MinHash decontamination, UniMax allocation, CCNet
 # threshold variant, the two hard-negative scale variants, the two
 # streaming-ingest batch twins) FIRST, then the 13 r4-vintage shapes
-# displaced in r7, then 25 of the 50 r5-vintage rows (verified:
-# exactly 50 entries precede the rotation marker). The 25 remaining
+# displaced in r7, then 24 of the 50 r5-vintage rows (verified:
+# exactly 50 entries precede the rotation marker). The 26 remaining
 # r5 rows lead the r9 rotation.
 PRIORITY = [
     # --- never-certified: added this round ---
     "bpe_pair_counts",
     "bpe_train_merges",
     "bpe_encode_token_counts",
+    "bpe_vocab",
     "temperature_mix_weights",
     "unimax_epoch_allocation",
     "containment_neardup_pairs",
@@ -132,9 +133,9 @@ PRIORITY = [
     "key_skew_report",
     "kmeans_embedding_clusters",
     "last_touch_attribution",
-    "minhash_lsh_candidates",
     # --- past the 50-query window -> lead the r9 rotation: the
     #     remaining r5 rows, then r6 vintages ---
+    "minhash_lsh_candidates",
     "ner_phrase_extraction",
     "normalized_documents",
     "orders_snapshot_diff",

@@ -187,6 +187,40 @@ def apply_merge(cur: DataFrame, lhs: str, rhs: str) -> DataFrame:
     return cur.withColumn("syms", F.expr(fold))
 
 
+def apply_merges_batch(cur: DataFrame, merges: list) -> DataFrame:
+    """Apply a WHOLE merge table in one in-row pass, via the same
+    separator-guarded string-replace construction the oracle uses
+    (module docstring: the guards forbid mid-token matches and SQL
+    replace's left-to-right non-overlapping scan is exactly greedy
+    BPE application).
+
+    Why not chain ``apply_merge``: each fold references ``syms`` four
+    times, so k chained unmaterialized folds nest ~4^k copies of the
+    histogram expression — the optimized plan for the 4-merge chain is
+    ~366 KB and the Generate path (no subexpression elimination)
+    never finishes. ``train_bpe`` is safe because it persists each step;
+    this helper is for consumers that must stay lazy (encode, vocab):
+    each replace references the previous expression once, so the plan
+    grows linearly in the number of merges.
+    """
+    sep = "\x1f"
+    e = F.concat(F.lit(sep), F.array_join("syms", sep + sep), F.lit(sep))
+    for _step, a, b, _merged, _cnt in merges:
+        e = F.replace(
+            e, F.lit(sep + a + sep + sep + b + sep), F.lit(sep + a + b + sep)
+        )
+    return (
+        cur.withColumn("__e", e)
+        .withColumn(
+            "syms",
+            F.split(
+                F.expr("substring(__e, 2, length(__e) - 2)"), sep + sep
+            ),
+        )
+        .drop("__e")
+    )
+
+
 def train_bpe(
     spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
 ) -> list[tuple[int, str, str, str, int]]:
@@ -338,9 +372,9 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized (tens of millions of rows), a plain shuffle join,
     never collected."""
     docs = table(spark, sf_dir, "documents")
-    cur = _word_histogram(spark, sf_dir)
-    for _step, lhs, rhs, _merged, _cnt in trained_merges(spark, sf_dir):
-        cur = apply_merge(cur, lhs, rhs)
+    cur = apply_merges_batch(
+        _word_histogram(spark, sf_dir), trained_merges(spark, sf_dir)
+    )
     wl = cur.select("word", F.size("syms").cast("long").alias("n_tok"))
     dt = docs.select(
         "doc_id", F.explode(tokenize("text")).alias("word")
@@ -351,5 +385,46 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _vocab_oracle() -> str:
+    parts = [_WORDS_CTE]
+    for s in range(1, N_MERGES + 1):
+        parts.append(_pair_cte(s))
+        parts.append(_apply_cte(s))
+    return (
+        "".join(parts)
+        + f"""
+    SELECT sym, CAST(SUM(wcnt) AS BIGINT) AS occurrences,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM (SELECT word, wcnt, unnest(syms) AS sym FROM cur{N_MERGES})
+    GROUP BY sym
+    """
+    )
+
+
+@register("bpe_vocab", oracle=_vocab_oracle())
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary the trained tokenizer actually produces: every
+    post-merge symbol (base characters, ``</w>``, and the learned
+    merged symbols that survived later merges) with its corpus-weighted
+    occurrence count and the number of distinct words containing it —
+    the table a tokenizer-size/coverage report reads.
+
+    Scale shape: merges apply on the vocab-sized histogram (plan
+    constants, memoized training); one explode of ≤26-symbol arrays +
+    one partial-agg groupBy over vocab-sized input. No corpus pass at
+    all beyond the shared histogram build."""
+    cur = apply_merges_batch(
+        _word_histogram(spark, sf_dir), trained_merges(spark, sf_dir)
+    )
+    return (
+        cur.select("word", "wcnt", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(
+            F.sum("wcnt").cast("long").alias("occurrences"),
+            F.countDistinct("word").cast("long").alias("n_words"),
         )
     )

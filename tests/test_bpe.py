@@ -175,3 +175,32 @@ def test_encode_token_counts_match_python_reference(spark, tmp_path):
             words = [_py_apply(s, a, b) for s in words]
         want[i] = (len(words), sum(len(s) for s in words))
     assert got == want
+
+
+def test_batch_merge_application_equals_stepwise_fold(spark):
+    # the lazy string-replace path (encode/vocab) must agree with the
+    # per-step fold on multi-char symbols and same-symbol runs
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        apply_merges_batch,
+    )
+
+    texts = ["aaaa aab abab low lower the the banana bananas"]
+    words = _spark_words(spark, texts)
+    merges = train_bpe(spark, _spark_words(spark, texts), 5)
+
+    stepped = words
+    for _s, a, b, _m, _c in merges:
+        stepped = apply_merge(stepped, a, b)
+    # materialize each step so the fold chain stays tractable
+    want = {r.word: r.syms for r in stepped.collect()}
+    got = {
+        r.word: r.syms
+        for r in apply_merges_batch(words, merges).collect()
+    }
+    assert got == want
+    # and both agree with the pure-Python reference application
+    for w, syms in got.items():
+        ref = tuple(w) + ("</w>",)
+        for _s, a, b, _m, _c in merges:
+            ref = _py_apply(ref, a, b)
+        assert tuple(syms) == ref, w
