@@ -428,3 +428,73 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("word").cast("long").alias("n_words"),
         )
     )
+
+
+def _fertility_oracle() -> str:
+    parts = [_WORDS_CTE]
+    for s in range(1, N_MERGES + 1):
+        parts.append(_pair_cte(s))
+        parts.append(_apply_cte(s))
+    return (
+        "".join(parts)
+        + f"""
+    , wl AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM cur{N_MERGES}
+    ), dt AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents
+        ) WHERE length(word) <= {MAX_WORD_CHARS}
+          AND NOT contains(word, chr(31))
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_tok) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(wl.n_tok) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+    FROM dt JOIN wl ON wl.word = dt.word
+    JOIN documents d ON d.doc_id = dt.doc_id
+    GROUP BY d.lang
+    """
+    )
+
+
+@register("bpe_fertility_by_lang", oracle=_fertility_oracle())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE tokens emitted per word) by language
+    — the standard per-language tokenizer-quality metric: a language
+    whose fertility is far above the corpus mean is being
+    over-fragmented by the learned vocabulary and effectively pays
+    more sequence length per sentence.
+
+    Exactness: both totals are exact BIGINTs; fertility is ONE
+    division of them. Scale shape: identical to
+    ``bpe_encode_token_counts`` (vocab-sized merge application, one
+    corpus-side shuffle join on word) with the groupBy key swapped
+    from doc_id to lang — the agg output is |languages| rows."""
+    docs = table(spark, sf_dir, "documents")
+    cur = apply_merges_batch(
+        _word_histogram(spark, sf_dir), trained_merges(spark, sf_dir)
+    )
+    wl = cur.select("word", F.size("syms").cast("long").alias("n_tok"))
+    dt = docs.select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("word")
+    ).filter(
+        (F.length("word") <= MAX_WORD_CHARS)
+        & ~F.col("word").contains("\x1f")
+    )
+    return (
+        dt.join(wl, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ),
+        )
+    )
