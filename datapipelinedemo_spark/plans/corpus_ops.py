@@ -759,9 +759,7 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Fixed-window repacking across document boundaries (GPT-style)
 # --------------------------------------------------------------------------
-@register(
-    "fixed_window_repack",
-    oracle="""
+_REPACK_ORACLE = """
     WITH tok AS (
         SELECT doc_id,
                list_append(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -785,8 +783,10 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST('0x' || substring(md5(string_agg(tok, ' ' ORDER BY gidx)),
                 1, 15) AS BIGINT) AS window_hash
     FROM flat GROUP BY 1
-    """,
-)
+    """
+
+
+@register("fixed_window_repack", oracle=_REPACK_ORACLE)
 def fixed_window_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LM-training repack: concatenate all documents (ordered by
     doc_id, ``<eos>``-terminated) into one token stream and cut it
@@ -818,6 +818,13 @@ def fixed_window_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = offs.select(
         F.posexplode("t").alias("i", "tok"), F.col("off")
     ).select((F.col("off") + F.col("i")).alias("gidx"), "tok")
+    return _repack_cut(flat)
+
+
+def _repack_cut(flat: DataFrame) -> DataFrame:
+    """(gidx, tok) token stream → 50-token windows with order-exact
+    hashes — shared by both repack variants; the only corpus-scale
+    shuffle either of them pays."""
     grouped = flat.groupBy(
         (F.col("gidx") - F.pmod("gidx", F.lit(50))).alias("w0")
     ).agg(
@@ -835,6 +842,75 @@ def fixed_window_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         md5_long("joined").alias("window_hash"),
     )
+
+
+@register("fixed_window_repack_offsets", oracle=_REPACK_ORACLE)
+def fixed_window_repack_offsets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``fixed_window_repack`` without the single-partition global
+    window — the form that survives 10B documents. Same result, same
+    oracle (hash-equal twin, pinned in tests/test_corpus_ops.py).
+
+    Two-pass partition offsets: documents are bucketed by doc_id
+    range (boundaries = approximate doc_id quantiles, collected once
+    and embedded as plan constants — correctness never depends on the
+    split being balanced, only on buckets being doc_id-ordered); pass
+    one partial-aggs per-bucket token sums (|buckets| rows collected,
+    cumulated on the driver); pass two broadcast-joins the offsets
+    back and runs the prefix sum as a window PARTITIONED by bucket —
+    every stage is parallel in |buckets|, no unpartitioned WindowExec
+    anywhere in the plan (explain-audit-asserted)."""
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.concat(tokenize("text"), F.array(F.lit("<eos>"))).alias("t"),
+    ).withColumn("n", F.size("t"))
+
+    # doc_id-range buckets: ~4 per core, capped; dedup'd boundaries
+    # (skewed doc_id distributions just leave some buckets empty)
+    n_buckets = min(2048, 4 * spark.sparkContext.defaultParallelism)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        set(docs.stat.approxQuantile("doc_id", probs, 0.001))
+    )
+    bucket = F.aggregate(
+        F.array(*[F.lit(int(b)) for b in bounds]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("doc_id") > b, 1).otherwise(0),
+    )
+    bucketed = sized.withColumn("pid", bucket)
+
+    # pass 1: per-bucket token totals -> cumulative offsets (a
+    # |buckets|-row collect — a plan constant, never corpus rows)
+    sums = {
+        r.pid: r.s
+        for r in bucketed.groupBy("pid")
+        .agg(F.sum("n").alias("s"))
+        .collect()
+    }
+    run, offs = 0, []
+    for pid in range(len(bounds) + 1):
+        offs.append((pid, run))
+        run += int(sums.get(pid, 0))
+    off_df = spark.createDataFrame(offs, "pid int, poff long")
+
+    # pass 2: in-bucket prefix sum + bucket offset = global offset
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flat = (
+        bucketed.join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "off",
+            F.col("poff") + F.coalesce(F.sum("n").over(w), F.lit(0)),
+        )
+        .select(F.posexplode("t").alias("i", "tok"), F.col("off"))
+        .select((F.col("off") + F.col("i")).alias("gidx"), "tok")
+    )
+    return _repack_cut(flat)
 
 
 # --------------------------------------------------------------------------

