@@ -1169,6 +1169,125 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding streaming ingest, certified: the embedding stream's
+# per-micro-batch pair function (streaming/dedup.py::
+# embedding_batch_pairs — the code object its foreachBatch runs)
+# driven as a batch query, mirroring the text-stream twins above.
+# Entry 1 = a fresh stream's first batch (vec_id % 10 < 3 — the
+# smallest slice with a non-empty in-batch pair set at sf0.01);
+# entry 2 = a later batch (vec_id % 10 == 0) joining the STORED LSH
+# index (only the corpus rows, neighbor_id % 10 != 0). Fixed 16/4
+# geometry — a stream's geometry is pinned at start time (the stored
+# index rows must stay joinable), unlike the batch queries' adaptive
+# bits-per-band.
+# --------------------------------------------------------------------------
+_EMB_KEYS_CTE = f"""
+    sg AS (
+        SELECT vec_id,
+               [CASE WHEN {_PLANE_DOT} >= 0.0 THEN 1 ELSE 0 END
+                for p in generate_series(0, 15)] AS bits
+        FROM embeddings
+    ), keys AS (
+        SELECT vec_id, g.b AS band,
+               bits[g.b*4 + 1] + 2*bits[g.b*4 + 2]
+               + 4*bits[g.b*4 + 3] + 8*bits[g.b*4 + 4] AS key
+        FROM sg, generate_series(0, 3) g(b)
+    )"""
+
+_EMB_SCORE = f"""
+    SELECT c.id_new, c.id_corpus,
+           round({_DOT} / ({_NRM_A} * {_NRM_B}), 6) AS cos_sim,
+           c.pair_type
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_new
+    JOIN embeddings b ON b.vec_id = c.id_corpus
+    WHERE {_DOT} / ({_NRM_A} * {_NRM_B}) >= {NEARDUP_TAU}
+"""
+
+
+@register(
+    "streaming_embedding_first_batch",
+    oracle="WITH "
+    + _EMB_KEYS_CTE
+    + """
+    , bk AS (SELECT * FROM keys WHERE vec_id % 10 < 3),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS id_new, y.vec_id AS id_corpus,
+               'in_batch' AS pair_type
+        FROM bk x JOIN bk y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+    )
+    """
+    + _EMB_SCORE,
+)
+def streaming_embedding_first_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First micro-batch of a fresh embedding ingest stream: the batch
+    is hyperplane-signed fresh (exactly what the stream pays) and only
+    in-batch duplicate pairs exist — there is no corpus yet."""
+    from datapipelinedemo_spark.streaming.dedup import embedding_batch_pairs
+
+    batch = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 < 3
+    )
+    _, pairs = embedding_batch_pairs(batch, None, threshold=NEARDUP_TAU)
+    return pairs.select(
+        "id_new",
+        "id_corpus",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "pair_type",
+    )
+
+
+@register(
+    "streaming_embedding_vs_corpus",
+    oracle="WITH "
+    + _EMB_KEYS_CTE
+    + """
+    , bk AS (SELECT * FROM keys WHERE vec_id % 10 = 0),
+    ck AS (SELECT * FROM keys WHERE vec_id % 10 <> 0),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS id_new, y.vec_id AS id_corpus,
+               'vs_corpus' AS pair_type
+        FROM bk x JOIN ck y ON x.band = y.band AND x.key = y.key
+        UNION ALL
+        SELECT DISTINCT x.vec_id AS id_new, y.vec_id AS id_corpus,
+               'in_batch' AS pair_type
+        FROM bk x JOIN bk y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+    )
+    """
+    + _EMB_SCORE,
+)
+def streaming_embedding_vs_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A later micro-batch of the embedding ingest stream: the batch
+    (vec_id % 10 == 0) arrives RAW and is signed fresh; the corpus
+    side comes from the STORED write-once LSH index (vector + norm
+    riding in the index rows, so scoring never joins back to the
+    embeddings table) — the exact admission screen
+    ``start_embedding_ingest_stream`` runs per batch."""
+    from datapipelinedemo_spark.operators.ann_index import lsh_index
+    from datapipelinedemo_spark.streaming.dedup import embedding_batch_pairs
+
+    batch = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    corpus = lsh_index(spark, sf_dir, planes=16, bands=4, dim=64).filter(
+        F.col("neighbor_id") % 10 != 0
+    )
+    _, pairs = embedding_batch_pairs(batch, corpus, threshold=NEARDUP_TAU)
+    return pairs.select(
+        "id_new",
+        "id_corpus",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "pair_type",
+    )
+
+
+# --------------------------------------------------------------------------
 # Brute-force cosine top-k similarity search
 # --------------------------------------------------------------------------
 

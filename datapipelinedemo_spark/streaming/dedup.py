@@ -234,39 +234,29 @@ def start_neardup_ingest_stream(
     )
 
 
-def start_embedding_ingest_stream(
-    vectors: DataFrame,
-    index_dir: str,
-    pairs_dir: str,
-    checkpoint_dir: str,
+def embedding_batch_pairs(
+    batch: DataFrame,
+    corpus: DataFrame | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 16,
     bands: int = 4,
     dim: int = 64,
     threshold: float = 0.3,
-):
-    """Streaming embedding near-dup ingest — the ANN twin of
-    ``start_neardup_ingest_stream``: each micro-batch of vectors is
-    hyperplane-signed (``similarity.lsh_corpus_frame``, batch only),
-    its band keys are joined against the stored LSH index, candidate
-    pairs are verified with the exact cosine IN the join (the vector
-    and its norm ride in the index rows, so no join back to the
-    corpus), and the batch's index rows are appended so batch N+1
-    screens against everything through batch N. Within-batch
-    duplicates are screened too (the batch's band frame joined with
-    itself, ``id_new < id_corpus``) — two copies of a vector arriving
-    in one micro-batch must not both slip past the admission check.
+) -> tuple[DataFrame, DataFrame]:
+    """The EXACT per-micro-batch computation of
+    ``start_embedding_ingest_stream``, as a batch function — the ANN
+    twin of ``neardup_batch_pairs``: hyperplane-sign the batch (only
+    the batch), emit cosine-verified candidate pairs — in-batch only
+    when ``corpus`` is None (a fresh stream's first batch), in-batch +
+    vs-corpus against a stored LSH index otherwise. Returns
+    ``(new_banded, pairs)``; the stream appends both, keyed by batch.
 
-    Emits ``(id_new, id_corpus, cos_sim, pair_type, batch_id)`` for
-    pairs at or above ``threshold`` (``pair_type`` in ``vs_corpus`` /
-    ``in_batch``) — the "is this embedding already in the corpus?"
-    screen a production ingest runs before admitting a vector. Same
-    replay contract as the near-dup text ingest (per-batch-id dynamic
-    partition overwrite; the index read excludes the replaying
-    batch's own partition); a batch-built ``ann_index.lsh_index``
-    frame can seed ``index_dir`` via ``seed_ingest_index``.
-    """
+    Factored out so the embedding stream's semantics carry
+    catalog/oracle rows (``streaming_embedding_first_batch`` /
+    ``streaming_embedding_vs_corpus`` in ``plans/llm_ops.py``) —
+    the certified code object IS the function ``foreachBatch`` runs
+    (VERDICT r8 next-round #5)."""
     from pyspark.sql import functions as F
 
     from datapipelinedemo_spark.operators import similarity as SIM
@@ -305,23 +295,72 @@ def start_embedding_ingest_stream(
         )
         return n, c
 
+    new_banded = SIM.lsh_corpus_frame(
+        batch, id_col, vec_col, planes, dim, bands
+    )
+    n_side, self_side = _sides(new_banded)
+    in_batch = _scored_pairs(n_side, self_side, "in_batch").filter(
+        F.col("id_new") < F.col("id_corpus")
+    )
+    if corpus is not None:
+        vs_corpus = _scored_pairs(n_side, _sides(corpus)[1], "vs_corpus")
+        pairs = vs_corpus.unionByName(in_batch)
+    else:
+        pairs = in_batch
+    return new_banded, pairs
+
+
+def start_embedding_ingest_stream(
+    vectors: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    threshold: float = 0.3,
+):
+    """Streaming embedding near-dup ingest — the ANN twin of
+    ``start_neardup_ingest_stream``: each micro-batch of vectors is
+    hyperplane-signed (``similarity.lsh_corpus_frame``, batch only),
+    its band keys are joined against the stored LSH index, candidate
+    pairs are verified with the exact cosine IN the join (the vector
+    and its norm ride in the index rows, so no join back to the
+    corpus), and the batch's index rows are appended so batch N+1
+    screens against everything through batch N. Within-batch
+    duplicates are screened too (the batch's band frame joined with
+    itself, ``id_new < id_corpus``) — two copies of a vector arriving
+    in one micro-batch must not both slip past the admission check.
+
+    Emits ``(id_new, id_corpus, cos_sim, pair_type, batch_id)`` for
+    pairs at or above ``threshold`` (``pair_type`` in ``vs_corpus`` /
+    ``in_batch``) — the "is this embedding already in the corpus?"
+    screen a production ingest runs before admitting a vector. Same
+    replay contract as the near-dup text ingest (per-batch-id dynamic
+    partition overwrite; the index read excludes the replaying
+    batch's own partition); a batch-built ``ann_index.lsh_index``
+    frame can seed ``index_dir`` via ``seed_ingest_index``.
+    """
+    from pyspark.sql import functions as F
+
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        new_banded = SIM.lsh_corpus_frame(
-            batch, id_col, vec_col, planes, dim, bands
-        ).persist()
         corpus = _read_index(spark, index_dir, batch_id)
-        n_side, self_side = _sides(new_banded)
-        in_batch = _scored_pairs(
-            n_side,
-            self_side,
-            "in_batch",
-        ).filter(F.col("id_new") < F.col("id_corpus"))
-        if corpus is not None:
-            vs_corpus = _scored_pairs(n_side, _sides(corpus)[1], "vs_corpus")
-            pairs = vs_corpus.unionByName(in_batch)
-        else:
-            pairs = in_batch
+        new_banded, pairs = embedding_batch_pairs(
+            batch,
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            planes=planes,
+            bands=bands,
+            dim=dim,
+            threshold=threshold,
+        )
+        # plan-keyed cache: pairs' subtrees hit the persisted banded
+        # frame even though persist() is marked after construction
+        new_banded.persist()
         # an all-empty partitioned write leaves an unreadable dir (no
         # part files to infer a schema from) — skip it; a replayed
         # empty batch needs no cleanup either
