@@ -1,0 +1,92 @@
+"""Distributed prefix sums without a single-partition window.
+
+The pattern every "global cumulative X" query needs at scale: Spark's
+``Window.orderBy(...)`` with no ``partitionBy`` plans an
+``Exchange SinglePartition`` — one task sorts every row. For frames
+that genuinely scale with the data (documents, customers), the
+two-pass partition-offset form replaces it:
+
+1. bucket rows by range on the order column (bucket boundaries =
+   approximate quantiles, collected once and embedded as plan
+   constants — correctness never depends on the split being balanced,
+   only on buckets respecting the global order);
+2. pass one partial-aggs per-bucket sums — a |buckets|-row collect,
+   a plan constant in the IVF-centroid sense;
+3. pass two broadcast-joins the cumulated bucket offsets back and
+   runs the prefix sum as a window PARTITIONED by bucket.
+
+Every stage is parallel in |buckets|; consumers assert
+``"SinglePartition" not in plan`` in tests.
+
+Used by ``plans/corpus_ops.fixed_window_repack_offsets`` (global
+token offsets over documents) and
+``plans/relational_ext.customer_revenue_gini_histogram`` (global
+revenue ranks over customers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    sum_col: str,
+    out_col: str = "cum_before",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``sum_col`` over all rows strictly
+    before this one in ``order_col`` order — the exclusive global
+    prefix sum — with no single-partition stage in the plan.
+
+    ``order_col`` must be numeric and a total order (unique values);
+    callers with ties append a unique tie-break column to the grain
+    BEFORE calling (or group to the distinct-value grain, where the
+    order column is unique by construction). The returned frame keeps
+    every input column, plus ``out_col``; the internal bucket id is
+    dropped.
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = min(2048, 4 * spark.sparkContext.defaultParallelism)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    if bounds:
+        bucket = F.aggregate(
+            F.array(*[F.lit(float(b)) for b in bounds]),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(order_col).cast("double") > b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__pb", bucket)
+
+    sums = {
+        r["__pb"]: r["s"]
+        for r in bucketed.groupBy("__pb")
+        .agg(F.sum(sum_col).cast("long").alias("s"))
+        .collect()
+    }
+    run, offs = 0, []
+    for pid in range(len(bounds) + 1):
+        offs.append((pid, run))
+        run += int(sums.get(pid) or 0)
+    off_df = spark.createDataFrame(offs, "__pb int, __poff long")
+
+    w = (
+        Window.partitionBy("__pb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "__pb")
+        .withColumn(
+            out_col,
+            F.col("__poff")
+            + F.coalesce(F.sum(sum_col).over(w).cast("long"), F.lit(0)),
+        )
+        .drop("__pb", "__poff")
+    )

@@ -862,51 +862,15 @@ def fixed_window_repack_offsets(
     every stage is parallel in |buckets|, no unpartitioned WindowExec
     anywhere in the plan (explain-audit-asserted)."""
     from datapipelinedemo_spark.functions.text import tokenize
+    from datapipelinedemo_spark.operators.prefix import bucketed_prefix_sum
 
     docs = table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id",
         F.concat(tokenize("text"), F.array(F.lit("<eos>"))).alias("t"),
     ).withColumn("n", F.size("t"))
-
-    # doc_id-range buckets: ~4 per core, capped; dedup'd boundaries
-    # (skewed doc_id distributions just leave some buckets empty)
-    n_buckets = min(2048, 4 * spark.sparkContext.defaultParallelism)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(
-        set(docs.stat.approxQuantile("doc_id", probs, 0.001))
-    )
-    bucket = F.aggregate(
-        F.array(*[F.lit(int(b)) for b in bounds]),
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col("doc_id") > b, 1).otherwise(0),
-    )
-    bucketed = sized.withColumn("pid", bucket)
-
-    # pass 1: per-bucket token totals -> cumulative offsets (a
-    # |buckets|-row collect — a plan constant, never corpus rows)
-    sums = {
-        r.pid: r.s
-        for r in bucketed.groupBy("pid")
-        .agg(F.sum("n").alias("s"))
-        .collect()
-    }
-    run, offs = 0, []
-    for pid in range(len(bounds) + 1):
-        offs.append((pid, run))
-        run += int(sums.get(pid, 0))
-    off_df = spark.createDataFrame(offs, "pid int, poff long")
-
-    # pass 2: in-bucket prefix sum + bucket offset = global offset
-    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     flat = (
-        bucketed.join(F.broadcast(off_df), "pid")
-        .withColumn(
-            "off",
-            F.col("poff") + F.coalesce(F.sum("n").over(w), F.lit(0)),
-        )
+        bucketed_prefix_sum(sized, "doc_id", "n", out_col="off")
         .select(F.posexplode("t").alias("i", "tok"), F.col("off"))
         .select((F.col("off") + F.col("i")).alias("gidx"), "tok")
     )

@@ -661,6 +661,92 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_revenue_gini_histogram",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS r2
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r2,
+               ROW_NUMBER() OVER (ORDER BY r2, o_custkey) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2) AS BIGINT) AS s,
+               CAST(SUM(i * r2) AS BIGINT) AS w
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           round(CAST(s AS DOUBLE) / 100.0, 6) AS total_revenue,
+           round(2.0 * CAST(w AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+               AS gini
+    FROM agg
+    """,
+)
+def customer_revenue_gini_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``customer_revenue_gini`` without the |customers|-row
+    unpartitioned row_number — the form that survives 10^9 customers.
+    Same oracle (hash-equal twin, pinned in tests).
+
+    Rank algebra on the VALUE histogram: group revenues to distinct
+    cent values (count c per value v — one ordinary shuffle), then the
+    exclusive prefix count m_v via the bucketed two-pass prefix sum
+    (operators/prefix.py — no SinglePartition stage, explain-audit
+    asserted). The ranks a value occupies are m_v+1 .. m_v+c_v, whose
+    sum is c_v·m_v + c_v(c_v+1)/2, so
+    Σ_i i·y_i = Σ_v v·(c_v·m_v + c_v(c_v+1) div 2) — exact BIGINT,
+    tie-order-free by construction (equal values share the rank-sum
+    whatever order a sort would have given them)."""
+    from datapipelinedemo_spark.operators.prefix import (
+        bucketed_prefix_sum,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    hist = rev.groupBy("r2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pre = bucketed_prefix_sum(hist, "r2", "c", out_col="m")
+    agg = pre.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("r2") * F.col("c")).cast("long").alias("s"),
+        F.sum(
+            F.col("r2")
+            * (
+                F.col("c") * F.col("m")
+                + F.expr("(c * (c + 1)) div 2")
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    wd = F.col("w").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(sd / 100.0, 6).alias("total_revenue"),
+        F.round(
+            2.0 * wd / (nd * sd) - (nd + 1.0) / nd, 6
+        ).alias("gini"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Year-over-year growth on the monthly revenue series.
 # --------------------------------------------------------------------------

@@ -335,3 +335,29 @@ def test_hll_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
         # overlap differences amplify single-sketch error; 35% bound
         # still catches any register/merge bug (which lands >2x off)
         assert rel < 0.35, (r.type_a, r.type_b, r.est_overlap, r.exact_overlap)
+
+
+def test_gini_histogram_form_equals_ranked_twin(spark, sf_dir):
+    # r9: the histogram-rank Gini must be value-identical to the
+    # row_number form, with NO single-partition stage in its plan
+    from datapipelinedemo_spark.plans.relational_ext import (
+        customer_revenue_gini,
+        customer_revenue_gini_histogram,
+    )
+    from tools.explain_audit import plan_string
+
+    a = customer_revenue_gini(spark, sf_dir).collect()
+    b = customer_revenue_gini_histogram(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # the scale invariant: no single-partition SORT anywhere (the
+    # scalar agg's 1-row merge exchange is fine and expected)
+    from tools.explain_audit import single_partition_sorts
+
+    plan_b = plan_string(customer_revenue_gini_histogram(spark, sf_dir))
+    assert single_partition_sorts(plan_b) == [], plan_b
+    assert "hashpartitioning(__pb" in plan_b  # bucketed prefix window
+    # and the ranked twin HAS one, proving the detector detects
+    assert single_partition_sorts(
+        plan_string(customer_revenue_gini(spark, sf_dir))
+    )

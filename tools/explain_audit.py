@@ -39,6 +39,30 @@ def audit_flags(plan: str) -> dict:
     }
 
 
+def single_partition_sorts(plan: str) -> list[int]:
+    """Node ids of ``Exchange SinglePartition`` operators that feed a
+    Sort — the global-sort anti-pattern (one task sorts every row).
+    A SinglePartition exchange that merely merges scalar partial
+    aggregates (1 row per partition) is NOT flagged: the scale bug is
+    sorting data on one task, not reducing to one value."""
+    tree = plan.split("\n\n")[0]
+    sort_children: list[int] = []
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if re.search(r"\bSort \(\d+\)", line) and i + 1 < len(lines):
+            m = re.search(r"\bExchange \((\d+)\)", lines[i + 1])
+            if m:
+                sort_children.append(int(m.group(1)))
+    flagged = []
+    for nid in sort_children:
+        detail = re.search(
+            rf"\({nid}\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan
+        )
+        if detail and "SinglePartition" in detail.group(1):
+            flagged.append(nid)
+    return flagged
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "-v"]
     verbose = "-v" in sys.argv
