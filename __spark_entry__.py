@@ -67,74 +67,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness snapshot certifies queries() entries in
 # iteration order with a bounded budget (observed: exactly the first 50
-# every round). Freshness entering r8 (latest green row per entry,
-# aggregated over CORRECTNESS_r01..r07): 50 r7 / 46 r6 / 50 r5 /
-# 13 r4 — no entry has EVER failed in its latest run.
-# Round-8 window = the 13 never-certified queries added this round
-# (BPE tokenizer training/encode ×3, temperature mixing, containment
-# pairs, fuzzy MinHash decontamination, UniMax allocation, CCNet
-# threshold variant, the two hard-negative scale variants, the two
-# streaming-ingest batch twins) FIRST, then the 13 r4-vintage shapes
-# displaced in r7, then 24 of the 50 r5-vintage rows (verified:
-# exactly 50 entries precede the rotation marker). The 26 remaining
-# r5 rows lead the r9 rotation.
+# every round). Freshness entering r9 (latest green row per entry over
+# CORRECTNESS_r01..r08): 50 r8 / 50 r7 / 46 r6 / 26 r5, plus
+# bpe_fertility_by_lang never driver-certified (judge-verified by hand
+# in r8) and 5 new r9 entries. Round-9 window = the never/new 6 FIRST
+# (bpe_fertility_by_lang per VERDICT r8 #3 + ADVICE, then this round's
+# repack-offsets / histogram-Gini / embedding-stream twins / pipeline
+# v3), then ALL 26 r5-vintage rows, then the 18 alphabetically-first
+# r6 rows (all r6 entries share the same freshness). The remaining 28
+# r6 rows lead the r10 rotation; after r9 no entry's latest green row
+# is older than r6.
 PRIORITY = [
-    # --- never-certified: added this round ---
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "bpe_encode_token_counts",
-    "bpe_vocab",
-    "temperature_mix_weights",
-    "unimax_epoch_allocation",
-    "containment_neardup_pairs",
-    "fuzzy_decontamination_minhash",
-    "ccnet_buckets_by_threshold",
-    "hard_negative_mining_lsh",
-    "hard_negative_mining_ivf",
-    "streaming_first_batch_pairs",
-    "streaming_batch_vs_corpus_pairs",
-    # --- r4-vintage: displaced by the r7 window; most co-covered by
-    #     an in-window relative until now (a2/a4 cover a3, etc.) ---
-    "weighted_sample_by_length",
-    "train_val_test_split",
-    "pack_documents_bins",
-    "fixed_window_repack",
-    "embedding_int8_quantize",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "a3_pair_smoothed_sentiment",
-    "tweets_sentiment2d_monthly",
-    "top5_words_per_lang",
-    "chunk_documents",
-    "doc_fingerprints",
-    "f4_human_number_parse",
-    # --- oldest r5-vintage (alphabetical; all same freshness) ---
-    "approx_distinct_users_per_type",
-    "approx_value_percentiles",
-    "basket_part_pairs_lift",
-    "bigram_perplexity_scores",
-    "cms_heavy_hitters",
-    "cohort_retention_weekly",
-    "decayed_user_value_scores",
-    "dq_orders_report",
-    "event_transition_probs",
-    "events_hourly_gapfill",
-    "events_hourly_locf",
-    "first_touch_attribution",
-    "funnel_view_click_purchase",
-    "fuzzy_supplier_names",
-    "gdpr_erasure_audit",
-    "hll_distinct_users",
-    "hll_hourly_to_daily_users",
-    "hll_type_overlap",
-    "hourly_value_regression",
-    "hourly_volume_anomalies",
-    "incremental_dedup_candidates",
-    "key_skew_report",
-    "kmeans_embedding_clusters",
-    "last_touch_attribution",
-    # --- past the 50-query window -> lead the r9 rotation: the
-    #     remaining r5 rows, then r6 vintages ---
+    # --- never-certified / added this round (r9) ---
+    "bpe_fertility_by_lang",
+    "fixed_window_repack_offsets",
+    "customer_revenue_gini_histogram",
+    "streaming_embedding_first_batch",
+    "streaming_embedding_vs_corpus",
+    "training_corpus_pipeline_v3",
+    # --- r5-vintage: the oldest certified rows, all 26 ---
     "minhash_lsh_candidates",
     "ner_phrase_extraction",
     "normalized_documents",
@@ -161,6 +112,54 @@ PRIORITY = [
     "value_histogram_20bins",
     "value_hour_correlation",
     "value_mad_outliers",
+    # --- oldest r6-vintage (alphabetical; all same freshness) ---
+    "anti_join_orderless_customers",
+    "asof_latest_order_before_event",
+    "asof_sorted_latest_order",
+    "bloom_decontamination",
+    "c4_line_dedup",
+    "cube_lineitem_flags",
+    "customer_revenue_gini",
+    "event_dedup_keep_first",
+    "events_json_props",
+    "events_props_map_explode",
+    "events_session_windows",
+    "events_sliding_2h_1h",
+    "events_tumbling_1h",
+    "monthly_event_type_pivot",
+    "monthly_revenue_yoy",
+    "order_gap_days_lag",
+    "order_rank_profile",
+    "order_value_deciles",
+    # --- past the 50-query window -> lead the r10 rotation ---
+    "orders_above_customer_average",
+    "pair_struct_extract_reverse",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_bracketed_revenue",
+    "q1_pricing_summary",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_with_late_items",
+    "q5_region_revenue",
+    "q6_forecast_revenue_sql",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "range_join_purchase_attribution",
+    "rollup_orders_year_priority",
+    "running_total_per_customer",
+    "semi_join_urgent_customers",
+    "setops_customer_segments",
+    "suppliers_per_nation_list",
+    "two_level_time_rollup",
+    "value_percentiles_per_type",
+    "window_top3_orders_per_customer",
 ]
 
 

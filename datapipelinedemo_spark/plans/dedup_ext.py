@@ -532,6 +532,160 @@ def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Composed round-9 corpus build, end-to-end: lexical near-dup removal
+# -> bloom decontamination -> CCNet quality selection -> UniMax budget
+# + temperature mix over the SURVIVORS -> shard assignment. Every
+# stage is a certified operator; this entry pins their COMPOSITION —
+# the artifact a trainer's data loader actually consumes — against
+# one composed oracle.
+# --------------------------------------------------------------------------
+_V3_N_SHARDS = 16
+
+
+def _v3_oracle() -> str:
+    from datapipelinedemo_spark.plans.corpus_ops import _BLOOM_CORE
+    from datapipelinedemo_spark.plans.llm_ops import _CC_ORACLE
+    from datapipelinedemo_spark.plans.selection_ops import (
+        _CCNET_NTILE_SQL,
+        _mix_sql,
+        _unimax_sql,
+    )
+
+    surv_tokens = (
+        "SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens"
+        " FROM surv GROUP BY source"
+    )
+    surv_mix = (
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(ntok) AS BIGINT) AS n_tokens"
+        " FROM surv GROUP BY source"
+    )
+    return (
+        "WITH "
+        + _BLOOM_CORE
+        + f"""
+    , canon AS (
+        SELECT doc_id FROM ({_CC_ORACLE}) WHERE doc_id = comp
+    ),
+    bk AS (SELECT doc_id, bucket FROM ({_CCNET_NTILE_SQL})),
+    surv AS (
+        SELECT d.doc_id, d.source, CAST(len(t.t) AS BIGINT) AS ntok
+        FROM documents d
+        JOIN tok t ON t.doc_id = d.doc_id
+        JOIN canon ON canon.doc_id = d.doc_id
+        JOIN bk ON bk.doc_id = d.doc_id AND bk.bucket <> 'tail'
+        LEFT JOIN (SELECT DISTINCT doc_id FROM hit) h
+               ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 50 <> 0 AND h.doc_id IS NULL
+    ),
+    alloc AS ({_unimax_sql(surv_tokens)}),
+    mix AS ({_mix_sql(surv_mix)}),
+    sh2 AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 15)
+                    AS BIGINT) % {_V3_N_SHARDS} AS BIGINT) AS shard_id
+        FROM surv
+    )
+    SELECT surv.source AS source, sh2.shard_id AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(surv.ntok) AS BIGINT) AS tokens,
+           alloc.allocated_tokens AS allocated_tokens,
+           mix.mix_weight AS mix_weight
+    FROM surv
+    JOIN sh2 ON sh2.doc_id = surv.doc_id
+    JOIN alloc ON alloc.source = surv.source
+    JOIN mix ON mix.source = surv.source
+    GROUP BY 1, 2, 5, 6
+    """
+    )
+
+
+@register("training_corpus_pipeline_v3", oracle=_v3_oracle())
+def training_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data build, composed end-to-end from the
+    certified stages (VERDICT r8 next-round #8): MinHash-LSH near-dup
+    clusters keep the canonical doc per cluster; the Bloom bitmap
+    drops benchmark-contaminated docs (and the eval slice itself);
+    CCNet keeps the head+middle perplexity terciles (via the sort-free
+    threshold variant — bit-equal to the NTILE twin); the SURVIVOR
+    corpus then gets its per-source UniMax epoch-capped token budget
+    and T=2 temperature mix weight; finally every surviving doc is
+    hash-assigned to a training shard. Output: per (source, shard)
+    doc/token volumes with the source's allocation and mix weight —
+    the manifest row a data loader schedules from.
+
+    Scale shape: each stage keeps its certified plan (stored LSH
+    index + O(log n) CC; in-row bloom; broadcast CCNet thresholds;
+    |sources|-row mixing frames; in-row shard hash); the composition
+    adds only doc-grain joins on doc_id and one (source, shard)
+    partial agg. No new shuffle class appears at 100 TB that a stage
+    didn't already pay."""
+    from datapipelinedemo_spark.functions import text as TX
+    from datapipelinedemo_spark.functions.stable import md5_long
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        bloom_decontamination,
+    )
+    from datapipelinedemo_spark.plans.llm_ops import neardup_clusters
+    from datapipelinedemo_spark.plans.selection_ops import (
+        ccnet_buckets_by_threshold,
+        temperature_weights,
+        unimax_allocate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    canon = (
+        neardup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("comp"))
+        .select("doc_id")
+    )
+    bloom = (
+        bloom_decontamination(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("__contam", F.lit(True))
+    )
+    kept_buckets = (
+        ccnet_buckets_by_threshold(spark, sf_dir)
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+    )
+    surv = (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(TX.tokenize("text")).cast("long").alias("ntok"),
+        )
+        .join(canon, "doc_id")
+        .join(kept_buckets, "doc_id")
+        .join(bloom, "doc_id", "left")
+        .filter(F.col("__contam").isNull())
+    )
+    per = surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    alloc = unimax_allocate(per.select("source", "n_tokens")).select(
+        "source", "allocated_tokens"
+    )
+    mix = temperature_weights(per).select("source", "mix_weight")
+    shard_id = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#shard")))
+        % _V3_N_SHARDS
+    ).alias("shard_id")
+    return (
+        surv.select("source", "ntok", shard_id)
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("ntok").cast("long").alias("tokens"),
+        )
+        .join(F.broadcast(alloc), "source")
+        .join(F.broadcast(mix), "source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Quality-based canonical doc per near-dup cluster
 # --------------------------------------------------------------------------
 # The keep-rule half of cluster resolution: after connected components

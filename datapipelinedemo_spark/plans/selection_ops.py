@@ -767,15 +767,12 @@ def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_T = 2  # weight = n_tokens^(1/2); exponent via sqrt = exact IEEE
 
 
-@register(
-    "temperature_mix_weights",
-    oracle=f"""
-    WITH s AS (
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
-        FROM documents GROUP BY source
-    ), g AS (
+def _mix_sql(s_body: str) -> str:
+    """Temperature-mix oracle chain over any ``(source, n_docs,
+    n_tokens)`` SELECT — parameterized so composed pipelines (v3) run
+    the IDENTICAL math over their survivor set."""
+    return f"""
+    WITH s AS ({s_body}), g AS (
         SELECT source, n_docs, n_tokens,
                CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
                     AS BIGINT) AS s6
@@ -784,8 +781,35 @@ _MIX_T = 2  # weight = n_tokens^(1/2); exponent via sqrt = exact IEEE
     SELECT source, n_docs, n_tokens,
            round(CAST(s6 AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mix_weight
     FROM g CROSS JOIN t
-    """,
+    """
+
+
+_MIX_S_DEFAULT = (
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+    f" CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens"
+    " FROM documents GROUP BY source"
 )
+
+
+def temperature_weights(per: DataFrame) -> DataFrame:
+    """``mix_weight ∝ n_tokens^(1/2)`` over a ``(source, n_docs,
+    n_tokens)`` frame — the frame-level form of
+    ``temperature_mix_weights`` (grid-exact: see that docstring)."""
+    g = per.withColumn(
+        "s6",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long"),
+    )
+    tot = g.agg(F.sum("s6").cast("long").alias("tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("s6") / F.col("tot"), 6).alias("mix_weight"),
+    )
+
+
+@register("temperature_mix_weights", oracle=_mix_sql(_MIX_S_DEFAULT))
 def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sampling weights for a temperature-mixed training
     corpus: ``mix_weight ∝ n_tokens^(1/T)`` (T=2), normalized over
@@ -812,18 +836,7 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("n_tokens"),
         )
     )
-    g = per.withColumn(
-        "s6",
-        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5))
-        .cast("long"),
-    )
-    tot = g.agg(F.sum("s6").cast("long").alias("tot"))
-    return g.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.col("s6") / F.col("tot"), 6).alias("mix_weight"),
-    )
+    return temperature_weights(per)
 
 
 # --------------------------------------------------------------------------
@@ -851,13 +864,18 @@ def _unimax_budget_expr():
     )
 
 
-@register(
-    "unimax_epoch_allocation",
-    oracle=f"""
-    WITH s AS (
-        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
-        FROM documents GROUP BY source
-    ), tot AS (
+_UNIMAX_S_DEFAULT = (
+    f"SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens"
+    " FROM documents GROUP BY source"
+)
+
+
+def _unimax_sql(s_body: str) -> str:
+    """UniMax waterfill oracle chain over any ``(source, n_tokens)``
+    SELECT — parameterized so composed pipelines (v3) run the
+    IDENTICAL allocation math over their survivor set."""
+    return f"""
+    WITH s AS ({s_body}), tot AS (
         SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
                CAST(COUNT(*) AS BIGINT) AS ns,
                CAST(SUM(n_tokens) * {_UNIMAX_B_NUM} // {_UNIMAX_B_DEN}
@@ -899,34 +917,17 @@ def _unimax_budget_expr():
                          THEN 1 ELSE 0 END
            END AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
     FROM f CROSS JOIN k
-    """,
-)
-def unimax_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UniMax waterfilling: allocate ``budget = 9/10 of corpus
-    tokens`` across sources with an E=1 epoch cap. Sources whose cap
-    fits under the fair share get exactly their cap (rank r is capped
-    iff ``pre_r + cap_r·(N−r+1) ≤ B`` under the ascending-cap total
-    order — the standard waterfill threshold, monotone in r); the
-    rest split the remaining budget evenly, with the division
-    remainder handed to the lowest-ranked uncapped sources so the
-    allocation sums to EXACTLY the budget. All of it is BIGINT math —
-    no float accumulates anywhere; ``epochs`` is one final division.
+    """
 
-    Scale shape: one corpus scan partial-aggs into the |sources|-row
-    frame; every window below it runs on that dashboard-sized frame
-    (the single-partition WindowExec is |sources| rows by
-    construction, never corpus rows)."""
+
+def unimax_allocate(s: DataFrame) -> DataFrame:
+    """The UniMax waterfill over any ``(source, n_tokens)`` frame —
+    the frame-level form of ``unimax_epoch_allocation`` (same BIGINT
+    math, same closed-form threshold rank; see that docstring).
+    Composed pipelines (v3) call this over their survivor set."""
     from pyspark.sql import Window
 
-    from datapipelinedemo_spark.functions.text import tokenize
-
-    docs = table(spark, sf_dir, "documents")
-    s = (
-        docs.select("source", F.size(tokenize("text")).cast("long").alias("nt"))
-        .groupBy("source")
-        .agg(F.sum("nt").cast("long").alias("n_tokens"))
-        .withColumn("cap", (F.col("n_tokens") * _UNIMAX_E).cast("long"))
-    )
+    s = s.withColumn("cap", (F.col("n_tokens") * _UNIMAX_E).cast("long"))
     tot = s.agg(
         F.sum("n_tokens").cast("long").alias("tn"),
         F.count(F.lit(1)).cast("long").alias("ns"),
@@ -990,3 +991,30 @@ def unimax_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs"),
         )
     )
+
+
+@register("unimax_epoch_allocation", oracle=_unimax_sql(_UNIMAX_S_DEFAULT))
+def unimax_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfilling: allocate ``budget = 9/10 of corpus
+    tokens`` across sources with an E=1 epoch cap. Sources whose cap
+    fits under the fair share get exactly their cap (rank r is capped
+    iff ``pre_r + cap_r·(N−r+1) ≤ B`` under the ascending-cap total
+    order — the standard waterfill threshold, monotone in r); the
+    rest split the remaining budget evenly, with the division
+    remainder handed to the lowest-ranked uncapped sources so the
+    allocation sums to EXACTLY the budget. All of it is BIGINT math —
+    no float accumulates anywhere; ``epochs`` is one final division.
+
+    Scale shape: one corpus scan partial-aggs into the |sources|-row
+    frame; every window below it runs on that dashboard-sized frame
+    (the single-partition WindowExec is |sources| rows by
+    construction, never corpus rows)."""
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(tokenize("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    return unimax_allocate(s)
