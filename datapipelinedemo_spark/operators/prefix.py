@@ -33,21 +33,31 @@ from pyspark.sql import functions as F
 def bucketed_prefix_sum(
     df: DataFrame,
     order_col: str,
-    sum_col: str,
+    sum_col: str | None = None,
     out_col: str = "cum_before",
     n_buckets: int | None = None,
+    sums: dict[str, str] | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = sum of ``sum_col`` over all rows strictly
     before this one in ``order_col`` order — the exclusive global
     prefix sum — with no single-partition stage in the plan.
 
+    ``sums`` (``{sum_col: out_col}``) computes several prefix sums in
+    the SAME two passes (one per-bucket aggregate, one bucketed
+    window) — callers needing cumulative counts AND cumulative mass
+    pay one plan, not two. ``sum_col``/``out_col`` is the single-sum
+    shorthand.
+
     ``order_col`` must be numeric and a total order (unique values);
     callers with ties append a unique tie-break column to the grain
     BEFORE calling (or group to the distinct-value grain, where the
     order column is unique by construction). The returned frame keeps
-    every input column, plus ``out_col``; the internal bucket id is
-    dropped.
+    every input column, plus the out columns; the internal bucket id
+    is dropped.
     """
+    if sums is None:
+        assert sum_col is not None
+        sums = {sum_col: out_col}
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = min(2048, 4 * spark.sparkContext.defaultParallelism)
@@ -64,29 +74,40 @@ def bucketed_prefix_sum(
         bucket = F.lit(0)
     bucketed = df.withColumn("__pb", bucket)
 
-    sums = {
-        r["__pb"]: r["s"]
+    scols = list(sums)
+    per_bucket = {
+        r["__pb"]: [r[f"s{i}"] for i in range(len(scols))]
         for r in bucketed.groupBy("__pb")
-        .agg(F.sum(sum_col).cast("long").alias("s"))
+        .agg(
+            *[
+                F.sum(c).cast("long").alias(f"s{i}")
+                for i, c in enumerate(scols)
+            ]
+        )
         .collect()
     }
-    run, offs = 0, []
+    runs, offs = [0] * len(scols), []
     for pid in range(len(bounds) + 1):
-        offs.append((pid, run))
-        run += int(sums.get(pid) or 0)
-    off_df = spark.createDataFrame(offs, "__pb int, __poff long")
+        offs.append((pid, *runs))
+        got = per_bucket.get(pid)
+        if got:
+            runs = [a + int(b or 0) for a, b in zip(runs, got)]
+    off_df = spark.createDataFrame(
+        offs,
+        "__pb int, "
+        + ", ".join(f"__poff{i} long" for i in range(len(scols))),
+    )
 
     w = (
         Window.partitionBy("__pb")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        bucketed.join(F.broadcast(off_df), "__pb")
-        .withColumn(
-            out_col,
-            F.col("__poff")
-            + F.coalesce(F.sum(sum_col).over(w).cast("long"), F.lit(0)),
+    out = bucketed.join(F.broadcast(off_df), "__pb")
+    for i, c in enumerate(scols):
+        out = out.withColumn(
+            sums[c],
+            F.col(f"__poff{i}")
+            + F.coalesce(F.sum(c).over(w).cast("long"), F.lit(0)),
         )
-        .drop("__pb", "__poff")
-    )
+    return out.drop("__pb", *[f"__poff{i}" for i in range(len(scols))])

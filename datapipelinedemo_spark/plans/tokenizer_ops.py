@@ -535,3 +535,77 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf coverage curve: the table a vocabulary-size decision reads
+# --------------------------------------------------------------------------
+@register(
+    "vocab_coverage_by_min_count",
+    oracle=f"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+        FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)
+        GROUP BY word
+    ), ch AS (
+        SELECT wcnt, CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(wcnt * COUNT(*) AS BIGINT) AS tok
+        FROM words GROUP BY wcnt
+    ), tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS t FROM ch)
+    SELECT wcnt AS min_count,
+           CAST(SUM(nw) OVER (ORDER BY wcnt DESC) AS BIGINT) AS n_words,
+           CAST(SUM(tok) OVER (ORDER BY wcnt DESC) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(tok) OVER (ORDER BY wcnt DESC) AS DOUBLE)
+                 / CAST(t AS DOUBLE), 6) AS coverage
+    FROM ch CROSS JOIN tot
+    """,
+)
+def vocab_coverage_by_min_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Zipf/Heaps coverage curve: for every distinct word
+    frequency t, how many vocabulary entries have count ≥ t and what
+    fraction of all corpus tokens they cover — the table that answers
+    "how big must the vocabulary be to cover 95% of tokens" before a
+    tokenizer run commits to a size.
+
+    Scale shape: one corpus pass → word histogram (Heaps-law-sized) →
+    histogram-of-the-histogram (distinct FREQUENCY values — thousands
+    of rows even at web scale, since counts cluster Zipf-style) →
+    both cumulatives via ONE ``bucketed_prefix_sum`` call
+    (operators/prefix.py, multi-sum form: cumulative words and
+    cumulative tokens share the same two passes; no single-partition
+    sort anywhere, asserted in tests). The ≥-side cumulative is
+    total − exclusive-prefix, so the ascending-order helper serves
+    the descending-order curve without a second sort.
+    """
+    from datapipelinedemo_spark.functions.text import tokenize
+    from datapipelinedemo_spark.operators.prefix import bucketed_prefix_sum
+    from datapipelinedemo_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    ch = words.groupBy("wcnt").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+    ).withColumn("tok", (F.col("wcnt") * F.col("nw")).cast("long"))
+    pre = bucketed_prefix_sum(
+        ch, "wcnt", sums={"nw": "cw", "tok": "ct"}
+    )
+    tot = ch.agg(
+        F.sum("nw").cast("long").alias("tw"),
+        F.sum("tok").cast("long").alias("tt"),
+    )
+    return pre.crossJoin(F.broadcast(tot)).select(
+        F.col("wcnt").alias("min_count"),
+        (F.col("tw") - F.col("cw")).alias("n_words"),
+        (F.col("tt") - F.col("ct")).alias("n_tokens"),
+        F.round(
+            (F.col("tt") - F.col("ct")).cast("double")
+            / F.col("tt").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

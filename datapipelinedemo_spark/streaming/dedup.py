@@ -243,6 +243,7 @@ def embedding_batch_pairs(
     bands: int = 4,
     dim: int = 64,
     threshold: float = 0.3,
+    bucket_cap: int | None = 256,
 ) -> tuple[DataFrame, DataFrame]:
     """The EXACT per-micro-batch computation of
     ``start_embedding_ingest_stream``, as a batch function — the ANN
@@ -252,19 +253,34 @@ def embedding_batch_pairs(
     vs-corpus against a stored LSH index otherwise. Returns
     ``(new_banded, pairs)``; the stream appends both, keyed by batch.
 
+    ``bucket_cap`` is the hot-bucket runaway guard (same contract and
+    default as the text stream's ``neardup_batch_pairs``): a stream's
+    LSH geometry is pinned at start time, so bucket occupancy grows
+    with the corpus — uncapped, one hot (band, key) makes the batch
+    join quadratic (measured: 10× corpus → 38× wall on the first-batch
+    twin before the cap). With the cap, each batch row meets at most
+    ``cap`` corpus rows per band and in-batch buckets score all pairs
+    among the first ``cap`` members (by id) plus every overflow member
+    against the bucket minimum — linear in batch size at any corpus.
+    The cap never binds at the sf0.01 certification scale (measured max bucket occupancy there: 52; even sf0.1 maxes at 171), so the
+    uncapped SQL oracles stay exact (the ``minhash_lsh_candidates``
+    convention). Production sizing note: pick ``planes/bands`` for the
+    EXPECTED corpus (``similarity.lsh_bits_for``) when starting a
+    stream; the cap is the guard, not the design.
+
     Factored out so the embedding stream's semantics carry
     catalog/oracle rows (``streaming_embedding_first_batch`` /
     ``streaming_embedding_vs_corpus`` in ``plans/llm_ops.py``) —
     the certified code object IS the function ``foreachBatch`` runs
     (VERDICT r8 next-round #5)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from datapipelinedemo_spark.operators import similarity as SIM
 
-    def _scored_pairs(n: DataFrame, c: DataFrame, pair_type: str):
+    def _score(joined: DataFrame, pair_type: str):
         return (
-            n.join(c, ["band", "key"])
-            .filter(F.col("id_new") != F.col("id_corpus"))
+            joined.filter(F.col("id_new") != F.col("id_corpus"))
             .select(
                 "id_new",
                 "id_corpus",
@@ -278,32 +294,63 @@ def embedding_batch_pairs(
             .withColumn("pair_type", F.lit(pair_type))
         )
 
-    def _sides(frame: DataFrame):
-        n = frame.select(
-            F.col("neighbor_id").alias("id_new"),
-            F.col("cv").alias("v_new"),
-            F.col("cn").alias("n_new"),
+    def _side(frame: DataFrame, role: str):
+        tag = "new" if role == "n" else "corpus"
+        return frame.select(
+            F.col("neighbor_id").alias(f"id_{tag}"),
+            F.col("cv").alias(f"v_{tag}"),
+            F.col("cn").alias(f"n_{tag}"),
             "band",
             "key",
         )
-        c = frame.select(
-            F.col("neighbor_id").alias("id_corpus"),
-            F.col("cv").alias("v_corpus"),
-            F.col("cn").alias("n_corpus"),
-            "band",
-            "key",
-        )
-        return n, c
+
+    def _ranked(frame: DataFrame):
+        w = Window.partitionBy("band", "key").orderBy("neighbor_id")
+        return frame.withColumn("__rn", F.row_number().over(w))
 
     new_banded = SIM.lsh_corpus_frame(
         batch, id_col, vec_col, planes, dim, bands
     )
-    n_side, self_side = _sides(new_banded)
-    in_batch = _scored_pairs(n_side, self_side, "in_batch").filter(
+
+    if bucket_cap is None:
+        in_joined = _side(new_banded, "n").join(
+            _side(new_banded, "c"), ["band", "key"]
+        )
+    else:
+        rk = _ranked(new_banded)
+        head = rk.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+        # all pairs among the first cap members ...
+        in_joined = _side(head, "n").join(_side(head, "c"), ["band", "key"])
+        # ... plus overflow members against the bucket minimum (the
+        # star expansion of bucketed_candidate_pairs). The rep is the
+        # bucket MINIMUM id, so it takes the id_new slot and every
+        # overflow id lands in id_corpus — id_new < id_corpus holds by
+        # construction and the orientation filter keeps the star rows.
+        rep = _side(rk.filter(F.col("__rn") == 1).drop("__rn"), "n")
+        overflow = _side(
+            rk.filter(F.col("__rn") > bucket_cap).drop("__rn"), "c"
+        )
+        in_joined = in_joined.unionByName(
+            rep.join(overflow, ["band", "key"])
+        )
+    in_batch = _score(in_joined, "in_batch").filter(
         F.col("id_new") < F.col("id_corpus")
     )
+
     if corpus is not None:
-        vs_corpus = _scored_pairs(n_side, _sides(corpus)[1], "vs_corpus")
+        if bucket_cap is not None:
+            # corpus side capped per bucket (incremental_lsh_candidates
+            # contract): an admission screen needs A near-duplicate
+            # witness, not every one
+            corpus = (
+                _ranked(corpus)
+                .filter(F.col("__rn") <= bucket_cap)
+                .drop("__rn")
+            )
+        vs_corpus = _score(
+            _side(new_banded, "n").join(_side(corpus, "c"), ["band", "key"]),
+            "vs_corpus",
+        )
         pairs = vs_corpus.unionByName(in_batch)
     else:
         pairs = in_batch

@@ -513,3 +513,31 @@ def test_compaction_noop_on_single_partition(spark, tmp_path):
         .parquet(str(idx / "batch_id=0"))
     audit = compact_ingest_index(spark, str(idx))
     assert audit["folded"] == [] and "skipped" in audit
+
+
+def test_embedding_batch_pairs_cap_is_invisible_until_it_binds(spark, sf_dir):
+    # r9: the hot-bucket cap must change NOTHING at scales where no
+    # bucket exceeds it (the oracle-equality contract), and with a
+    # tiny cap the output must stay a subset of the uncapped pairs
+    # plus keep every bucket's star witness for overflow members.
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.streaming.dedup import (
+        embedding_batch_pairs,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    batch = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 < 3
+    )
+
+    def pairs(cap):
+        _, p = embedding_batch_pairs(batch, None, bucket_cap=cap)
+        return {(r.id_new, r.id_corpus) for r in p.collect()}
+
+    uncapped = pairs(None)
+    assert pairs(256) == uncapped  # max sf0.01 bucket is 52
+    tiny = pairs(2)
+    assert tiny <= uncapped
+    # star expansion keeps orientation: every emitted pair ascending
+    assert all(a < b for a, b in tiny)
