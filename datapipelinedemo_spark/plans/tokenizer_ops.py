@@ -589,9 +589,17 @@ def vocab_coverage_by_min_count(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
     )
-    ch = words.groupBy("wcnt").agg(
-        F.count(F.lit(1)).cast("long").alias("nw"),
-    ).withColumn("tok", (F.col("wcnt") * F.col("nw")).cast("long"))
+    from datapipelinedemo_spark.pin import pin
+
+    # pin the distinct-frequency frame: |distinct counts| rows (tiny),
+    # but its lineage is the full corpus tokenize — the prefix helper's
+    # quantile scan, bucket aggregate, final pass and the totals agg
+    # would each re-derive it (pin.py rationale)
+    ch = pin(
+        words.groupBy("wcnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
+        .withColumn("tok", (F.col("wcnt") * F.col("nw")).cast("long"))
+    )
     pre = bucketed_prefix_sum(
         ch, "wcnt", sums={"nw": "cw", "tok": "ct"}
     )
