@@ -363,6 +363,58 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MERGES_SCALED = 64
+
+
+def _merges_oracle_scaled(n: int) -> str:
+    """``_merges_oracle`` generalized to ``n`` steps with every CTE
+    ``MATERIALIZED``: DuckDB inlines plain CTEs per reference, and the
+    chain references ``cur{s}`` twice and ``top{s}`` three times per
+    step — unrolled past ~8 steps the inlining is exponential (the
+    planner literally ran out of file handles re-opening the parquet
+    per inlined copy). Materialization makes the replay linear in
+    ``n`` (~3 s at n=64, sf0.01). The 4-step oracle stays un-hinted —
+    it is the certified original."""
+
+    def _m(cte: str, names: list[str]) -> str:
+        for name in names:
+            cte = cte.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+        return cte
+
+    parts = [_m(_WORDS_CTE, ["words", "cur0"])]
+    for step in range(1, n + 1):
+        parts.append(
+            _m(_pair_cte(step), [f"ex{step}", f"pc{step}", f"top{step}"])
+        )
+        if step < n:
+            parts.append(_m(_apply_cte(step), [f"en{step}", f"cur{step}"]))
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({step} AS INTEGER) AS step, lhs, rhs,"
+        f" lhs || rhs AS merged, pair_count FROM top{step}"
+        for step in range(1, n + 1)
+    )
+    return "".join(parts) + finals
+
+
+@register(
+    "bpe_train_merges_64", oracle=_merges_oracle_scaled(N_MERGES_SCALED)
+)
+def bpe_train_merges_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-scale training loop, driver-certified: 64 BPE
+    iterations — enough to cross the ``CHECKPOINT_EVERY=16``
+    lineage-truncation boundary four times, so the certified code path
+    is the checkpoint-and-lazy-replay loop a 32k-merge production run
+    uses, not the 4-merge demo path. Per-merge cost is corpus-size
+    independent (measured ~0.12 s/merge at sf0.1 AND the 10× slice —
+    fixtures/scale_r09.json); the oracle replays all 64 steps
+    relationally with materialized CTEs."""
+    merges = trained_merges(spark, sf_dir, N_MERGES_SCALED)
+    return spark.createDataFrame(
+        merges,
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
 def _encode_oracle() -> str:
     """Replays training through cur{N_MERGES} (all merges APPLIED,
     unlike ``_merges_oracle`` which stops at the last argmax), then
