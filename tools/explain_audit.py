@@ -81,6 +81,8 @@ def main() -> None:
         flags = []
         if a["python_row_udf"]:
             flags.append("PYTHON-ROW-UDF")
+        if single_partition_sorts(plan):
+            flags.append("SINGLE-PARTITION-SORT")
         if a["cartesian"] and "cosine" not in name:
             flags.append("CARTESIAN")
         flags.append(f"shuffles={a['shuffles']}")
