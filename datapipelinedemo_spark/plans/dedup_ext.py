@@ -661,9 +661,17 @@ def training_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bloom, "doc_id", "left")
         .filter(F.col("__contam").isNull())
     )
-    per = surv.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("ntok").cast("long").alias("n_tokens"),
+    # pin the |sources|-row frame: alloc and mix each consume it, and
+    # each would otherwise re-derive the FULL survivor lineage (CC +
+    # bloom + CCNet joins) — pin.py's exact use case (tiny frame,
+    # expensive lineage)
+    from datapipelinedemo_spark.pin import pin
+
+    per = pin(
+        surv.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
     )
     alloc = unimax_allocate(per.select("source", "n_tokens")).select(
         "source", "allocated_tokens"

@@ -86,3 +86,17 @@ def test_multi_sum_form_matches_two_single_calls(spark):
         for r in bucketed_prefix_sum(df, "k", "u", out_col="cu").collect()
     }
     assert both == {k: (cv[k], cu[k]) for k in cv}
+
+
+def test_property_random_frames_match_window_form(spark):
+    # hypothesis-style without per-example Spark jobs being too slow:
+    # a handful of seeded random shapes, incl. heavy duplicates in the
+    # sum column and adversarial key gaps
+    import random
+
+    rng = random.Random(90210)
+    for trial in range(4):
+        n = rng.choice([1, 7, 64, 400])
+        keys = rng.sample(range(-(10**12), 10**12), n)
+        rows = [(k, rng.randint(-5, 50)) for k in keys]
+        _check(spark, rows, n_buckets=rng.choice([None, 3, 64]))
