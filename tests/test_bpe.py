@@ -257,3 +257,49 @@ def test_train_64_merges_matches_python_reference(spark):
     want = _py_train2(texts, 64)
     assert len(want) == 64, "corpus must sustain 64 productive merges"
     assert got == want
+
+
+def test_batched_selection_equals_sequential(spark):
+    # r9: probe_k>1 must be BIT-identical to the sequential loop on
+    # every corpus — incl. tie-heavy and overlap-heavy ones designed
+    # to stress the strictly-dominant disjoint-prefix rule
+    corpora = [
+        _rich_corpus(),
+        ["low lower lowest low low", "new newer newest new news"],
+        ["ab ab ab cd cd cd ef ef ef"],          # all-tied counts
+        ["abc bcd cde abc bcd cde abc"],          # chained overlaps
+        ["aaaa aab abab banana bananas the the"],  # runs + markers
+        ["a a a a a a b"],                         # collapse corpus
+    ]
+    for texts in corpora:
+        want = _py_train2(texts, 40)
+        for k in (4, 16, 64):
+            got = train_bpe(spark, _spark_words(spark, texts), 40, probe_k=k)
+            assert got == want, (texts[0][:30], k)
+
+
+def test_safe_merge_batch_rules():
+    from collections import namedtuple
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        _safe_merge_batch,
+    )
+
+    R = namedtuple("R", "lhs rhs pair_count")
+    # overlap stops the prefix: (x,a) shares 'a' with (a,b)
+    top = [R("a", "b", 100), R("x", "a", 95), R("c", "d", 60)]
+    assert _safe_merge_batch(top) == [top[0]]
+    # disjoint but TIED with the excluded pair -> trimmed to leader
+    top = [R("a", "b", 100), R("c", "d", 95), R("x", "a", 95)]
+    assert _safe_merge_batch(top) == [top[0]]
+    # disjoint and strictly dominant -> both taken
+    top = [R("a", "b", 100), R("c", "d", 96), R("x", "a", 95)]
+    assert _safe_merge_batch(top) == [top[0], top[1]]
+    # a pair naming an earlier MERGED symbol conflicts ((x, ab) after
+    # (a,b): applying (a,b) creates new ab occurrences)
+    top = [R("a", "b", 100), R("x", "ab", 96), R("c", "d", 90)]
+    assert _safe_merge_batch(top) == [top[0]]
+    # probe exhausted without conflict: last row is the bound, dropped
+    top = [R("a", "b", 100), R("c", "d", 96)]
+    assert _safe_merge_batch(top) == [top[0]]
+    assert _safe_merge_batch([top[0]]) == [top[0]]
