@@ -751,3 +751,190 @@ def vocab_coverage_by_min_count(
             6,
         ).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# WordPiece-style greedy segmentation (the second tokenizer family)
+# --------------------------------------------------------------------------
+WP_VOCAB = 512     # multi-char pieces kept (plus implicit single chars)
+WP_MAX_PIECE = 6   # longest piece considered
+
+
+@register(
+    "wordpiece_token_counts",
+    oracle=f"""
+    WITH words AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+        FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)
+        WHERE length(word) <= {MAX_WORD_CHARS}
+        GROUP BY word
+    ), allspans AS MATERIALIZED (
+        -- correlated generate_series is only legal in list
+        -- comprehensions, not lateral table functions
+        SELECT word, wcnt,
+               unnest(flatten(
+                   [[struct_pack(pos := s, len := l,
+                                 piece := substring(word, s, l))
+                     for l in generate_series(2,
+                         least({WP_MAX_PIECE}, length(word) - s + 1))]
+                    for s in generate_series(1, length(word))])) AS sp
+        FROM words WHERE length(word) >= 2
+    ), subs AS (
+        SELECT sp.piece AS piece, CAST(SUM(wcnt) AS BIGINT) AS c
+        FROM allspans GROUP BY 1
+    ), vocab AS MATERIALIZED (
+        SELECT piece FROM subs ORDER BY c DESC, piece LIMIT {WP_VOCAB}
+    ), matched AS (
+        SELECT a.word, a.sp.pos AS pos, a.sp.len AS len
+        FROM allspans a JOIN vocab v ON v.piece = a.sp.piece
+    ), wsp AS MATERIALIZED (
+        SELECT word, list(struct_pack(pos := pos, len := len)) AS spans
+        FROM matched GROUP BY word
+    ), seg AS (
+        SELECT w.word,
+               (list_reduce(
+                   list_prepend(
+                       struct_pack(cnt := 0::BIGINT, np := 1::BIGINT),
+                       list_transform(
+                           generate_series(1, length(w.word)),
+                           i -> struct_pack(cnt := 0::BIGINT,
+                                            np := CAST(i AS BIGINT))
+                       )
+                   ),
+                   (acc, x) -> CASE WHEN x.np < acc.np THEN acc
+                       ELSE struct_pack(
+                           cnt := acc.cnt + 1,
+                           np := x.np + COALESCE(
+                               list_aggregate(
+                                   list_transform(
+                                       list_filter(
+                                           COALESCE(sp.spans, []),
+                                           s -> s.pos = x.np
+                                       ),
+                                       s -> CAST(s.len AS BIGINT)
+                                   ),
+                                   'max'
+                               ), 1::BIGINT)
+                       ) END
+               )).cnt AS n_tok
+        FROM words w LEFT JOIN wsp sp ON sp.word = w.word
+    ), dt AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents
+        ) WHERE length(word) <= {MAX_WORD_CHARS}
+    )
+    SELECT dt.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.n_tok) AS BIGINT) AS n_wp_tokens
+    FROM dt JOIN seg ON seg.word = dt.word
+    GROUP BY 1
+    """,
+)
+def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER tokenizer family: WordPiece-style greedy
+    longest-match-first segmentation (the inference rule BERT's
+    tokenizer actually runs) under a frequency-derived piece
+    vocabulary — per-document piece counts, the cost-model number a
+    WordPiece-budgeted pipeline reads.
+
+    Construction, Spark-first and literal-free:
+
+    1. **Vocabulary = top-512 substrings** (length 2..6) of the word
+       histogram by corpus-weighted frequency (count DESC, piece —
+       deterministic cross-engine tie-break); single characters are
+       the implicit fallback, so segmentation always succeeds.
+    2. **Membership is a JOIN, never a literal.** Candidate spans
+       (word, pos, len) explode from the vocab-sized histogram
+       (≤ 24×5 per distinct word) and join the piece vocabulary —
+       no |V|-sized IN-list or map literal in the plan (the
+       embedding-quantize de-literal rule).
+    3. **Greedy scan is one in-row fold** over character positions
+       with (count, next_pos) state: at each live position take the
+       LONGEST matched span (array_max over the word's span array),
+       else advance one char. Bounded work: ≤ 25 positions × ≤ 120
+       spans per word, pure codegen.
+    4. Per-word piece counts join back to the exploded corpus exactly
+       like ``bpe_encode_token_counts`` — segmentation is paid once
+       per DISTINCT word, the corpus side is one shuffle join + one
+       partial-agg groupBy.
+
+    The DuckDB oracle replays the identical greedy fold via
+    ``list_reduce`` with a struct accumulator (MATERIALIZED CTEs —
+    same inlining hazard as the 64-step BPE replay)."""
+    from datapipelinedemo_spark.pin import pin
+
+    docs = table(spark, sf_dir, "documents")
+    words = pin(
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.length("word") <= MAX_WORD_CHARS)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    sub_expr = (
+        f"flatten(transform(sequence(1, length(word)), s ->"
+        f" transform(sequence(2, least({WP_MAX_PIECE},"
+        f" length(word) - s + 1)), l ->"
+        f" named_struct('pos', s, 'len', l,"
+        f" 'piece', substring(word, s, l)))))"
+    )
+    # guard: a 1-char word has no length-2..6 substrings -> sequence
+    # (2, 1) would count DOWN (the r9 _PAIRS_EXPR lesson); least()
+    # keeps the upper bound >= 2 only when it is, so filter first
+    cand = (
+        words.filter(F.length("word") >= 2)
+        .select("wcnt", F.explode(F.expr(sub_expr)).alias("sp"))
+        .select("wcnt", "sp.pos", "sp.len", "sp.piece")
+    )
+    vocab = (
+        cand.groupBy("piece")
+        .agg(F.sum("wcnt").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(WP_VOCAB)
+        .select("piece")
+    )
+    spans = (
+        words.filter(F.length("word") >= 2)
+        .select("word", F.explode(F.expr(sub_expr)).alias("sp"))
+        .select("word", "sp.pos", "sp.len", "sp.piece")
+        .join(vocab, "piece")
+        .groupBy("word")
+        .agg(F.collect_list(F.struct("pos", "len")).alias("spans"))
+    )
+    fold = """
+    aggregate(
+      sequence(1, length(word)),
+      named_struct('cnt', cast(0 as bigint), 'np', cast(1 as bigint)),
+      (acc, i) -> case when i < acc.np then acc
+        else named_struct(
+          'cnt', acc.cnt + cast(1 as bigint),
+          'np', cast(i as bigint) + coalesce(
+            cast(array_max(transform(
+              filter(spans, s -> s.pos = i), s -> s.len)) as bigint),
+            cast(1 as bigint)))
+      end,
+      acc -> acc.cnt)
+    """
+    seg = (
+        words.join(spans, "word", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                F.col("spans"),
+                F.expr(
+                    "cast(array() as array<struct<pos: int, len: int>>)"
+                ),
+            ),
+        )
+        .select("word", F.expr(fold).alias("n_tok"))
+    )
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_wp_tokens"),
+        )
+    )

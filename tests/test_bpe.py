@@ -303,3 +303,74 @@ def test_safe_merge_batch_rules():
     top = [R("a", "b", 100), R("c", "d", 96)]
     assert _safe_merge_batch(top) == [top[0]]
     assert _safe_merge_batch([top[0]]) == [top[0]]
+
+
+def test_wordpiece_greedy_matches_python_reference(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from collections import Counter
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        WP_MAX_PIECE,
+        WP_VOCAB,
+        wordpiece_token_counts,
+    )
+
+    texts = [
+        "internationalization international nation nationalize",
+        "the theory theatre the them theme",
+        "a ab abc abcd abcde the",
+        "tokenize tokenizer tokenized tokens token",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    # pure-Python twin: vocab = top-V substrings by weighted count
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= MAX_WORD_CHARS:
+                words[w] += 1
+    subs = Counter()
+    for w, c in words.items():
+        for s0 in range(len(w)):
+            for ln in range(2, min(WP_MAX_PIECE, len(w) - s0) + 1):
+                subs[w[s0 : s0 + ln]] += c
+    vocab = {
+        p
+        for p, _ in sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :WP_VOCAB
+        ]
+    }
+
+    def greedy(w):
+        i, n = 0, 0
+        while i < len(w):
+            ln = 1
+            for trial in range(min(WP_MAX_PIECE, len(w) - i), 1, -1):
+                if w[i : i + trial] in vocab:
+                    ln = trial
+                    break
+            n += 1
+            i += ln
+        return n
+
+    want = {}
+    for d, t in enumerate(texts):
+        ws = [w for w in t.lower().split() if w]
+        want[d] = (len(ws), sum(greedy(w) for w in ws))
+    got = {
+        r.doc_id: (r.n_words, r.n_wp_tokens)
+        for r in wordpiece_token_counts(spark, str(tmp_path)).collect()
+    }
+    assert got == want
