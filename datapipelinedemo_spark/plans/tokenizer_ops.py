@@ -938,3 +938,184 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_wp_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation (the third tokenizer family)
+# --------------------------------------------------------------------------
+UV_VOCAB = 512  # multi-char pieces; all corpus chars are implicit
+
+
+@register(
+    "unigram_viterbi_token_counts",
+    oracle=f"""
+    WITH words AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+        FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)
+        WHERE length(word) <= {MAX_WORD_CHARS}
+        GROUP BY word
+    ), allspans AS MATERIALIZED (
+        SELECT word, wcnt,
+               unnest(flatten(
+                   [[struct_pack(pos := s, len := l,
+                                 piece := substring(word, s, l))
+                     for l in generate_series(1,
+                         least({WP_MAX_PIECE}, length(word) - s + 1))]
+                    for s in generate_series(1, length(word))])) AS sp
+        FROM words
+    ), subs AS (
+        SELECT sp.piece AS piece, CAST(length(sp.piece) AS BIGINT) AS plen,
+               CAST(SUM(wcnt) AS BIGINT) AS c
+        FROM allspans GROUP BY 1, 2
+    ), inv AS MATERIALIZED (
+        -- inventory: top multi-char pieces by weighted count + EVERY
+        -- single char (the coverage fallback)
+        SELECT piece, c FROM (
+            SELECT piece, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
+            FROM subs WHERE plen >= 2
+        ) WHERE rn <= {UV_VOCAB}
+        UNION ALL
+        SELECT piece, c FROM subs WHERE plen = 1
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM inv),
+    scored AS MATERIALIZED (
+        SELECT piece,
+               CAST(FLOOR(-ln(CAST(c AS DOUBLE) / t) * 1e6 + 0.5)
+                    AS BIGINT) AS nll6
+        FROM inv CROSS JOIN tot
+    ), wsp AS MATERIALIZED (
+        SELECT a.word,
+               list(struct_pack(pos := a.sp.pos, len := a.sp.len,
+                                nll6 := sc.nll6)) AS spans
+        FROM allspans a JOIN scored sc ON sc.piece = a.sp.piece
+        GROUP BY a.word
+    ), seg AS (
+        SELECT w.word,
+               (list_reduce(
+                   list_prepend(
+                       [struct_pack(c := 0::BIGINT, n := 0::BIGINT)],
+                       list_transform(
+                           generate_series(1, length(w.word)),
+                           i -> [struct_pack(c := CAST(i AS BIGINT),
+                                             n := 0::BIGINT)])
+                   ),
+                   (acc, x) -> list_append(acc, list_aggregate(
+                       list_transform(
+                           list_filter(sp.spans,
+                               s -> s.pos + s.len - 1 = x[1].c),
+                           s -> struct_pack(
+                               c := acc[s.pos].c + s.nll6,
+                               n := acc[s.pos].n + 1::BIGINT)),
+                       'min'))
+               ))[length(w.word) + 1] AS best
+        FROM words w JOIN wsp sp ON sp.word = w.word
+    ), dt AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents
+        ) WHERE length(word) <= {MAX_WORD_CHARS}
+    )
+    SELECT dt.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.best.n) AS BIGINT) AS n_unigram_tokens,
+           CAST(SUM(seg.best.c) AS BIGINT) AS total_nll6
+    FROM dt JOIN seg ON seg.word = dt.word
+    GROUP BY 1
+    """,
+)
+def unigram_viterbi_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The THIRD tokenizer family: unigram-LM segmentation (Kudo 2018
+    / SentencePiece inference) — each word segmented into the
+    inventory pieces minimizing total negative log-likelihood, exact
+    Viterbi, per-document token counts and total cost.
+
+    Exactness: piece scores snap to the 1e-6 BIGINT grid (one
+    correctly-rounded ln per piece), so the DP is pure integer math;
+    ties between equal-cost segmentations resolve by fewer-tokens
+    (the struct comparator orders (cost, n_tokens) lexicographically
+    — identically in both engines), making the best value unique and
+    hash-stable.
+
+    Scale shape — in-row dynamic programming, Spark-first: the DP
+    table is the accumulator of ONE ``aggregate`` fold over character
+    positions (state = array of (cost, n) bests; candidates at
+    position i read ``element_at(acc, s.pos)`` — bounded ≤ 25
+    positions × ≤ 6 pieces each, pure codegen). Piece scores arrive
+    by JOIN on the span piece (never a |V|-sized literal); the DP is
+    paid once per DISTINCT word; the corpus side is the standard
+    one-shuffle join + partial agg. The oracle replays the identical
+    fold with a struct-accumulator ``list_reduce``."""
+    from datapipelinedemo_spark.pin import pin
+
+    docs = table(spark, sf_dir, "documents")
+    words = pin(
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.length("word") <= MAX_WORD_CHARS)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    sub_expr = (
+        f"flatten(transform(sequence(1, length(word)), s ->"
+        f" transform(sequence(1, least({WP_MAX_PIECE},"
+        f" length(word) - s + 1)), l ->"
+        f" named_struct('pos', s, 'len', l,"
+        f" 'piece', substring(word, s, l)))))"
+    )
+    allspans = pin(
+        words.select("word", "wcnt", F.explode(F.expr(sub_expr)).alias("sp"))
+        .select("word", "wcnt", "sp.pos", "sp.len", "sp.piece")
+    )
+    subs = allspans.groupBy("piece").agg(
+        F.sum("wcnt").cast("long").alias("c")
+    )
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(UV_VOCAB)
+    )
+    inv = multi.unionByName(subs.filter(F.length("piece") == 1))
+    tot = inv.agg(F.sum("c").cast("long").alias("t"))
+    scored = inv.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("t")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll6"),
+    )
+    wsp = (
+        allspans.join(scored, "piece")
+        .groupBy("word")
+        .agg(
+            F.collect_list(F.struct("pos", "len", "nll6")).alias("spans")
+        )
+    )
+    fold = """
+    aggregate(
+      sequence(1, length(word)),
+      array(named_struct('c', cast(0 as bigint), 'n', cast(0 as bigint))),
+      (acc, i) -> concat(acc, array(
+        array_min(transform(
+          filter(spans, s -> s.pos + s.len - 1 = i),
+          s -> named_struct(
+            'c', element_at(acc, s.pos).c + s.nll6,
+            'n', element_at(acc, s.pos).n + cast(1 as bigint)))))),
+      acc -> element_at(acc, length(word) + 1))
+    """
+    seg = words.join(wsp, "word").select(
+        "word", F.expr(fold).alias("best")
+    )
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("best.n").cast("long").alias("n_unigram_tokens"),
+            F.sum("best.c").cast("long").alias("total_nll6"),
+        )
+    )

@@ -374,3 +374,83 @@ def test_wordpiece_greedy_matches_python_reference(spark, tmp_path):
         for r in wordpiece_token_counts(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_unigram_viterbi_matches_python_reference(spark, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from collections import Counter
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        UV_VOCAB,
+        WP_MAX_PIECE,
+        unigram_viterbi_token_counts,
+    )
+
+    texts = [
+        "internationalization international nation nationalize",
+        "the theory theatre the them theme",
+        "a ab abc abcd abcde the",
+        "banana bananas ban anna nab",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= MAX_WORD_CHARS:
+                words[w] += 1
+    subs = Counter()
+    for w, c in words.items():
+        for s0 in range(len(w)):
+            for ln in range(1, min(WP_MAX_PIECE, len(w) - s0) + 1):
+                subs[w[s0 : s0 + ln]] += c
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UV_VOCAB]
+    inv = dict(multi) | {p: c for p, c in subs.items() if len(p) == 1}
+    t = sum(inv.values())
+    nll = {
+        p: math.floor(-math.log(c / t) * 1e6 + 0.5) for p, c in inv.items()
+    }
+
+    def viterbi(w):
+        best = [(0, 0)] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for ln in range(1, min(WP_MAX_PIECE, i) + 1):
+                piece = w[i - ln : i]
+                if piece in nll:
+                    c0, n0 = best[i - ln]
+                    cands.append((c0 + nll[piece], n0 + 1))
+            best[i] = min(cands)
+        return best[len(w)]
+
+    want = {}
+    for d, t_ in enumerate(texts):
+        ws = [w for w in t_.lower().split() if w]
+        bests = [viterbi(w) for w in ws]
+        want[d] = (
+            len(ws),
+            sum(b[1] for b in bests),
+            sum(b[0] for b in bests),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_unigram_tokens, r.total_nll6)
+        for r in unigram_viterbi_token_counts(spark, str(tmp_path)).collect()
+    }
+    assert got == want
