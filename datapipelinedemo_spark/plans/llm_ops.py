@@ -1288,6 +1288,117 @@ def streaming_embedding_vs_corpus(
 
 
 # --------------------------------------------------------------------------
+# Custom stateful streaming, certified: applyInPandasWithState driven
+# through a REAL multi-batch stream inside the catalog entry — the
+# last streaming operator class without a driver/oracle row. The
+# final per-user snapshot of a running (count, grid-exact sum)
+# accumulator equals the plain batch aggregate, which the SQL twin
+# states directly; the snapshots themselves prove the state path ran
+# (n_events is monotone per user, so max-struct picks the final one).
+# --------------------------------------------------------------------------
+_STATEFUL_SRC: dict[tuple, str] = {}
+
+
+def _stateful_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events slice as a 4-file parquet dir once per
+    (session, corpus): with maxFilesPerTrigger=2 the stream sees TWO
+    micro-batches, so the certified run exercises state carried
+    ACROSS batches, not just first-batch initialization."""
+    import os
+    import tempfile
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(sf_dir, "events"),
+    )
+    d = _STATEFUL_SRC.get(key)
+    if d is None:
+        d = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_stateful_{abs(hash(key)) % 10**10}",
+        )
+        (
+            table(spark, sf_dir, "events")
+            .select("user_id", "ts", "value")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _STATEFUL_SRC[key] = d
+    return d
+
+
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_value4
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Certifies ``streaming/stateful.py::running_user_totals_exact``
+    (applyInPandasWithState): the events table streams through the
+    ACTUAL stateful operator in two micro-batches
+    (maxFilesPerTrigger=2 over a 4-file source), per-user state
+    carrying across the batch boundary; the final snapshot per user
+    (update-mode emissions are monotone in n_events, max-struct picks
+    the last) must hash-match the plain batch aggregate — exactly the
+    "state = what a batch recompute would say" contract. The
+    accumulator runs on the 1e-4 integer grid (order-free int64
+    sums), so the compare is bit-exact, not tolerance-based.
+
+    Scale shape: state is partitioned by user in the state store
+    (RocksDB provider at scale), emissions are |users|-row per batch;
+    nothing collects until the final dashboard-sized snapshot."""
+    import uuid
+
+    from datapipelinedemo_spark.streaming.stateful import (
+        OUTPUT_SCHEMA_EXACT,
+        running_user_totals_exact,
+    )
+
+    src = _stateful_source_dir(spark, sf_dir)
+    schema = "user_id bigint, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    qname = f"stateful_{uuid.uuid4().hex}"
+    q = (
+        running_user_totals_exact(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    rows = (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value4")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.total_value4").alias("total_value4"),
+        )
+        .collect()
+    )
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, OUTPUT_SCHEMA_EXACT)
+
+
+# --------------------------------------------------------------------------
 # Brute-force cosine top-k similarity search
 # --------------------------------------------------------------------------
 

@@ -63,3 +63,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# Exact-grid variant: the double accumulator above is order-dependent
+# (pandas sums in arrival order, an oracle can't reproduce it bit-for-
+# bit), so the certified path accumulates value on the 1e-4 integer
+# grid — each value floor-snaps independently (same IEEE ops as SQL
+# FLOOR(v*1e4+0.5) in Spark and DuckDB), and an int64 sum is
+# order-free. This is functions/stable.py's fixed-point rule applied
+# to streaming state.
+STATE_SCHEMA_EXACT = "n LONG, total4 LONG, last_us LONG"
+OUTPUT_SCHEMA_EXACT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value4", T.LongType()),
+    ]
+)
+
+
+def _update_exact(key, pdfs, state: GroupState):
+    import numpy as np
+    import pandas as pd
+
+    n, total4, last_us = 0, 0, 0
+    if state.exists:
+        n, total4, last_us = state.get
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            total4 += int(
+                np.floor(
+                    pdf["value"].to_numpy(dtype="float64") * 1e4 + 0.5
+                )
+                .astype("int64")
+                .sum()
+            )
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+    state.update((n, total4, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value4": [total4],
+        }
+    )
+
+
+def running_user_totals_exact(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` with the order-free integer-grid
+    accumulator — the oracle-certifiable form
+    (``streaming_stateful_user_totals`` in the catalog drives it
+    through a real multi-batch stream)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_exact,
+        outputStructType=OUTPUT_SCHEMA_EXACT,
+        stateStructType=STATE_SCHEMA_EXACT,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

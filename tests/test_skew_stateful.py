@@ -76,3 +76,62 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     for u in expected:
         assert got[u][0] == expected[u][0]
         assert abs(got[u][1] - expected[u][1]) < 1e-6
+
+
+def test_stateful_catalog_entry_crosses_batches(spark, sf_dir):
+    # r9: the certified entry must exercise state ACROSS micro-batches
+    # (not just one batch), and its final snapshots must equal the
+    # batch aggregate bit-for-bit on the integer grid
+    import uuid
+
+    from datapipelinedemo_spark.plans.llm_ops import (
+        _stateful_source_dir,
+        streaming_stateful_user_totals,
+    )
+    from datapipelinedemo_spark.streaming.stateful import (
+        running_user_totals_exact,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    got = {
+        r.user_id: (r.n_events, r.total_value4)
+        for r in streaming_stateful_user_totals(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, r.t4)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+            ).alias("t4"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # multi-batch proof: run the stream again keeping ALL emissions —
+    # users updated in both micro-batches emit twice
+    src = _stateful_source_dir(spark, sf_dir)
+    qname = f"stateful_proof_{uuid.uuid4().hex}"
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        running_user_totals_exact(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        emissions = spark.table(qname).count()
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(qname)
+    assert emissions > len(want), (emissions, len(want))
