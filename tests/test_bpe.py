@@ -454,3 +454,141 @@ def test_unigram_viterbi_matches_python_reference(spark, tmp_path):
         for r in unigram_viterbi_token_counts(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_tokenizer_families_random_corpora(spark, tmp_path):
+    # seeded random-corpus sweep: all three tokenizer families vs
+    # their pure-Python references on corpora none of the fixed tests
+    # chose (guards the span/DP expressions against shape surprises)
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from collections import Counter
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        UV_VOCAB,
+        WP_MAX_PIECE,
+        WP_VOCAB,
+        unigram_viterbi_token_counts,
+        wordpiece_token_counts,
+    )
+
+    rng = random.Random(424242)
+    alphabet = "abcdef"
+    stems = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+        for _ in range(30)
+    ]
+    texts = [
+        " ".join(rng.choice(stems) for _ in range(12)) for _ in range(8)
+    ]
+    d = str(tmp_path / "rand")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= MAX_WORD_CHARS:
+                words[w] += 1
+
+    def sub_counts(min_len):
+        subs = Counter()
+        for w, c in words.items():
+            for s0 in range(len(w)):
+                for ln in range(
+                    min_len, min(WP_MAX_PIECE, len(w) - s0) + 1
+                ):
+                    subs[w[s0 : s0 + ln]] += c
+        return subs
+
+    # --- wordpiece ---
+    subs2 = sub_counts(2)
+    wp_vocab = {
+        p
+        for p, _ in sorted(subs2.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :WP_VOCAB
+        ]
+    }
+
+    def greedy(w):
+        i, n = 0, 0
+        while i < len(w):
+            ln = 1
+            for trial in range(min(WP_MAX_PIECE, len(w) - i), 1, -1):
+                if w[i : i + trial] in wp_vocab:
+                    ln = trial
+                    break
+            n += 1
+            i += ln
+        return n
+
+    want_wp = {}
+    for di, t in enumerate(texts):
+        ws = [w for w in t.lower().split() if w]
+        want_wp[di] = (len(ws), sum(greedy(w) for w in ws))
+    got_wp = {
+        r.doc_id: (r.n_words, r.n_wp_tokens)
+        for r in wordpiece_token_counts(spark, d).collect()
+    }
+    assert got_wp == want_wp
+
+    # --- unigram viterbi ---
+    subs1 = sub_counts(1)
+    multi = sorted(
+        ((p, c) for p, c in subs1.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UV_VOCAB]
+    inv = dict(multi) | {p: c for p, c in subs1.items() if len(p) == 1}
+    tot = sum(inv.values())
+    nll = {
+        p: math.floor(-math.log(c / tot) * 1e6 + 0.5)
+        for p, c in inv.items()
+    }
+
+    def viterbi(w):
+        best = [(0, 0)] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for ln in range(1, min(WP_MAX_PIECE, i) + 1):
+                piece = w[i - ln : i]
+                if piece in nll:
+                    c0, n0 = best[i - ln]
+                    cands.append((c0 + nll[piece], n0 + 1))
+            best[i] = min(cands)
+        return best[len(w)]
+
+    want_uv = {}
+    for di, t in enumerate(texts):
+        ws = [w for w in t.lower().split() if w]
+        bests = [viterbi(w) for w in ws]
+        want_uv[di] = (
+            len(ws),
+            sum(b[1] for b in bests),
+            sum(b[0] for b in bests),
+        )
+    got_uv = {
+        r.doc_id: (r.n_words, r.n_unigram_tokens, r.total_nll6)
+        for r in unigram_viterbi_token_counts(spark, d).collect()
+    }
+    assert got_uv == want_uv
+
+    # --- bpe (training, batched) ---
+    want_bpe = _py_train2(texts, 24)
+    got_bpe = train_bpe(spark, _spark_words(spark, texts), 24, probe_k=32)
+    assert got_bpe == want_bpe
