@@ -1304,6 +1304,7 @@ def _stateful_source_dir(spark: SparkSession, sf_dir: str) -> str:
     (session, corpus): with maxFilesPerTrigger=2 the stream sees TWO
     micro-batches, so the certified run exercises state carried
     ACROSS batches, not just first-batch initialization."""
+    import hashlib
     import os
     import tempfile
 
@@ -1314,9 +1315,12 @@ def _stateful_source_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     d = _STATEFUL_SRC.get(key)
     if d is None:
+        # md5, not hash(): PYTHONHASHSEED randomizes str hashing per
+        # process, which would orphan one /tmp dir per process; the
+        # digest names are stable and content-identical across runs
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
         d = os.path.join(
-            tempfile.gettempdir(),
-            f"spark_graft_stateful_{abs(hash(key)) % 10**10}",
+            tempfile.gettempdir(), f"spark_graft_stateful_{tag}"
         )
         (
             table(spark, sf_dir, "events")
