@@ -70,11 +70,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # every round). Freshness entering r9 (latest green row per entry over
 # CORRECTNESS_r01..r08): 50 r8 / 50 r7 / 46 r6 / 26 r5, plus
 # bpe_fertility_by_lang never driver-certified (judge-verified by hand
-# in r8) and 5 new r9 entries. Round-9 window = the never/new 11 FIRST
+# in r8) and 5 new r9 entries. Round-9 window = the never/new 12 FIRST
 # (bpe_fertility_by_lang per VERDICT r8 #3 + ADVICE, then this round's
 # repack-offsets / histogram-Gini / embedding-stream twins / pipeline
-# v3), then ALL 26 r5-vintage rows, then the 13 alphabetically-first
-# r6 rows (all r6 entries share the same freshness). The remaining 33
+# v3), then ALL 26 r5-vintage rows, then the 12 alphabetically-first
+# r6 rows (all r6 entries share the same freshness). The remaining 34
 # r6 rows lead the r10 rotation; after r9 no entry's latest green row
 # is older than r6.
 PRIORITY = [
@@ -90,6 +90,7 @@ PRIORITY = [
     "wordpiece_token_counts",
     "unigram_viterbi_token_counts",
     "streaming_stateful_user_totals",
+    "unigram_em_piece_usage",
     # --- r5-vintage: the oldest certified rows, all 26 ---
     "minhash_lsh_candidates",
     "ner_phrase_extraction",
@@ -130,8 +131,8 @@ PRIORITY = [
     "events_props_map_explode",
     "events_session_windows",
     "events_sliding_2h_1h",
-    "events_tumbling_1h",
     # --- past the 50-query window -> lead the r10 rotation ---
+    "events_tumbling_1h",
     "monthly_event_type_pivot",
     "monthly_revenue_yoy",
     "order_gap_days_lag",

@@ -946,6 +946,62 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 UV_VOCAB = 512  # multi-char pieces; all corpus chars are implicit
 
 
+def _uv_scored_spans(spark, sf_dir):
+    """(words, wsp): the distinct-word histogram and, per word, every
+    inventory-piece span with its 1e-6-grid NLL — the shared input of
+    unigram inference (``unigram_viterbi_token_counts``) and hard-EM
+    training (``unigram_em_piece_usage``). Pinned: both the histogram
+    and the span frame feed multiple consumers whose lineage is the
+    corpus tokenize."""
+    from datapipelinedemo_spark.pin import pin
+
+    docs = table(spark, sf_dir, "documents")
+    words = pin(
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.length("word") <= MAX_WORD_CHARS)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    sub_expr = (
+        f"flatten(transform(sequence(1, length(word)), s ->"
+        f" transform(sequence(1, least({WP_MAX_PIECE},"
+        f" length(word) - s + 1)), l ->"
+        f" named_struct('pos', s, 'len', l,"
+        f" 'piece', substring(word, s, l)))))"
+    )
+    allspans = pin(
+        words.select("word", "wcnt", F.explode(F.expr(sub_expr)).alias("sp"))
+        .select("word", "wcnt", "sp.pos", "sp.len", "sp.piece")
+    )
+    subs = allspans.groupBy("piece").agg(
+        F.sum("wcnt").cast("long").alias("c")
+    )
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(UV_VOCAB)
+    )
+    inv = multi.unionByName(subs.filter(F.length("piece") == 1))
+    tot = inv.agg(F.sum("c").cast("long").alias("t"))
+    scored = inv.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("t")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll6"),
+    )
+    wsp = (
+        allspans.join(scored, "piece")
+        .groupBy("word")
+        .agg(
+            F.collect_list(F.struct("pos", "len", "nll6")).alias("spans")
+        )
+    )
+    return words, wsp
+
+
 @register(
     "unigram_viterbi_token_counts",
     oracle=f"""
@@ -1046,52 +1102,8 @@ def unigram_viterbi_token_counts(
     paid once per DISTINCT word; the corpus side is the standard
     one-shuffle join + partial agg. The oracle replays the identical
     fold with a struct-accumulator ``list_reduce``."""
-    from datapipelinedemo_spark.pin import pin
-
     docs = table(spark, sf_dir, "documents")
-    words = pin(
-        docs.select(F.explode(tokenize("text")).alias("word"))
-        .filter(F.length("word") <= MAX_WORD_CHARS)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
-    )
-    sub_expr = (
-        f"flatten(transform(sequence(1, length(word)), s ->"
-        f" transform(sequence(1, least({WP_MAX_PIECE},"
-        f" length(word) - s + 1)), l ->"
-        f" named_struct('pos', s, 'len', l,"
-        f" 'piece', substring(word, s, l)))))"
-    )
-    allspans = pin(
-        words.select("word", "wcnt", F.explode(F.expr(sub_expr)).alias("sp"))
-        .select("word", "wcnt", "sp.pos", "sp.len", "sp.piece")
-    )
-    subs = allspans.groupBy("piece").agg(
-        F.sum("wcnt").cast("long").alias("c")
-    )
-    multi = (
-        subs.filter(F.length("piece") >= 2)
-        .orderBy(F.col("c").desc(), "piece")
-        .limit(UV_VOCAB)
-    )
-    inv = multi.unionByName(subs.filter(F.length("piece") == 1))
-    tot = inv.agg(F.sum("c").cast("long").alias("t"))
-    scored = inv.crossJoin(F.broadcast(tot)).select(
-        "piece",
-        F.floor(
-            -F.log(F.col("c").cast("double") / F.col("t")) * 1e6
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("nll6"),
-    )
-    wsp = (
-        allspans.join(scored, "piece")
-        .groupBy("word")
-        .agg(
-            F.collect_list(F.struct("pos", "len", "nll6")).alias("spans")
-        )
-    )
+    words, wsp = _uv_scored_spans(spark, sf_dir)
     fold = """
     aggregate(
       sequence(1, length(word)),
@@ -1118,4 +1130,157 @@ def unigram_viterbi_token_counts(
             F.sum("best.n").cast("long").alias("n_unigram_tokens"),
             F.sum("best.c").cast("long").alias("total_nll6"),
         )
+    )
+
+
+def _uv_em_oracle() -> str:
+    """Derived from the certified ``unigram_viterbi_token_counts``
+    oracle: reuse its CTE prefix (words → scored spans) verbatim —
+    asserted surgery, the `_hn_scaled_oracle` convention — and
+    replace the inference tail with the hard-EM E-step: the DP
+    additionally records the chosen span length per boundary, a
+    second fold backtracks the argmin path, and expected piece usage
+    re-estimates the scores (M-step)."""
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    base = ORACLES["unigram_viterbi_token_counts"]
+    cut = ", seg AS ("
+    assert base.count(cut) == 1
+    prefix = base[: base.index(cut)]
+    return (
+        prefix
+        + """
+    , seg AS (
+        SELECT w.word, w.wcnt,
+               (list_reduce(
+                   list_prepend(
+                       [struct_pack(c := 0::BIGINT, n := 0::BIGINT,
+                                    l := 0)],
+                       list_transform(
+                           generate_series(1, length(w.word)),
+                           i -> [struct_pack(c := CAST(i AS BIGINT),
+                                             n := 0::BIGINT, l := 0)])
+                   ),
+                   (acc, x) -> list_append(acc, list_aggregate(
+                       list_transform(
+                           list_filter(sp.spans,
+                               s -> s.pos + s.len - 1 = x[1].c),
+                           s -> struct_pack(
+                               c := acc[s.pos].c + s.nll6,
+                               n := acc[s.pos].n + 1::BIGINT,
+                               l := s.len)),
+                       'min'))
+               )) AS best
+        FROM words w JOIN wsp sp ON sp.word = w.word
+    ), btb AS (
+        -- accumulator must be a PLAIN list: this DuckDB build
+        -- mis-evaluates list_reduce when the accumulator is a struct
+        -- containing a list (the appended list field never
+        -- accumulates — found the hard way); so fold the visited
+        -- BOUNDARY positions and cut pieces afterwards
+        SELECT word, wcnt, best,
+               (list_reduce(
+                   list_prepend(
+                       [CAST(length(word) AS BIGINT)],
+                       list_transform(generate_series(1, length(word)),
+                                      i -> []::BIGINT[])
+                   ),
+                   (acc, x) -> CASE WHEN acc[len(acc)] <= 0 THEN acc
+                       ELSE list_append(acc,
+                           acc[len(acc)]
+                           - best[acc[len(acc)] + 1].l)
+                   END
+               )) AS bnd
+        FROM seg
+    ), bt AS (
+        SELECT word, wcnt,
+               list_transform(
+                   generate_series(1, len(bnd) - 1),
+                   i -> substring(word, CAST(bnd[i + 1] + 1 AS INT),
+                                  CAST(bnd[i] - bnd[i + 1] AS INT))
+               ) AS pieces
+        FROM btb
+    ), ug AS (
+        SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS usage
+        FROM (SELECT wcnt, unnest(pieces) AS piece FROM bt)
+        GROUP BY piece
+    )
+    SELECT piece, usage,
+           CAST(FLOOR(-ln(CAST(usage AS DOUBLE)
+                / CAST(SUM(usage) OVER () AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT) AS new_nll6
+    FROM ug
+    """
+    )
+
+
+@register("unigram_em_piece_usage", oracle=_uv_em_oracle())
+def unigram_em_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM training round for the unigram-LM tokenizer (the
+    Kudo 2018 iteration, Viterbi-hardened): E-step segments every
+    DISTINCT word under the current piece scores (the certified
+    Viterbi DP, now recording the chosen span length per boundary
+    and backtracking the argmin path with a second bounded fold);
+    piece usage = Σ wcnt over the chosen segmentations; M-step
+    re-estimates each piece's NLL from its usage share. Pieces whose
+    usage falls (or that are never chosen) are what the pruning step
+    of a full training loop would drop — this entry IS that loop's
+    body, certified.
+
+    Exactness: path choice is the (cost, n_tokens, span_len)
+    struct-lexicographic argmin — unique, both engines; usage sums
+    are BIGINT over the histogram; the re-estimated score is one
+    correctly-rounded ln per piece. Scale shape: both folds are
+    bounded in-row work per DISTINCT word (≤ 25 positions); usage is
+    one vocab-sized partial-agg groupBy; nothing corpus-scale beyond
+    the shared histogram build."""
+    words, wsp = _uv_scored_spans(spark, sf_dir)
+    dp = """
+    aggregate(
+      sequence(1, length(word)),
+      array(named_struct('c', cast(0 as bigint), 'n', cast(0 as bigint),
+                         'l', 0)),
+      (acc, i) -> concat(acc, array(
+        array_min(transform(
+          filter(spans, s -> s.pos + s.len - 1 = i),
+          s -> named_struct(
+            'c', element_at(acc, s.pos).c + s.nll6,
+            'n', element_at(acc, s.pos).n + cast(1 as bigint),
+            'l', s.len))))))
+    """
+    backtrack = """
+    aggregate(
+      sequence(1, length(word)),
+      named_struct('pos', cast(length(word) as bigint),
+                   'ps', cast(array() as array<string>)),
+      (acc, i) -> case when acc.pos <= 0 then acc else
+        named_struct(
+          'pos', acc.pos - element_at(best, cast(acc.pos as int) + 1).l,
+          'ps', concat(acc.ps, array(substring(word,
+                cast(acc.pos as int)
+                  - element_at(best, cast(acc.pos as int) + 1).l + 1,
+                element_at(best, cast(acc.pos as int) + 1).l))))
+      end,
+      acc -> acc.ps)
+    """
+    seg = (
+        words.join(wsp, "word")
+        .withColumn("best", F.expr(dp))
+        .select("word", "wcnt", F.expr(backtrack).alias("pieces"))
+    )
+    usage = (
+        seg.select("wcnt", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("long").alias("usage"))
+    )
+    tot = usage.agg(F.sum("usage").cast("long").alias("t"))
+    return usage.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "usage",
+        F.floor(
+            -F.log(F.col("usage").cast("double") / F.col("t")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("new_nll6"),
     )

@@ -592,3 +592,88 @@ def test_tokenizer_families_random_corpora(spark, tmp_path):
     want_bpe = _py_train2(texts, 24)
     got_bpe = train_bpe(spark, _spark_words(spark, texts), 24, probe_k=32)
     assert got_bpe == want_bpe
+
+
+def test_unigram_hard_em_matches_python_reference(spark, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from collections import Counter
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        UV_VOCAB,
+        WP_MAX_PIECE,
+        unigram_em_piece_usage,
+    )
+
+    texts = [
+        "internationalization international nation nationalize",
+        "the theory theatre the them theme customer customers",
+        "banana bananas ban anna nab custom er",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= MAX_WORD_CHARS:
+                words[w] += 1
+    subs = Counter()
+    for w, c in words.items():
+        for s0 in range(len(w)):
+            for ln in range(1, min(WP_MAX_PIECE, len(w) - s0) + 1):
+                subs[w[s0 : s0 + ln]] += c
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UV_VOCAB]
+    inv = dict(multi) | {p: c for p, c in subs.items() if len(p) == 1}
+    tot = sum(inv.values())
+    nll = {
+        p: math.floor(-math.log(c / tot) * 1e6 + 0.5)
+        for p, c in inv.items()
+    }
+
+    def viterbi_path(w):
+        best = [(0, 0, 0)] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for ln in range(1, min(WP_MAX_PIECE, i) + 1):
+                piece = w[i - ln : i]
+                if piece in nll:
+                    c0, n0, _ = best[i - ln]
+                    cands.append((c0 + nll[piece], n0 + 1, ln))
+            best[i] = min(cands)
+        pieces, pos = [], len(w)
+        while pos > 0:
+            ln = best[pos][2]
+            pieces.append(w[pos - ln : pos])
+            pos -= ln
+        return pieces
+
+    usage = Counter()
+    for w, c in words.items():
+        for p in viterbi_path(w):
+            usage[p] += c
+    t2 = sum(usage.values())
+    want = {
+        p: (u, math.floor(-math.log(u / t2) * 1e6 + 0.5))
+        for p, u in usage.items()
+    }
+    got = {
+        r.piece: (r.usage, r.new_nll6)
+        for r in unigram_em_piece_usage(spark, str(tmp_path)).collect()
+    }
+    assert got == want
