@@ -187,3 +187,36 @@ def test_bpe_histogram_partial_aggregates(spark, sf_dir):
     plan = plan_string(bpe_pair_counts(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4  # partial+final x2 stages
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_single_partition_sorts_parser():
+    # pure parser test: flags only Exchange-SinglePartition feeding a
+    # Sort, not the scalar aggregate's 1-row merge exchange
+    from tools.explain_audit import single_partition_sorts
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan (9)
++- HashAggregate (8)
+   +- Exchange (7)
+      +- HashAggregate (6)
+         +- Window (5)
+            +- Sort (4)
+               +- Exchange (3)
+                  +- HashAggregate (2)
+                     +- Scan parquet  (1)
+
+(3) Exchange
+Input [1]: [r2]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+
+(7) Exchange
+Input [1]: [x]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
+"""
+    assert single_partition_sorts(plan) == [3]
+
+    ok = plan.replace(
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]",
+        "Arguments: hashpartitioning(pb, 32), ENSURE_REQUIREMENTS",
+    )
+    assert single_partition_sorts(ok) == []
