@@ -131,7 +131,11 @@ PRIORITY = [
     "events_props_map_explode",
     "events_session_windows",
     "events_sliding_2h_1h",
-    # --- past the 50-query window -> lead the r10 rotation ---
+    # --- past the 50-query window -> lead the r10 rotation
+    #     (tokenizer_family_comparison was added after the r9 window
+    #     filled — certified locally 184/184 this round; it MUST open
+    #     the r10 window along with the displaced r6 rows) ---
+    "tokenizer_family_comparison",
     "events_tumbling_1h",
     "monthly_event_type_pivot",
     "monthly_revenue_yoy",

@@ -1284,3 +1284,83 @@ def unigram_em_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("new_nll6"),
     )
+
+
+def _family_comparison_oracle() -> str:
+    """Composes the three certified per-doc oracles as derived tables
+    (each is a standalone WITH...SELECT; no CTE-name collisions that
+    way) and aggregates per language. Each family keeps its OWN word
+    denominator — the BPE chain excludes 0x1f-guard words, the others
+    don't, and papering over that with a shared denominator would
+    un-certify the composition."""
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    b = ORACLES["bpe_encode_token_counts"]
+    w = ORACLES["wordpiece_token_counts"]
+    u = ORACLES["unigram_viterbi_token_counts"]
+    return f"""
+    SELECT d.lang,
+           round(CAST(SUM(b.n_bpe_tokens) AS DOUBLE)
+                 / CAST(SUM(b.n_words) AS DOUBLE), 6) AS bpe_fertility,
+           round(CAST(SUM(w.n_wp_tokens) AS DOUBLE)
+                 / CAST(SUM(w.n_words) AS DOUBLE), 6) AS wp_fertility,
+           round(CAST(SUM(u.n_unigram_tokens) AS DOUBLE)
+                 / CAST(SUM(u.n_words) AS DOUBLE), 6) AS unigram_fertility,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({b}) b
+    JOIN ({w}) w ON w.doc_id = b.doc_id
+    JOIN ({u}) u ON u.doc_id = b.doc_id
+    JOIN documents d ON d.doc_id = b.doc_id
+    GROUP BY d.lang
+    """
+
+
+@register("tokenizer_family_comparison", oracle=_family_comparison_oracle())
+def tokenizer_family_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The tokenizer-selection table: per-language fertility (tokens
+    emitted per word) of all THREE certified families side by side —
+    BPE (trained merges applied), WordPiece (greedy longest-match),
+    unigram-LM (Viterbi min-NLL) — the comparison a pipeline reads
+    before committing 100 TB of preprocessing to one tokenizer.
+
+    Each family keeps its own exact word denominator (the BPE chain
+    excludes 0x1f-guard words by construction); fertility is ONE
+    division of exact BIGINTs per (family, language). Composition
+    cost: three doc-grain frames joined on doc_id + one |langs|-row
+    agg — each family's plan is exactly its certified entry's."""
+    docs = table(spark, sf_dir, "documents")
+    b = bpe_encode_token_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("bw"),
+        F.col("n_bpe_tokens").alias("bt"),
+    )
+    w = wordpiece_token_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("ww"),
+        F.col("n_wp_tokens").alias("wt"),
+    )
+    u = unigram_viterbi_token_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("uw"),
+        F.col("n_unigram_tokens").alias("ut"),
+    )
+    return (
+        b.join(w, "doc_id")
+        .join(u, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum("bt").cast("double") / F.sum("bw").cast("double"), 6
+            ).alias("bpe_fertility"),
+            F.round(
+                F.sum("wt").cast("double") / F.sum("ww").cast("double"), 6
+            ).alias("wp_fertility"),
+            F.round(
+                F.sum("ut").cast("double") / F.sum("uw").cast("double"), 6
+            ).alias("unigram_fertility"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
