@@ -1730,15 +1730,15 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_value_ewma",
     oracle="""
-    WITH ordered AS (
-        SELECT user_id, value
-        FROM events ORDER BY user_id, ts, event_id
-    )
+    -- ORDER BY inside the aggregate (not an outer CTE sort): list()
+    -- only reliably preserves a pre-sort under single-threaded insert
+    -- order; the in-agg form is deterministic under parallel hash agg
     SELECT user_id,
-           round(list_reduce(list(value), (a, x) -> 0.9 * a + 0.1 * x), 6)
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (a, x) -> 0.9 * a + 0.1 * x), 6)
                AS ewma,
            COUNT(*) AS n_events
-    FROM ordered GROUP BY user_id
+    FROM events GROUP BY user_id
     """,
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -788,7 +788,12 @@ WP_MAX_PIECE = 6   # longest piece considered
         SELECT a.word, a.sp.pos AS pos, a.sp.len AS len
         FROM allspans a JOIN vocab v ON v.piece = a.sp.piece
     ), wsp AS MATERIALIZED (
-        SELECT word, list(struct_pack(pos := pos, len := len)) AS spans
+        -- list_sort insurance against parallel-hash-agg list order
+        -- feeding list_reduce (same pattern as the viterbi/EM oracle
+        -- flake, VERDICT r9 #1)
+        SELECT word,
+               list_sort(list(struct_pack(pos := pos, len := len)))
+                   AS spans
         FROM matched GROUP BY word
     ), seg AS (
         SELECT w.word,
@@ -1040,9 +1045,14 @@ def _uv_scored_spans(spark, sf_dir):
                     AS BIGINT) AS nll6
         FROM inv CROSS JOIN tot
     ), wsp AS MATERIALIZED (
+        -- list_sort: the bare list() order varies under DuckDB's
+        -- parallel hash agg, and this build's list_reduce tail
+        -- mis-evaluates on some orderings (~1-in-20 flake, VERDICT r9
+        -- #1); sorting the span list pins one canonical order
         SELECT a.word,
-               list(struct_pack(pos := a.sp.pos, len := a.sp.len,
-                                nll6 := sc.nll6)) AS spans
+               list_sort(list(struct_pack(pos := a.sp.pos,
+                                          len := a.sp.len,
+                                          nll6 := sc.nll6))) AS spans
         FROM allspans a JOIN scored sc ON sc.piece = a.sp.piece
         GROUP BY a.word
     ), seg AS (
@@ -1147,6 +1157,12 @@ def _uv_em_oracle() -> str:
     cut = ", seg AS ("
     assert base.count(cut) == 1
     prefix = base[: base.index(cut)]
+    # the backtrack below is a recursive CTE (the list_reduce fold it
+    # replaces mis-evaluated ~1-in-20 under this DuckDB build's
+    # parallel execution — VERDICT r9 #1; bisected to the btb fold)
+    head = "WITH words AS MATERIALIZED ("
+    assert prefix.lstrip().startswith(head)
+    prefix = prefix.replace(head, "WITH RECURSIVE words AS MATERIALIZED (", 1)
     return (
         prefix
         + """
@@ -1172,38 +1188,28 @@ def _uv_em_oracle() -> str:
                        'min'))
                )) AS best
         FROM words w JOIN wsp sp ON sp.word = w.word
-    ), btb AS (
-        -- accumulator must be a PLAIN list: this DuckDB build
-        -- mis-evaluates list_reduce when the accumulator is a struct
-        -- containing a list (the appended list field never
-        -- accumulates — found the hard way); so fold the visited
-        -- BOUNDARY positions and cut pieces afterwards
+    ), walk AS (
+        -- recursive backtrack of the argmin path: a list_reduce fold
+        -- here mis-evaluated ~1-in-20 under parallel execution (this
+        -- DuckDB build's list_reduce tail bug); the recursion visits
+        -- boundary length(word) -> 0, strictly decreasing since every
+        -- reachable boundary's chosen span has len >= 1 (single-char
+        -- coverage fallback guarantees reachability)
         SELECT word, wcnt, best,
-               (list_reduce(
-                   list_prepend(
-                       [CAST(length(word) AS BIGINT)],
-                       list_transform(generate_series(1, length(word)),
-                                      i -> []::BIGINT[])
-                   ),
-                   (acc, x) -> CASE WHEN acc[len(acc)] <= 0 THEN acc
-                       ELSE list_append(acc,
-                           acc[len(acc)]
-                           - best[acc[len(acc)] + 1].l)
-                   END
-               )) AS bnd
+               CAST(length(word) AS BIGINT) AS bnd
         FROM seg
+        UNION ALL
+        SELECT word, wcnt, best, bnd - best[bnd + 1].l
+        FROM walk WHERE bnd > 0
     ), bt AS (
         SELECT word, wcnt,
-               list_transform(
-                   generate_series(1, len(bnd) - 1),
-                   i -> substring(word, CAST(bnd[i + 1] + 1 AS INT),
-                                  CAST(bnd[i] - bnd[i + 1] AS INT))
-               ) AS pieces
-        FROM btb
+               substring(word,
+                         CAST(bnd - best[bnd + 1].l + 1 AS INT),
+                         CAST(best[bnd + 1].l AS INT)) AS piece
+        FROM walk WHERE bnd > 0
     ), ug AS (
         SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS usage
-        FROM (SELECT wcnt, unnest(pieces) AS piece FROM bt)
-        GROUP BY piece
+        FROM bt GROUP BY piece
     )
     SELECT piece, usage,
            CAST(FLOOR(-ln(CAST(usage AS DOUBLE)

@@ -1,0 +1,89 @@
+"""Multi-run determinism of the list_reduce-based DuckDB oracles.
+
+VERDICT r9 #1: this DuckDB build's parallel execution can mis-evaluate
+``list_reduce``/``list_aggregate`` tails depending on input list order
+(observed: ``unigram_em_piece_usage`` flaked ~1-in-20 with the Spark
+answer stable). The fixes — ``list_sort`` on every aggregated span
+list, in-aggregate ``ORDER BY`` for the EWMA fold, and a recursive-CTE
+backtrack replacing the buggy fold — are pinned here by running each
+affected oracle repeatedly in ONE connection (the judge's repro shape)
+and asserting a single value hash.
+
+No Spark session needed: this gate is about the oracle side only (the
+Spark twin is covered by tools/check_correctness.py and the driver).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+# Every oracle whose SQL folds an aggregated or order-sensitive list
+# (grep: list_reduce over list(...) / collect-order-dependent input).
+FOLD_ORACLES = {
+    "unigram_em_piece_usage": 12,  # the r9 flake: highest repeat count
+    "unigram_viterbi_token_counts": 6,
+    "wordpiece_token_counts": 6,
+    "user_value_ewma": 8,
+}
+
+
+def _hash(df) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(df.astype(str).itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(("\x1f".join(map(str, r)) + "\x1e").encode())
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def con():
+    from datapipelinedemo_spark.tables import TABLE_NAMES
+
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield c
+    c.close()
+
+
+@pytest.fixture(scope="module")
+def oracles():
+    import __spark_entry__ as entry
+
+    return entry.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(FOLD_ORACLES))
+def test_fold_oracle_is_deterministic(con, oracles, name):
+    sql = oracles[name]
+    n = FOLD_ORACLES[name]
+    hashes = {_hash(con.execute(sql).fetchdf()) for _ in range(n)}
+    assert len(hashes) == 1, (
+        f"{name}: {len(hashes)} distinct value hashes over {n} runs — "
+        "order-sensitive oracle (see VERDICT r9 #1)"
+    )
+
+
+def test_em_backtrack_is_recursive_not_fold(oracles):
+    """The EM oracle's backtrack must stay a recursive CTE — the
+    list_reduce form it replaced mis-evaluates under this DuckDB
+    build's parallel execution (bisected in r10)."""
+    sql = oracles["unigram_em_piece_usage"]
+    assert "WITH RECURSIVE" in sql
+    assert ", walk AS (" in sql
+    # the DP (seg) may fold; the BACKTRACK may not
+    tail = sql[sql.index(", walk AS (") :]
+    assert "list_reduce(" not in tail
