@@ -1308,27 +1308,27 @@ def _stateful_source_dir(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        table_stamp(sf_dir, "events"),
-    )
+    # keyed by (sf_dir, table_stamp) ONLY — not applicationId — so every
+    # session reuses ONE stable dir per corpus version instead of
+    # accreting a /tmp copy per application (ADVICE r9). md5, not
+    # hash(): PYTHONHASHSEED randomizes str hashing per process.
+    key = (sf_dir, table_stamp(sf_dir, "events"))
     d = _STATEFUL_SRC.get(key)
     if d is None:
-        # md5, not hash(): PYTHONHASHSEED randomizes str hashing per
-        # process, which would orphan one /tmp dir per process; the
-        # digest names are stable and content-identical across runs
         tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
         d = os.path.join(
             tempfile.gettempdir(), f"spark_graft_stateful_{tag}"
         )
-        (
-            table(spark, sf_dir, "events")
-            .select("user_id", "ts", "value")
-            .repartition(4)
-            .write.mode("overwrite")
-            .parquet(d)
-        )
+        # _SUCCESS gates reuse across processes: a dir left by a
+        # killed mid-write run is rewritten, a complete one is reused
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            (
+                table(spark, sf_dir, "events")
+                .select("user_id", "ts", "value")
+                .repartition(4)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
         _STATEFUL_SRC[key] = d
     return d
 

@@ -722,18 +722,21 @@ def customer_revenue_gini_histogram(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     pre = bucketed_prefix_sum(hist, "r2", "c", out_col="m")
+    # w in DECIMAL(38,0): r2 (~1e9 cents) x rank offsets (~1e18 at 1e9
+    # customers) overflows BIGINT long before the advertised scale
+    # (ADVICE r9); per-row product <= ~1.5e27 and the sum <= ~1.5e36,
+    # both inside decimal(38,0). The inner rank-sum stays BIGINT:
+    # c*m <= 1e18 and c(c+1)/2 <= 5e17 at n = 1e9.
     agg = pre.agg(
         F.sum("c").cast("long").alias("n"),
         F.sum(F.col("r2") * F.col("c")).cast("long").alias("s"),
         F.sum(
-            F.col("r2")
+            F.col("r2").cast("decimal(38,0)")
             * (
                 F.col("c") * F.col("m")
                 + F.expr("(c * (c + 1)) div 2")
-            )
-        )
-        .cast("long")
-        .alias("w"),
+            ).cast("decimal(38,0)")
+        ).alias("w"),
     )
     nd = F.col("n").cast("double")
     sd = F.col("s").cast("double")

@@ -237,7 +237,7 @@ def apply_merges_batch(cur: DataFrame, merges: list) -> DataFrame:
 CHECKPOINT_EVERY = 16
 
 
-def _safe_merge_batch(top: list) -> list:
+def _safe_merge_batch(top: list, known_symbols: frozenset = frozenset()) -> list:
     """Select the longest batch of merges provably equal to applying
     them one sequential BPE step at a time, from the round's top-K
     pair rows (ordered count DESC, lhs, rhs — the argmax order).
@@ -267,6 +267,24 @@ def _safe_merge_batch(top: list) -> list:
     exactly this order. Returns ≥ 1 rows whenever ``top`` is
     non-empty; if the probe was exhausted without a conflict the last
     row plays the excluded-count bound and is dropped from the batch.
+
+    **Symbol-string aliasing (ADVICE r9).** The "new pairs are bounded
+    by m_excl" argument assumes the merged symbol ``a+b`` is BRAND NEW.
+    If ``a+b`` already exists in the corpus — reachable via a different
+    merge path, e.g. 'abc' from ('a','bc') vs ('ab','c') — a post-merge
+    pair (x, ab) combines its pre-round count (≤ m_excl: its rhs is in
+    ``merged``, so had it ranked above the stop row it WOULD have been
+    the stop row) with newly created occurrences (≤ m_excl), totalling
+    up to 2·m_excl — enough to overtake a later member whose count lies
+    in (m_excl, 2·m_excl]. Symbols only ever enter the corpus as single
+    characters, the '</w>' marker, or a previous merge's concatenation,
+    so ``known_symbols`` (all prior merged strings + '</w>') detects
+    aliasing EXACTLY: a member whose concatenation hits the set is kept
+    (its own count is still the pre-round count, by disjointness) but
+    ends the batch — members after it lose the dominance bound. The set
+    also grows with each taken member's own string, so two disjoint
+    in-batch decompositions of the same string ('a'+'bc' and 'ab'+'c')
+    likewise end the batch at the second one.
     """
     if not top:
         return []
@@ -293,7 +311,14 @@ def _safe_merge_batch(top: list) -> list:
             safe.append(r)
         else:
             break
-    return safe
+    known = set(known_symbols)
+    out = []
+    for r in safe:
+        out.append(r)
+        if r.lhs + r.rhs in known:
+            break
+        known.add(r.lhs + r.rhs)
+    return out
 
 
 def train_bpe(
@@ -347,7 +372,8 @@ def train_bpe(
             )
             if not top:
                 break
-            for r in _safe_merge_batch(top):
+            known = frozenset({"</w>"} | {m[3] for m in merges})
+            for r in _safe_merge_batch(top, known):
                 if len(merges) >= n_merges:
                     break
                 m = (

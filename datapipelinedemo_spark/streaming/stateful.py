@@ -92,13 +92,14 @@ def _update_exact(key, pdfs, state: GroupState):
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
-            total4 += int(
-                np.floor(
-                    pdf["value"].to_numpy(dtype="float64") * 1e4 + 0.5
+            # NULL values: the SQL oracle's SUM skips them while
+            # COUNT(*) still counts the row — dropna mirrors that
+            # (and NaN->int64 casting is undefined; ADVICE r9)
+            vals = pdf["value"].dropna().to_numpy(dtype="float64")
+            if len(vals):
+                total4 += int(
+                    np.floor(vals * 1e4 + 0.5).astype("int64").sum()
                 )
-                .astype("int64")
-                .sum()
-            )
             last_us = max(last_us, int(pdf["ts"].max().value // 1000))
     state.update((n, total4, last_us))
     yield pd.DataFrame(

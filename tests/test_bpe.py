@@ -304,6 +304,24 @@ def test_safe_merge_batch_rules():
     assert _safe_merge_batch(top) == [top[0]]
     assert _safe_merge_batch([top[0]]) == [top[0]]
 
+    # --- symbol-string aliasing (ADVICE r9) ---
+    # a member whose concatenation equals an EXISTING symbol (prior
+    # merge path) is kept but ends the batch: pre-existing (x, cd)
+    # counts break the m_excl bound for members after it
+    top = [R("a", "b", 100), R("c", "d", 98), R("e", "f", 96), R("g", "h", 90)]
+    assert _safe_merge_batch(top, frozenset({"cd"})) == [top[0], top[1]]
+    # aliasing on the FIRST member: later members lose the bound too
+    assert _safe_merge_batch(top, frozenset({"ab"})) == [top[0]]
+    # within-batch aliasing: two disjoint decompositions of the same
+    # string ('a'+'bc' vs 'ab'+'c') — second one ends the batch
+    top = [R("a", "bc", 100), R("ab", "c", 98), R("d", "e", 96), R("f", "g", 90)]
+    assert _safe_merge_batch(top) == [top[0], top[1]]
+    # no aliasing -> unchanged behavior
+    top = [R("a", "b", 100), R("c", "d", 98), R("e", "f", 96), R("g", "h", 90)]
+    assert _safe_merge_batch(top, frozenset({"</w>"})) == [
+        top[0], top[1], top[2],
+    ]
+
 
 def test_wordpiece_greedy_matches_python_reference(spark, tmp_path):
     import pyarrow as pa

@@ -48,11 +48,35 @@ def single_partition_sorts(plan: str) -> list[int]:
     tree = plan.split("\n\n")[0]
     sort_children: list[int] = []
     lines = tree.splitlines()
+    # under AQE the Sort's child is wrapped (AQEShuffleRead →
+    # ShuffleQueryStage → Exchange, or a ReusedExchange) — walk past
+    # wrapper nodes before matching the Exchange (ADVICE r9)
+    wrapper = re.compile(
+        r"\b(AQEShuffleRead|ShuffleQueryStage|TableCacheQueryStage"
+        r"|InMemoryTableScan|InputAdapter) \(\d+\)"
+    )
     for i, line in enumerate(lines):
-        if re.search(r"\bSort \(\d+\)", line) and i + 1 < len(lines):
-            m = re.search(r"\bExchange \((\d+)\)", lines[i + 1])
-            if m:
-                sort_children.append(int(m.group(1)))
+        if not re.search(r"\bSort \(\d+\)", line):
+            continue
+        j = i + 1
+        while j < len(lines) and wrapper.search(lines[j]):
+            j += 1
+        if j >= len(lines):
+            continue
+        m = re.search(r"\bExchange \((\d+)\)", lines[j])
+        if m:
+            sort_children.append(int(m.group(1)))
+            continue
+        m = re.search(r"\bReusedExchange \((\d+)\)", lines[j])
+        if m:
+            # resolve the reuse target from the detail section
+            reuse = re.search(
+                rf"\({m.group(1)}\) ReusedExchange"
+                rf"(?:.*\n)*?Reuses operator id: (\d+)",
+                plan,
+            )
+            if reuse:
+                sort_children.append(int(reuse.group(1)))
     flagged = []
     for nid in sort_children:
         detail = re.search(
