@@ -523,6 +523,167 @@ def bpe_train_merges_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# WordPiece training: the BPE loop with the likelihood score
+# count(ab) / (count(a) * count(b)) (Schuster & Nakajima 2012) — the
+# merge that most increases the corpus likelihood under a unigram
+# model, rather than the raw-frequency argmax.
+# ---------------------------------------------------------------------------
+WP_TRAIN_MERGES = 24  # crosses the CHECKPOINT_EVERY=16 boundary once
+
+
+def train_wordpiece(
+    spark: SparkSession, words: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """``train_bpe`` with WordPiece merge selection: argmax of
+    score = pair_count / (count(lhs) * count(rhs)) — float64 on both
+    engines (BIGINT counts cast to double, one product, one division:
+    identical IEEE rounding), ties broken (lhs, rhs). Merge
+    application and the checkpoint/lazy-replay cadence are exactly
+    the BPE machinery (``apply_merges_batch``); selection stays
+    sequential — the safe-batch dominance argument is count-monotone
+    and does not transfer to the ratio score, where applying one
+    merge lowers its operands' unit counts and can RAISE other pairs'
+    scores.
+
+    Returns [(step, lhs, rhs, merged, pair_count)]."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = words.localCheckpoint(eager=True)
+    prev = None
+    pending: list[tuple[int, str, str, str, int]] = []
+    try:
+        while len(merges) < n_merges:
+            frame = apply_merges_batch(cur, pending) if pending else cur
+            syms = (
+                frame.select("wcnt", F.explode("syms").alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("wcnt").cast("long").alias("c"))
+            )
+            top = (
+                _pair_counts(frame)
+                .join(
+                    F.broadcast(
+                        syms.select(
+                            F.col("sym").alias("lhs"),
+                            F.col("c").alias("lc"),
+                        )
+                    ),
+                    "lhs",
+                )
+                .join(
+                    F.broadcast(
+                        syms.select(
+                            F.col("sym").alias("rhs"),
+                            F.col("c").alias("rc"),
+                        )
+                    ),
+                    "rhs",
+                )
+                .withColumn(
+                    "score",
+                    F.col("pair_count").cast("double")
+                    / (
+                        F.col("lc").cast("double")
+                        * F.col("rc").cast("double")
+                    ),
+                )
+                .orderBy(F.col("score").desc(), F.col("lhs"), F.col("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            r = top[0]
+            m = (
+                len(merges) + 1,
+                r.lhs,
+                r.rhs,
+                r.lhs + r.rhs,
+                int(r.pair_count),
+            )
+            merges.append(m)
+            pending.append(m)
+            if len(pending) >= CHECKPOINT_EVERY and len(merges) < n_merges:
+                nxt = apply_merges_batch(cur, pending).localCheckpoint(
+                    eager=True
+                )
+                if prev is not None:
+                    prev.unpersist()
+                prev, cur, pending = cur, nxt, []
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
+    return merges
+
+
+def _wp_pair_cte(s: int) -> str:
+    """ex{s}/pc{s}/sc{s}/top{s}: pair counts, unit symbol counts, and
+    the likelihood-score argmax over cur{s-1} (all MATERIALIZED — the
+    24-step unroll needs linear replay, ``_merges_oracle_scaled``)."""
+    return f"""
+    , ex{s} AS MATERIALIZED (
+        SELECT wcnt,
+               unnest(list_slice(syms, 1, len(syms) - 1)) AS lhs,
+               unnest(list_slice(syms, 2, len(syms))) AS rhs
+        FROM cur{s - 1}
+    ), pc{s} AS MATERIALIZED (
+        SELECT lhs, rhs, CAST(SUM(wcnt) AS BIGINT) AS pair_count
+        FROM ex{s} GROUP BY lhs, rhs
+    ), sc{s} AS MATERIALIZED (
+        SELECT sym, CAST(SUM(wcnt) AS BIGINT) AS c
+        FROM (SELECT wcnt, unnest(syms) AS sym FROM cur{s - 1})
+        GROUP BY sym
+    ), top{s} AS MATERIALIZED (
+        SELECT p.lhs, p.rhs, p.pair_count
+        FROM pc{s} p
+        JOIN sc{s} a ON a.sym = p.lhs
+        JOIN sc{s} b ON b.sym = p.rhs
+        ORDER BY CAST(p.pair_count AS DOUBLE)
+                 / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) DESC,
+                 p.lhs, p.rhs
+        LIMIT 1
+    )
+"""
+
+
+def _wp_merges_oracle(n: int = WP_TRAIN_MERGES) -> str:
+    def _m(cte: str, names: list[str]) -> str:
+        for name in names:
+            cte = cte.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+        return cte
+
+    parts = [_m(_WORDS_CTE, ["words", "cur0"])]
+    for s in range(1, n + 1):
+        parts.append(_wp_pair_cte(s))
+        if s < n:
+            parts.append(_m(_apply_cte(s), [f"en{s}", f"cur{s}"]))
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({s} AS INTEGER) AS step, lhs, rhs,"
+        f" lhs || rhs AS merged, pair_count FROM top{s}"
+        for s in range(1, n + 1)
+    )
+    return "".join(parts) + finals
+
+
+@register("wordpiece_train_merges", oracle=_wp_merges_oracle())
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece TRAINING, driver-certified: 24 likelihood-scored
+    merge selections over the documents corpus — completing the third
+    trainable tokenizer family (BPE trains by pair frequency, unigram
+    by EM-with-pruning, WordPiece by count(ab)/(count(a)·count(b))).
+    24 steps cross the checkpoint/lazy-replay boundary once, so the
+    certified path is the production cadence. The oracle replays all
+    24 steps relationally with materialized CTEs."""
+    merges = train_wordpiece(
+        spark, _word_histogram(spark, sf_dir), WP_TRAIN_MERGES
+    )
+    return spark.createDataFrame(
+        merges,
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
 def _encode_oracle() -> str:
     """Replays training through cur{N_MERGES} (all merges APPLIED,
     unlike ``_merges_oracle`` which stops at the last argmax), then
@@ -977,15 +1138,15 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 UV_VOCAB = 512  # multi-char pieces; all corpus chars are implicit
 
 
-def _uv_scored_spans(spark, sf_dir):
-    """(words, wsp): the distinct-word histogram and, per word, every
-    inventory-piece span with its 1e-6-grid NLL — the shared input of
-    unigram inference (``unigram_viterbi_token_counts``) and hard-EM
-    training (``unigram_em_piece_usage``). Pinned: both the histogram
-    and the span frame feed multiple consumers whose lineage is the
-    corpus tokenize."""
+def _uv_base(spark, sf_dir, multi_budget: int | None = None):
+    """(words, allspans, scored): the distinct-word histogram, every
+    candidate span per word (pinned — feeds one join per training
+    round), and the SEED inventory scores — top ``multi_budget``
+    multi-char substrings by weighted count plus every single char
+    (coverage fallback), each scored on the 1e-6 BIGINT NLL grid."""
     from datapipelinedemo_spark.pin import pin
 
+    budget = UV_VOCAB if multi_budget is None else multi_budget
     docs = table(spark, sf_dir, "documents")
     words = pin(
         docs.select(F.explode(tokenize("text")).alias("word"))
@@ -1010,7 +1171,7 @@ def _uv_scored_spans(spark, sf_dir):
     multi = (
         subs.filter(F.length("piece") >= 2)
         .orderBy(F.col("c").desc(), "piece")
-        .limit(UV_VOCAB)
+        .limit(budget)
     )
     inv = multi.unionByName(subs.filter(F.length("piece") == 1))
     tot = inv.agg(F.sum("c").cast("long").alias("t"))
@@ -1023,14 +1184,25 @@ def _uv_scored_spans(spark, sf_dir):
         .cast("long")
         .alias("nll6"),
     )
-    wsp = (
-        allspans.join(scored, "piece")
+    return words, allspans, scored
+
+
+def _uv_spans_for(allspans: DataFrame, scored: DataFrame) -> DataFrame:
+    """Per-word span list under a given (piece, nll6) score table —
+    the E-step input frame. ``scored`` is vocab-sized: broadcast."""
+    return (
+        allspans.join(F.broadcast(scored.select("piece", "nll6")), "piece")
         .groupBy("word")
-        .agg(
-            F.collect_list(F.struct("pos", "len", "nll6")).alias("spans")
-        )
+        .agg(F.collect_list(F.struct("pos", "len", "nll6")).alias("spans"))
     )
-    return words, wsp
+
+
+def _uv_scored_spans(spark, sf_dir):
+    """(words, wsp): the shared input of unigram inference
+    (``unigram_viterbi_token_counts``) and hard-EM training
+    (``unigram_em_piece_usage``)."""
+    words, allspans, scored = _uv_base(spark, sf_dir)
+    return words, _uv_spans_for(allspans, scored)
 
 
 @register(
@@ -1169,6 +1341,146 @@ def unigram_viterbi_token_counts(
     )
 
 
+# The hard-EM E-step, in-row: Viterbi DP over character positions
+# recording (cost, n_tokens, last-span length) per boundary — the
+# struct-lexicographic array_min makes the argmin path UNIQUE (ties on
+# (c, n) break on l), so the backtrack below is deterministic in both
+# engines — then a second bounded fold walks the argmin path back and
+# cuts the chosen pieces.
+_UV_DP_EXPR = """
+    aggregate(
+      sequence(1, length(word)),
+      array(named_struct('c', cast(0 as bigint), 'n', cast(0 as bigint),
+                         'l', 0)),
+      (acc, i) -> concat(acc, array(
+        array_min(transform(
+          filter(spans, s -> s.pos + s.len - 1 = i),
+          s -> named_struct(
+            'c', element_at(acc, s.pos).c + s.nll6,
+            'n', element_at(acc, s.pos).n + cast(1 as bigint),
+            'l', s.len))))))
+    """
+_UV_BT_EXPR = """
+    aggregate(
+      sequence(1, length(word)),
+      named_struct('pos', cast(length(word) as bigint),
+                   'ps', cast(array() as array<string>)),
+      (acc, i) -> case when acc.pos <= 0 then acc else
+        named_struct(
+          'pos', acc.pos - element_at(best, cast(acc.pos as int) + 1).l,
+          'ps', concat(acc.ps, array(substring(word,
+                cast(acc.pos as int)
+                  - element_at(best, cast(acc.pos as int) + 1).l + 1,
+                element_at(best, cast(acc.pos as int) + 1).l))))
+      end,
+      acc -> acc.ps)
+    """
+
+
+def _uv_estep_usage(words: DataFrame, wsp: DataFrame) -> DataFrame:
+    """(piece, usage): weighted piece usage of the Viterbi-argmin
+    segmentation of every distinct word — the hard-EM E-step. Both
+    folds are bounded in-row work (≤ MAX_WORD_CHARS positions); the
+    usage agg is vocab-sized."""
+    seg = (
+        words.join(wsp, "word")
+        .withColumn("best", F.expr(_UV_DP_EXPR))
+        .select("word", "wcnt", F.expr(_UV_BT_EXPR).alias("pieces"))
+    )
+    return (
+        seg.select("wcnt", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("long").alias("usage"))
+    )
+
+
+UV_TRAIN_ROUNDS = 3
+UV_KEEP_NUM, UV_KEEP_DEN = 3, 4  # keep 3/4 of multi-char pieces / round
+
+
+def train_unigram(
+    spark: SparkSession,
+    words: DataFrame,
+    allspans: DataFrame,
+    scored: DataFrame,
+    rounds: int = UV_TRAIN_ROUNDS,
+    budget: int = UV_VOCAB,
+    keep_num: int = UV_KEEP_NUM,
+    keep_den: int = UV_KEEP_DEN,
+) -> DataFrame:
+    """The FULL unigram-LM training loop (Kudo 2018 / SentencePiece,
+    Viterbi-hardened): iterate the certified hard-EM round body with
+    pruning — E-step segments every distinct word under the current
+    scores, the bottom of the multi-char inventory by usage is dropped
+    (keep_num/keep_den of the budget each round, ties broken on piece;
+    multi-char pieces never chosen disappear outright), every single
+    char survives with a usage floor of 1 (the coverage fallback must
+    keep a finite score), and the M-step re-estimates NLLs from the
+    kept usage share. Returns the final (piece, usage, nll6) frame.
+
+    Exactness: same integer grid as the certified one-round entry —
+    usage sums are BIGINT, each score is one correctly-rounded ln.
+    Scale shape (train_bpe's cadence, per VERDICT r9 #3): the score
+    table is eagerly localCheckpoint'ed every round (it is vocab-sized
+    — the ONLY thing that evolves), the superseded checkpoint is
+    dropped, and each round re-joins the PINNED span frame — so a
+    32k-piece production run is `rounds` bounded jobs over a
+    Heaps-law-sized frame with zero lineage growth."""
+    cur = scored.localCheckpoint(eager=True)
+    prev = None
+    b = budget
+    try:
+        for _ in range(rounds):
+            usage = _uv_estep_usage(words, _uv_spans_for(allspans, cur))
+            b = (b * keep_num) // keep_den
+            keptm = (
+                usage.filter(F.length("piece") >= 2)
+                .orderBy(F.col("usage").desc(), "piece")
+                .limit(b)
+            )
+            sing = (
+                cur.filter(F.length("piece") == 1)
+                .select("piece")
+                .join(usage, "piece", "left")
+                .select(
+                    "piece",
+                    F.greatest(
+                        F.coalesce(F.col("usage"), F.lit(0)), F.lit(1)
+                    )
+                    .cast("long")
+                    .alias("usage"),
+                )
+            )
+            kept = keptm.unionByName(sing)
+            tot = kept.agg(F.sum("usage").cast("long").alias("t"))
+            nxt = (
+                kept.crossJoin(F.broadcast(tot))
+                .select(
+                    "piece",
+                    "usage",
+                    F.floor(
+                        -F.log(
+                            F.col("usage").cast("double")
+                            / F.col("t").cast("double")
+                        )
+                        * 1e6
+                        + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("nll6"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if prev is not None:
+                prev.unpersist()
+            prev, cur = cur, nxt
+    except Exception:
+        if prev is not None:
+            prev.unpersist()
+        raise
+    return cur
+
+
 def _uv_em_oracle() -> str:
     """Derived from the certified ``unigram_viterbi_token_counts``
     oracle: reuse its CTE prefix (words → scored spans) verbatim —
@@ -1267,44 +1579,7 @@ def unigram_em_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     one vocab-sized partial-agg groupBy; nothing corpus-scale beyond
     the shared histogram build."""
     words, wsp = _uv_scored_spans(spark, sf_dir)
-    dp = """
-    aggregate(
-      sequence(1, length(word)),
-      array(named_struct('c', cast(0 as bigint), 'n', cast(0 as bigint),
-                         'l', 0)),
-      (acc, i) -> concat(acc, array(
-        array_min(transform(
-          filter(spans, s -> s.pos + s.len - 1 = i),
-          s -> named_struct(
-            'c', element_at(acc, s.pos).c + s.nll6,
-            'n', element_at(acc, s.pos).n + cast(1 as bigint),
-            'l', s.len))))))
-    """
-    backtrack = """
-    aggregate(
-      sequence(1, length(word)),
-      named_struct('pos', cast(length(word) as bigint),
-                   'ps', cast(array() as array<string>)),
-      (acc, i) -> case when acc.pos <= 0 then acc else
-        named_struct(
-          'pos', acc.pos - element_at(best, cast(acc.pos as int) + 1).l,
-          'ps', concat(acc.ps, array(substring(word,
-                cast(acc.pos as int)
-                  - element_at(best, cast(acc.pos as int) + 1).l + 1,
-                element_at(best, cast(acc.pos as int) + 1).l))))
-      end,
-      acc -> acc.ps)
-    """
-    seg = (
-        words.join(wsp, "word")
-        .withColumn("best", F.expr(dp))
-        .select("word", "wcnt", F.expr(backtrack).alias("pieces"))
-    )
-    usage = (
-        seg.select("wcnt", F.explode("pieces").alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("wcnt").cast("long").alias("usage"))
-    )
+    usage = _uv_estep_usage(words, wsp)
     tot = usage.agg(F.sum("usage").cast("long").alias("t"))
     return usage.crossJoin(F.broadcast(tot)).select(
         "piece",
@@ -1316,6 +1591,118 @@ def unigram_em_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("new_nll6"),
     )
+
+
+def _uv_round_sql(k: int, src: str, b_k: int) -> str:
+    """One unrolled training round for the unigram-LM training oracle:
+    E-step (the certified EM round's DP + recursive backtrack, names
+    suffixed ``{k}``), prune to the top ``b_k`` multi-char pieces by
+    usage (singles always kept, usage floored at 1), M-step re-score.
+    ``src`` is the previous round's score table."""
+    return f"""
+    , wsp{k} AS MATERIALIZED (
+        SELECT a.word,
+               list_sort(list(struct_pack(pos := a.sp.pos,
+                                          len := a.sp.len,
+                                          nll6 := sc.nll6))) AS spans
+        FROM allspans a JOIN {src} sc ON sc.piece = a.sp.piece
+        GROUP BY a.word
+    ), seg{k} AS MATERIALIZED (
+        SELECT w.word, w.wcnt,
+               (list_reduce(
+                   list_prepend(
+                       [struct_pack(c := 0::BIGINT, n := 0::BIGINT,
+                                    l := 0)],
+                       list_transform(
+                           generate_series(1, length(w.word)),
+                           i -> [struct_pack(c := CAST(i AS BIGINT),
+                                             n := 0::BIGINT, l := 0)])
+                   ),
+                   (acc, x) -> list_append(acc, list_aggregate(
+                       list_transform(
+                           list_filter(sp.spans,
+                               s -> s.pos + s.len - 1 = x[1].c),
+                           s -> struct_pack(
+                               c := acc[s.pos].c + s.nll6,
+                               n := acc[s.pos].n + 1::BIGINT,
+                               l := s.len)),
+                       'min'))
+               )) AS best
+        FROM words w JOIN wsp{k} sp ON sp.word = w.word
+    ), walk{k} AS (
+        SELECT word, wcnt, best, CAST(length(word) AS BIGINT) AS bnd
+        FROM seg{k}
+        UNION ALL
+        SELECT word, wcnt, best, bnd - best[bnd + 1].l
+        FROM walk{k} WHERE bnd > 0
+    ), bt{k} AS (
+        SELECT word, wcnt,
+               substring(word, CAST(bnd - best[bnd + 1].l + 1 AS INT),
+                         CAST(best[bnd + 1].l AS INT)) AS piece
+        FROM walk{k} WHERE bnd > 0
+    ), ug{k} AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS usage
+        FROM bt{k} GROUP BY piece
+    ), keep{k} AS (
+        SELECT piece, usage FROM (
+            SELECT piece, usage,
+                   ROW_NUMBER() OVER (ORDER BY usage DESC, piece) AS rn
+            FROM ug{k} WHERE length(piece) >= 2
+        ) WHERE rn <= {b_k}
+        UNION ALL
+        SELECT s.piece,
+               GREATEST(COALESCE(u.usage, 0::BIGINT), 1::BIGINT) AS usage
+        FROM (SELECT piece FROM {src} WHERE length(piece) = 1) s
+        LEFT JOIN ug{k} u ON u.piece = s.piece
+    ), tot{k} AS (SELECT CAST(SUM(usage) AS BIGINT) AS t FROM keep{k}),
+    sc{k} AS MATERIALIZED (
+        SELECT piece, usage,
+               CAST(FLOOR(-ln(CAST(usage AS DOUBLE) / CAST(t AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS nll6
+        FROM keep{k} CROSS JOIN tot{k}
+    )"""
+
+
+def _uv_train_oracle(rounds: int = UV_TRAIN_ROUNDS) -> str:
+    """Unrolls ``rounds`` prune-and-re-estimate rounds on top of the
+    certified viterbi oracle's seed prefix (words → allspans → seed
+    scores; asserted surgery, the ``_uv_em_oracle`` convention)."""
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    base = ORACLES["unigram_viterbi_token_counts"]
+    cut = ", wsp AS MATERIALIZED ("
+    assert base.count(cut) == 1
+    prefix = base[: base.index(cut)]
+    head = "WITH words AS MATERIALIZED ("
+    assert prefix.lstrip().startswith(head)
+    prefix = prefix.replace(
+        head, "WITH RECURSIVE words AS MATERIALIZED (", 1
+    )
+    parts = [prefix]
+    b, src = UV_VOCAB, "scored"
+    for k in range(1, rounds + 1):
+        b = (b * UV_KEEP_NUM) // UV_KEEP_DEN
+        parts.append(_uv_round_sql(k, src, b))
+        src = f"sc{k}"
+    parts.append(f"\n    SELECT piece, usage, nll6 FROM sc{rounds}\n    ")
+    return "".join(parts)
+
+
+@register("unigram_train_rounds_3", oracle=_uv_train_oracle())
+def unigram_train_rounds_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL unigram-LM training loop, driver-certified: three
+    hard-EM rounds with pruning (512 → 384 → 288 → 216 multi-char
+    budget, 3/4 per round) — the iterate-until-target-vocab procedure
+    SentencePiece training runs, not just its loop body (which
+    ``unigram_em_piece_usage`` certifies separately). Returns the
+    final inventory (piece, usage, nll6).
+
+    Scale shape: each round re-joins the PINNED span frame against the
+    (vocab-sized, eagerly checkpointed) score table — per-round cost
+    is corpus-size independent after the shared histogram build, and
+    lineage never grows (``train_unigram`` docstring)."""
+    words, allspans, scored = _uv_base(spark, sf_dir)
+    return train_unigram(spark, words, allspans, scored)
 
 
 def _family_comparison_oracle() -> str:

@@ -695,3 +695,176 @@ def test_unigram_hard_em_matches_python_reference(spark, tmp_path):
         for r in unigram_em_piece_usage(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_unigram_training_loop_matches_python_reference(spark, tmp_path):
+    """The FULL prune-and-re-estimate loop (train_unigram) vs a pure
+    Python mirror, with a seed budget small enough that pruning BITES
+    every round (16 -> 12 -> 9 -> 6 multi-char pieces) and rounds >= 3
+    so the per-round eager-checkpoint cadence is crossed repeatedly."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        WP_MAX_PIECE,
+        _uv_base,
+        train_unigram,
+    )
+
+    texts = [
+        "internationalization international nation nationalize",
+        "the theory theatre the them theme customer customers",
+        "banana bananas ban anna nab custom er",
+        "station nation ration elation libation",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= MAX_WORD_CHARS:
+                words[w] += 1
+
+    # seed inventory: top-16 multi-char substrings + all single chars
+    subs = Counter()
+    for w, c in words.items():
+        for s0 in range(len(w)):
+            for ln in range(1, min(WP_MAX_PIECE, len(w) - s0) + 1):
+                subs[w[s0 : s0 + ln]] += c
+    budget = 16
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:budget]
+    inv = dict(multi) | {p: c for p, c in subs.items() if len(p) == 1}
+    tot = sum(inv.values())
+    nll = {
+        p: math.floor(-math.log(c / tot) * 1e6 + 0.5)
+        for p, c in inv.items()
+    }
+
+    def viterbi_path(w, nll):
+        best = [(0, 0, 0)] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for ln in range(1, min(WP_MAX_PIECE, i) + 1):
+                piece = w[i - ln : i]
+                if piece in nll:
+                    c0, n0, _ = best[i - ln]
+                    cands.append((c0 + nll[piece], n0 + 1, ln))
+            best[i] = min(cands)
+        pieces, pos = [], len(w)
+        while pos > 0:
+            ln = best[pos][2]
+            pieces.append(w[pos - ln : pos])
+            pos -= ln
+        return pieces
+
+    def em_round(nll, keep_b):
+        usage = Counter()
+        for w, c in words.items():
+            for p in viterbi_path(w, nll):
+                usage[p] += c
+        kept = dict(
+            sorted(
+                ((p, u) for p, u in usage.items() if len(p) >= 2),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:keep_b]
+        ) | {p: max(usage.get(p, 0), 1) for p in nll if len(p) == 1}
+        t = sum(kept.values())
+        return kept, {
+            p: math.floor(-math.log(u / t) * 1e6 + 0.5)
+            for p, u in kept.items()
+        }
+
+    b, rounds = budget, 3
+    for _ in range(rounds):
+        b = (b * 3) // 4
+        kept, nll = em_round(nll, b)
+    want = {p: (kept[p], nll[p]) for p in kept}
+
+    w_, a_, s_ = _uv_base(spark, str(tmp_path), multi_budget=budget)
+    final = train_unigram(spark, w_, a_, s_, rounds=rounds, budget=budget)
+    got = {r.piece: (r.usage, r.nll6) for r in final.collect()}
+    assert got == want
+    # pruning actually bit: more multi pieces existed than survived
+    n_multi = sum(1 for p in got if len(p) >= 2)
+    assert n_multi == 6 < len(multi)
+
+
+def _py_train_wp(texts: list[str], n: int):
+    """Pure-Python WordPiece trainer: likelihood score
+    count(ab) / (count(a) * count(b)) with the SAME float64 operation
+    order as both engines (cast counts to double, one product, one
+    division), ties broken (lhs, rhs) ascending."""
+    hist = _py_histogram(texts)
+    merges = []
+    for step in range(1, n + 1):
+        pc, sc = Counter(), Counter()
+        for syms, c in hist.items():
+            for s in syms:
+                sc[s] += c
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / (float(sc[kv[0][0]]) * float(sc[kv[0][1]]))),
+                kv[0],
+            ),
+        )
+        merges.append((step, a, b, a + b, cnt))
+        nxt = Counter()
+        for syms, c in hist.items():
+            nxt[_py_apply(syms, a, b)] += c
+        hist = dict(nxt)
+    return merges
+
+
+def test_wordpiece_training_matches_python_reference(spark):
+    from datapipelinedemo_spark.plans.tokenizer_ops import train_wordpiece
+
+    corpora = [
+        [
+            "low lower lowest low low",
+            "new newer newest new news",
+            "wide wider widest low lower",
+            "the quick brown fox the the",
+        ],
+        ["ab ab ab cd cd cd ef ef ef"],      # tied raw counts
+        ["aaaa aab abab banana bananas the the"],
+        ["abc bcd cde abc bcd cde abc"],      # chained overlaps
+    ]
+    for texts in corpora:
+        got = train_wordpiece(spark, _spark_words(spark, texts), 18)
+        want = _py_train_wp(texts, 18)
+        assert got == want, texts[0][:30]
+
+
+def test_wordpiece_vs_bpe_selection_differs(spark):
+    # sanity: on a corpus where a frequent pair has very frequent
+    # units, the likelihood score must pick a DIFFERENT first merge
+    # than raw frequency — 'th' is the most frequent pair, but its
+    # units are ubiquitous; 'qu' has rarer units.
+    from datapipelinedemo_spark.plans.tokenizer_ops import train_wordpiece
+
+    texts = ["the the the the than that quit quiz"] * 2
+    bpe = _py_train2(texts, 1)[0]
+    wp = _py_train_wp(texts, 1)[0]
+    assert (bpe[1], bpe[2]) != (wp[1], wp[2])
+    got = train_wordpiece(spark, _spark_words(spark, texts), 1)
+    assert got == _py_train_wp(texts, 1)
