@@ -17,10 +17,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-# State keeps only primitives: a timestamp-typed state field (and the
-# ProcessingTimeTimeout path) deadlocked the Spark 4.1 local state
-# store during checkpoint commit; epoch micros as LONG is equivalent
-# and portable.
+# State keeps only primitives: a timestamp-typed state field
+# deadlocked the Spark 4.1 local state store during checkpoint commit;
+# epoch micros as LONG is equivalent and portable. (The
+# ProcessingTimeTimeout path itself WORKS — r10 root-caused the
+# earlier "hang" to processAllAvailable never returning, because the
+# engine keeps scheduling state-cleanup batches to fire expired
+# timers; harnesses must poll the sink, see
+# tests/test_skew_stateful.py::test_stateful_timeout_evicts_on_rocksdb.)
 STATE_SCHEMA = "n LONG, total DOUBLE, last_us LONG"
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -122,4 +126,83 @@ def running_user_totals_exact(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA_EXACT,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Eviction variant: ProcessingTimeTimeout + state.remove(). At 100 TB /
+# hundreds of millions of keys the NoTimeout form above grows state
+# without bound; production runs need BOTH a timeout policy (idle keys
+# emit a final "closed" snapshot and leave the store) and the RocksDB
+# state-store provider (state spills off-heap/disk instead of the
+# default HDFS-backed in-memory map). Both paths are pytest-driven
+# through a real multi-batch stream on the local provider
+# (tests/test_skew_stateful.py::test_stateful_timeout_evicts_on_rocksdb).
+# --------------------------------------------------------------------------
+EVICT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value4", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def running_user_totals_evicting(
+    events: DataFrame, timeout_ms: int = 60_000
+) -> DataFrame:
+    """``running_user_totals_exact`` with idle-key eviction: a key
+    that receives no data for ``timeout_ms`` of processing time emits
+    one final snapshot with ``closed=true`` and its state is REMOVED —
+    if the key reappears later, its accumulator restarts from zero.
+    State stays primitive LONGs (a timestamp-typed state field
+    deadlocked the Spark 4.1 local state store during checkpoint
+    commit — module docstring)."""
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, total4, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value4": [total4],
+                    "closed": [True],
+                }
+            )
+            return
+        n, total4, last_us = 0, 0, 0
+        if state.exists:
+            n, total4, last_us = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vals = pdf["value"].dropna().to_numpy(dtype="float64")
+                if len(vals):
+                    total4 += int(
+                        np.floor(vals * 1e4 + 0.5).astype("int64").sum()
+                    )
+                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, total4, last_us))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value4": [total4],
+                "closed": [False],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EVICT_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA_EXACT,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
