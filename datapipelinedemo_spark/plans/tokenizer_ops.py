@@ -666,6 +666,30 @@ def _wp_merges_oracle(n: int = WP_TRAIN_MERGES) -> str:
     return "".join(parts) + finals
 
 
+_WP_MERGES_MEMO: dict[tuple, list] = {}
+
+
+def trained_wp_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = WP_TRAIN_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Memoized WordPiece merge table per (session, corpus-stamp) —
+    the ``trained_merges`` convention: train + encode consumers pay
+    the sequential selection loop once per corpus."""
+    from datapipelinedemo_spark.memo import table_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(sf_dir, "documents"),
+        n_merges,
+    )
+    m = _WP_MERGES_MEMO.get(key)
+    if m is None:
+        m = train_wordpiece(spark, _word_histogram(spark, sf_dir), n_merges)
+        _WP_MERGES_MEMO[key] = m
+    return m
+
+
 @register("wordpiece_train_merges", oracle=_wp_merges_oracle())
 def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece TRAINING, driver-certified: 24 likelihood-scored
@@ -675,12 +699,71 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     24 steps cross the checkpoint/lazy-replay boundary once, so the
     certified path is the production cadence. The oracle replays all
     24 steps relationally with materialized CTEs."""
-    merges = train_wordpiece(
-        spark, _word_histogram(spark, sf_dir), WP_TRAIN_MERGES
-    )
+    merges = trained_wp_merges(spark, sf_dir, WP_TRAIN_MERGES)
     return spark.createDataFrame(
         merges,
         "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def _wp_encode_oracle(n: int = WP_TRAIN_MERGES) -> str:
+    """Replays WordPiece training through cur{n} (all merges APPLIED),
+    then charges each document the post-merge symbol count — the
+    ``_encode_oracle`` tail on the likelihood-trained table."""
+
+    def _m(cte: str, names: list[str]) -> str:
+        for name in names:
+            cte = cte.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+        return cte
+
+    parts = [_m(_WORDS_CTE, ["words", "cur0"])]
+    for s in range(1, n + 1):
+        parts.append(_wp_pair_cte(s))
+        parts.append(_m(_apply_cte(s), [f"en{s}", f"cur{s}"]))
+    return (
+        "".join(parts)
+        + f"""
+    , wl AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM cur{n}
+    ), dt AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents
+        ) WHERE length(word) <= {MAX_WORD_CHARS}
+    )
+    SELECT dt.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_tok) AS BIGINT) AS n_wp_trained_tokens
+    FROM dt JOIN wl ON wl.word = dt.word
+    GROUP BY dt.doc_id
+    """
+    )
+
+
+@register("wordpiece_trained_token_counts", oracle=_wp_encode_oracle())
+def wordpiece_trained_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train→encode parity for the WordPiece family: apply the
+    likelihood-trained merge table (``wordpiece_train_merges``,
+    memoized) to the corpus and count post-merge symbols per document
+    — the exact analogue of ``bpe_encode_token_counts``, same scale
+    shape (vocab-sized merge application, one corpus-side join +
+    partial-agg groupBy)."""
+    docs = table(spark, sf_dir, "documents")
+    cur = apply_merges_batch(
+        _word_histogram(spark, sf_dir), trained_wp_merges(spark, sf_dir)
+    )
+    wl = cur.select("word", F.size("syms").cast("long").alias("n_tok"))
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_wp_trained_tokens"),
+        )
     )
 
 
@@ -1701,8 +1784,103 @@ def unigram_train_rounds_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab-sized, eagerly checkpointed) score table — per-round cost
     is corpus-size independent after the shared histogram build, and
     lineage never grows (``train_unigram`` docstring)."""
-    words, allspans, scored = _uv_base(spark, sf_dir)
-    return train_unigram(spark, words, allspans, scored)
+    return trained_unigram_scores(spark, sf_dir)
+
+
+_UV_TRAINED_MEMO: dict[tuple, list] = {}
+
+
+def trained_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized final (piece, usage, nll6) inventory of the full
+    unigram training loop, per (session, corpus-stamp) — the
+    ``trained_merges`` convention (the table is vocab-sized, so the
+    memo holds plain tuples, no persisted frames)."""
+    from datapipelinedemo_spark.memo import table_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(sf_dir, "documents"),
+    )
+    rows = _UV_TRAINED_MEMO.get(key)
+    if rows is None:
+        words, allspans, scored = _uv_base(spark, sf_dir)
+        final = train_unigram(spark, words, allspans, scored)
+        rows = [(r.piece, r.usage, r.nll6) for r in final.collect()]
+        final.unpersist()
+        _UV_TRAINED_MEMO[key] = rows
+    return spark.createDataFrame(
+        rows, "piece string, usage bigint, nll6 bigint"
+    )
+
+
+def _uv_trained_encode_oracle() -> str:
+    """Train→encode: the full 3-round training oracle as the prefix,
+    the certified viterbi inference tail re-pointed at the FINAL score
+    table (asserted surgery on both certified strings)."""
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    train = ORACLES["unigram_train_rounds_3"]
+    fin = f"\n    SELECT piece, usage, nll6 FROM sc{UV_TRAIN_ROUNDS}\n    "
+    assert train.endswith(fin)
+    prefix = train[: -len(fin)]
+    vit = ORACLES["unigram_viterbi_token_counts"]
+    cut = ", wsp AS MATERIALIZED ("
+    assert vit.count(cut) == 1
+    tail = vit[vit.index(cut) :]
+    assert tail.count("JOIN scored sc") == 1
+    tail = tail.replace("JOIN scored sc", f"JOIN sc{UV_TRAIN_ROUNDS} sc")
+    tail = tail.replace("wsp", "wspf")
+    tail = tail.replace(
+        "AS n_unigram_tokens", "AS n_unigram_trained_tokens"
+    )
+    tail = tail.replace("AS total_nll6", "AS total_trained_nll6")
+    return prefix + tail
+
+
+@register(
+    "unigram_trained_token_counts", oracle=_uv_trained_encode_oracle()
+)
+def unigram_trained_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train→encode parity for the unigram family: Viterbi-segment the
+    corpus under the FINAL trained inventory (3 prune-and-re-estimate
+    rounds, memoized) instead of the seed scores — per-document token
+    counts and total cost, the analogue of ``bpe_encode_token_counts``
+    after ``bpe_train_merges``. Same scale shape as the certified
+    inference entry: the trained score table is vocab-sized and
+    broadcast; the DP is one bounded in-row fold per DISTINCT word."""
+    docs = table(spark, sf_dir, "documents")
+    words, allspans, _ = _uv_base(spark, sf_dir)
+    wsp = _uv_spans_for(allspans, trained_unigram_scores(spark, sf_dir))
+    fold = """
+    aggregate(
+      sequence(1, length(word)),
+      array(named_struct('c', cast(0 as bigint), 'n', cast(0 as bigint))),
+      (acc, i) -> concat(acc, array(
+        array_min(transform(
+          filter(spans, s -> s.pos + s.len - 1 = i),
+          s -> named_struct(
+            'c', element_at(acc, s.pos).c + s.nll6,
+            'n', element_at(acc, s.pos).n + cast(1 as bigint)))))),
+      acc -> element_at(acc, length(word) + 1))
+    """
+    seg = words.join(wsp, "word").select(
+        "word", F.expr(fold).alias("best")
+    )
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("best.n").cast("long").alias("n_unigram_trained_tokens"),
+            F.sum("best.c").cast("long").alias("total_trained_nll6"),
+        )
+    )
 
 
 def _family_comparison_oracle() -> str:
