@@ -72,13 +72,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # tokenizer_family_comparison never driver-certified (judge-verified in
 # r9) and unigram_em_piece_usage red in r9 (oracle flake, fixed this
 # round — determinism pinned in tests/test_oracle_determinism.py).
-# Round-10 window = never/red/new 6 FIRST (family comparison + fixed EM
+# Round-10 window = never/red/new 7 FIRST (family comparison + fixed EM
 # entry per VERDICT r9 #1-2, then this round's two new trainable
 # families — the full unigram prune-and-re-estimate loop and WordPiece
-# likelihood training — and their train→encode twins), then ALL 34
-# displaced r6-vintage rows, then the 10 alphabetically-first r7 rows.
-# The remaining 40 r7 rows lead the r11 rotation; after r10 no entry's
-# latest green row is older than r7.
+# likelihood training — their train→encode twins, and the trained
+# family-comparison capstone), then ALL 34 displaced r6-vintage rows,
+# then the 9 alphabetically-first r7 rows. The remaining 41 r7 rows
+# lead the r11 rotation; after r10 no entry's latest green row is
+# older than r7.
 PRIORITY = [
     # --- never-certified / red-in-r9 / added this round (r10) ---
     "tokenizer_family_comparison",
@@ -87,6 +88,7 @@ PRIORITY = [
     "wordpiece_train_merges",
     "unigram_trained_token_counts",
     "wordpiece_trained_token_counts",
+    "tokenizer_family_comparison_trained",
     # --- r6-vintage: the oldest certified rows, all 34 ---
     "anti_join_orderless_customers",
     "asof_latest_order_before_event",
@@ -132,8 +134,8 @@ PRIORITY = [
     "ccnet_perplexity_buckets",
     "char_entropy_scores",
     "clean_corpus_after_decontamination",
-    "decontamination_overlap",
     # --- past the 50-query window -> lead the r11 rotation ---
+    "decontamination_overlap",
     "distinct_parts_per_flag",
     "doc_quality_scores",
     "q6_forecast_revenue_sql",

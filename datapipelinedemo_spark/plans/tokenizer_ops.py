@@ -1961,3 +1961,84 @@ def tokenizer_family_comparison(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
     )
+
+
+def _family_comparison_trained_oracle() -> str:
+    """``_family_comparison_oracle`` on the TRAINED families: BPE's
+    encode oracle is already train→apply; the WordPiece and unigram
+    sides swap in the r10 trained-encode oracles (each a standalone
+    WITH...SELECT, composed as derived tables)."""
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    b = ORACLES["bpe_encode_token_counts"]
+    w = ORACLES["wordpiece_trained_token_counts"]
+    u = ORACLES["unigram_trained_token_counts"]
+    return f"""
+    SELECT d.lang,
+           round(CAST(SUM(b.n_bpe_tokens) AS DOUBLE)
+                 / CAST(SUM(b.n_words) AS DOUBLE), 6) AS bpe_fertility,
+           round(CAST(SUM(w.n_wp_trained_tokens) AS DOUBLE)
+                 / CAST(SUM(w.n_words) AS DOUBLE), 6)
+               AS wp_trained_fertility,
+           round(CAST(SUM(u.n_unigram_trained_tokens) AS DOUBLE)
+                 / CAST(SUM(u.n_words) AS DOUBLE), 6)
+               AS unigram_trained_fertility,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({b}) b
+    JOIN ({w}) w ON w.doc_id = b.doc_id
+    JOIN ({u}) u ON u.doc_id = b.doc_id
+    JOIN documents d ON d.doc_id = b.doc_id
+    GROUP BY d.lang
+    """
+
+
+@register(
+    "tokenizer_family_comparison_trained",
+    oracle=_family_comparison_trained_oracle(),
+)
+def tokenizer_family_comparison_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r10 capstone of the tokenizer stack: per-language fertility
+    of the three TRAINED families — BPE (frequency-trained merges),
+    WordPiece (likelihood-trained merges), unigram-LM (the full
+    prune-and-re-estimate loop's final inventory) — the table a
+    pipeline actually reads once training exists, vs the inference
+    table ``tokenizer_family_comparison`` keeps for the seed/untrained
+    comparison. Same composition cost: three doc-grain certified
+    frames joined on doc_id + one |langs|-row agg; all three training
+    runs are memoized per corpus."""
+    docs = table(spark, sf_dir, "documents")
+    b = bpe_encode_token_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("bw"),
+        F.col("n_bpe_tokens").alias("bt"),
+    )
+    w = wordpiece_trained_token_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("ww"),
+        F.col("n_wp_trained_tokens").alias("wt"),
+    )
+    u = unigram_trained_token_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("uw"),
+        F.col("n_unigram_trained_tokens").alias("ut"),
+    )
+    return (
+        b.join(w, "doc_id")
+        .join(u, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum("bt").cast("double") / F.sum("bw").cast("double"), 6
+            ).alias("bpe_fertility"),
+            F.round(
+                F.sum("wt").cast("double") / F.sum("ww").cast("double"), 6
+            ).alias("wp_trained_fertility"),
+            F.round(
+                F.sum("ut").cast("double") / F.sum("uw").cast("double"), 6
+            ).alias("unigram_trained_fertility"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
