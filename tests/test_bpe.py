@@ -868,3 +868,123 @@ def test_wordpiece_vs_bpe_selection_differs(spark):
     assert (bpe[1], bpe[2]) != (wp[1], wp[2])
     got = train_wordpiece(spark, _spark_words(spark, texts), 1)
     assert got == _py_train_wp(texts, 1)
+
+
+def _py_train_unigram(texts, budget, rounds, keep_num=3, keep_den=4):
+    """Pure-Python mirror of train_unigram (seed scores from top
+    substring counts, hard-EM rounds with pruning, singles floored at
+    usage 1)."""
+    import math
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import WP_MAX_PIECE
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= MAX_WORD_CHARS:
+                words[w] += 1
+    subs = Counter()
+    for w, c in words.items():
+        for s0 in range(len(w)):
+            for ln in range(1, min(WP_MAX_PIECE, len(w) - s0) + 1):
+                subs[w[s0 : s0 + ln]] += c
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:budget]
+    inv = dict(multi) | {p: c for p, c in subs.items() if len(p) == 1}
+    tot = sum(inv.values())
+    nll = {
+        p: math.floor(-math.log(c / tot) * 1e6 + 0.5)
+        for p, c in inv.items()
+    }
+
+    def viterbi_path(w, nll):
+        best = [(0, 0, 0)] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for ln in range(1, min(WP_MAX_PIECE, i) + 1):
+                piece = w[i - ln : i]
+                if piece in nll:
+                    c0, n0, _ = best[i - ln]
+                    cands.append((c0 + nll[piece], n0 + 1, ln))
+            best[i] = min(cands)
+        pieces, pos = [], len(w)
+        while pos > 0:
+            ln = best[pos][2]
+            pieces.append(w[pos - ln : pos])
+            pos -= ln
+        return pieces
+
+    b = budget
+    kept = None
+    for _ in range(rounds):
+        usage = Counter()
+        for w, c in words.items():
+            for p in viterbi_path(w, nll):
+                usage[p] += c
+        b = (b * keep_num) // keep_den
+        kept = dict(
+            sorted(
+                ((p, u) for p, u in usage.items() if len(p) >= 2),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:b]
+        ) | {p: max(usage.get(p, 0), 1) for p in nll if len(p) == 1}
+        t = sum(kept.values())
+        nll = {
+            p: math.floor(-math.log(u / t) * 1e6 + 0.5)
+            for p, u in kept.items()
+        }
+    return {p: (kept[p], nll[p]) for p in kept}
+
+
+def test_trainers_random_corpora(spark, tmp_path):
+    """Seeded random-corpus sweep for BOTH new trainers — random
+    corpora hit tie-break and pruning edges the handpicked tests
+    don't (same guard the inference families already have)."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        _uv_base,
+        train_unigram,
+        train_wordpiece,
+    )
+
+    rng = random.Random(31337)
+    alphabet = "abcd"
+    for trial in range(3):
+        stems = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(20)
+        ]
+        texts = [
+            " ".join(rng.choice(stems) for _ in range(10))
+            for _ in range(6)
+        ]
+        # wordpiece: merge table equality at 12 likelihood-scored steps
+        got_wp = train_wordpiece(spark, _spark_words(spark, texts), 12)
+        assert got_wp == _py_train_wp(texts, 12), (trial, texts[0][:30])
+
+        # unigram: final inventory equality at 3 pruning rounds
+        d = str(tmp_path / f"rand{trial}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(len(texts))),
+                    "text": texts,
+                    "lang": ["en"] * len(texts),
+                    "source": ["s"] * len(texts),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        budget = 12
+        w_, a_, s_ = _uv_base(spark, d, multi_budget=budget)
+        final = train_unigram(spark, w_, a_, s_, rounds=3, budget=budget)
+        got_uv = {r.piece: (r.usage, r.nll6) for r in final.collect()}
+        assert got_uv == _py_train_unigram(texts, budget, 3), trial
