@@ -2435,6 +2435,82 @@ def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_dedup_frame(docs)
 
 
+
+# --------------------------------------------------------------------------
+# WITHIN-document repeated-block removal (RefinedWeb/FineWeb "remove
+# duplicated lines within a document": keep only the FIRST occurrence
+# of each block, preserving order). Complements c4_line_dedup (which
+# drops blocks repeated ACROSS >= 3 documents): a page that repeats
+# its own navigation or a generator that loops a paragraph is cleaned
+# here even when no other document shares the text. Same fixed 4-word
+# block segmenter seam (split('\n') on real web data).
+#
+# Scale shape: ENTIRELY in-row — blocks built by one transform over a
+# sequence, the keep-first filter compares each block's first
+# occurrence index to its own position (O(blocks^2) per doc, bounded
+# by document length, zero shuffles beyond the scan); nothing leaves
+# the row, so the operator composes into any corpus pass for free.
+# --------------------------------------------------------------------------
+@register(
+    "intra_doc_block_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bl AS (
+        SELECT doc_id,
+               [array_to_string(
+                    list_slice(ws, i * {_C4_B} + 1, i * {_C4_B} + {_C4_B}),
+                    ' ')
+                for i in generate_series(
+                    0, CAST(ceil(len(ws) / {_C4_B}.0) AS BIGINT) - 1)]
+                   AS blocks
+        FROM w
+    ), k AS (
+        -- DuckDB lambda index is 1-based; keep a block iff its FIRST
+        -- occurrence index equals its own position
+        SELECT doc_id, blocks,
+               list_filter(blocks,
+                           (x, i) -> list_position(blocks, x) = i) AS kept
+        FROM bl
+    )
+    SELECT doc_id,
+           CAST(len(blocks) AS INT) AS n_blocks,
+           CAST(len(blocks) - len(kept) AS INT) AS removed_blocks,
+           array_to_string(kept, ' ') AS cleaned_text
+    FROM k
+    """,
+)
+def intra_doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_blocks, removed_blocks, cleaned_text) with every
+    block that repeats an EARLIER block of the same document removed
+    (keep-first, order preserved) — the within-doc half of line-level
+    dedup; ``c4_line_dedup`` is the cross-doc half."""
+    docs = table(spark, sf_dir, "documents")
+    b = F.lit(_C4_B)
+    words = F.split(F.col("text"), " ")
+    nblk = F.ceil(F.size(words) / b.cast("double")).cast("long")
+    blocks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nblk - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, (i * b + 1).cast("int"), _C4_B), " "
+        ),
+    )
+    staged = docs.select("doc_id", blocks.alias("blocks"))
+    # Spark lambda index is 0-based; array_position is first-match
+    kept = F.filter(
+        F.col("blocks"),
+        lambda x, i: F.array_position(F.col("blocks"), x) == i + 1,
+    )
+    return staged.select(
+        "doc_id",
+        F.size("blocks").cast("int").alias("n_blocks"),
+        (F.size("blocks") - F.size(kept)).cast("int").alias(
+            "removed_blocks"
+        ),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def c4_line_dedup_frame(
     docs: DataFrame,
     block_words: int = _C4_B,

@@ -270,3 +270,70 @@ def test_fuzzy_contamination_flags_planted_neardup(spark):
         banded, F.col("doc") >= 100
     ).collect()
     assert [(r.doc_id, r.n_bench_partners) for r in out] == [(1, 1)]
+
+
+def test_intra_doc_block_dedup_removes_repeats(spark, tmp_path):
+    """The within-doc keep-first path (the sf testdata never repeats a
+    block, so this is where the interesting branch is pinned): a doc
+    that repeats a 4-word block keeps only the first occurrence, order
+    preserved; a doc with all-distinct blocks is untouched; a repeated
+    block in a DIFFERENT doc is not affected (within-doc only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.llm_ops import (
+        _C4_B,
+        intra_doc_block_dedup,
+    )
+
+    assert _C4_B == 4  # texts below are built in 4-word blocks
+    texts = [
+        # blocks: A B A C -> keep A B C
+        "a1 a2 a3 a4 b1 b2 b3 b4 a1 a2 a3 a4 c1 c2 c3 c4",
+        # all distinct -> unchanged
+        "d1 d2 d3 d4 e1 e2 e3 e4",
+        # repeats doc 0's block A — must NOT be removed here (first
+        # occurrence within THIS doc), but its own second copy is
+        "a1 a2 a3 a4 a1 a2 a3 a4",
+        # trailing short block that equals an earlier short slice: the
+        # last block is whatever words remain ('f1 f2' != 'f1 f2 f3
+        # f4'), so nothing is removed
+        "f1 f2 f3 f4 f1 f2",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    def py_mirror(t):
+        ws = t.split(" ")
+        import math
+
+        blocks = [
+            " ".join(ws[i * 4 : i * 4 + 4])
+            for i in range(math.ceil(len(ws) / 4))
+        ]
+        kept = [b for i, b in enumerate(blocks) if blocks.index(b) == i]
+        return (
+            len(blocks),
+            len(blocks) - len(kept),
+            " ".join(kept),
+        )
+
+    got = {
+        r.doc_id: (r.n_blocks, r.removed_blocks, r.cleaned_text)
+        for r in intra_doc_block_dedup(spark, str(tmp_path)).collect()
+    }
+    want = {i: py_mirror(t) for i, t in enumerate(texts)}
+    assert got == want
+    assert got[0] == (4, 1, "a1 a2 a3 a4 b1 b2 b3 b4 c1 c2 c3 c4")
+    assert got[1][1] == 0
+    assert got[2] == (2, 1, "a1 a2 a3 a4")
+    assert got[3][1] == 0
