@@ -27,12 +27,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 # Every oracle whose SQL folds an aggregated or order-sensitive list
-# (grep: list_reduce over list(...) / collect-order-dependent input).
+# (grep: list_reduce over list(...) / collect-order-dependent input),
+# plus the r10 additions that unroll training steps or use indexed
+# list lambdas.
 FOLD_ORACLES = {
     "unigram_em_piece_usage": 12,  # the r9 flake: highest repeat count
     "unigram_viterbi_token_counts": 6,
     "wordpiece_token_counts": 6,
     "user_value_ewma": 8,
+    "unigram_train_rounds_3": 5,
+    "unigram_trained_token_counts": 3,
+    "wordpiece_train_merges": 3,
+    "intra_doc_block_dedup": 4,
 }
 
 
