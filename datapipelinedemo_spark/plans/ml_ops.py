@@ -353,3 +353,231 @@ def hourly_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(r * r, 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): split the embedding into M
+# contiguous subspaces, run Lloyd's k-means INSIDE each subspace, and
+# code every vector as its M nearest sub-centroid ids — the compression
+# behind IVF-PQ serving at billion-vector scale (64 dims × 4 bytes →
+# M bytes per vector). Same exactness playbook as kmeans_assign: the
+# milli-unit integer grid, exact BIGINT distances, (d, cid) tie-break,
+# floor-divided centroid updates — bit-identical in any engine.
+#
+# Spark-first shape: ALL M subspaces train in the same jobs — the
+# assignment is one in-row expression per vector (M × K bounded folds,
+# whole-stage codegen), the update is ONE partial-agg groupBy keyed
+# (m, cid, i) whose output is the M·K×(D/M) centroid matrix collected
+# driver-side per iteration (the IVF-centroid precedent: a plan
+# constant, ~512 BIGINTs). No per-subspace passes, no extra shuffles.
+# --------------------------------------------------------------------------
+_PQ_M = 4      # subspaces
+_PQ_K = 8      # sub-centroids per subspace (codes 0..7)
+_PQ_ITERS = 2  # Lloyd iterations before the reported coding
+
+
+def pq_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+) -> DataFrame:
+    """(vec_id, m, code, sq_dist): the PQ coding of every vector —
+    per subspace ``m``, the id of the nearest sub-centroid after
+    ``iters`` Lloyd rounds (seeded from vec_id 0..k-1's subvectors)
+    and the exact integer squared distance to it."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_GRID!r} + 0.5) as bigint))"
+        ).alias("qv"),
+    ).persist()
+    seeds = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    dim = len(seeds[0].qv)
+    assert dim % m_sub == 0, (dim, m_sub)
+    w = dim // m_sub
+    cents: dict[tuple[int, int], list[int]] = {
+        (m, int(r.vec_id)): list(r.qv)[m * w : (m + 1) * w]
+        for r in seeds
+        for m in range(m_sub)
+    }
+
+    def assign(frame: DataFrame) -> DataFrame:
+        per_m = []
+        for m in range(m_sub):
+            sub = f"slice(qv, {m * w + 1}, {w})"
+            cands = []
+            for cid in range(k):
+                lits = ", ".join(f"{v}L" for v in cents[(m, cid)])
+                cands.append(
+                    f"named_struct('d', aggregate(zip_with({sub},"
+                    f" array({lits}), (a, b) -> (a - b) * (a - b)), 0L,"
+                    f" (acc, x) -> acc + x), 'c', {cid}L)"
+                )
+            per_m.append(
+                f"named_struct('m', {m}L,"
+                f" 'best', array_min(array({', '.join(cands)})))"
+            )
+        return frame.select(
+            "vec_id",
+            "qv",
+            F.expr(f"array({', '.join(per_m)})").alias("res"),
+        )
+
+    for _ in range(iters):
+        upd = (
+            assign(q)
+            .select("vec_id", "qv", F.explode("res").alias("r"))
+            .select(
+                F.col("r.m").alias("m"),
+                F.col("r.best.c").alias("cid"),
+                F.posexplode(
+                    F.expr(
+                        "slice(qv, cast(r.m as int) * "
+                        f"{w} + 1, {w})"
+                    )
+                ).alias("i", "v"),
+            )
+            .groupBy("m", "cid", "i")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        fresh: dict[tuple[int, int], dict[int, int]] = {}
+        for r in upd:
+            fresh.setdefault((int(r.m), int(r.cid)), {})[int(r.i)] = int(
+                r.cv
+            )
+        for key, dims in fresh.items():
+            cents[key] = [dims[i] for i in range(w)]
+
+    out = (
+        assign(q)
+        .select("vec_id", F.explode("res").alias("r"))
+        .select(
+            "vec_id",
+            F.col("r.m").alias("m"),
+            F.col("r.best.c").alias("code"),
+            F.col("r.best.d").alias("sq_dist"),
+        )
+    )
+    q.unpersist()
+    return out
+
+
+def _pq_cte(m_sub: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS) -> str:
+    """Unrolled per-subspace Lloyd chain ending in ``asg`` =
+    ``(vec_id, m, cid, d)`` — the ``_kmeans_cte`` shape with the
+    subspace id joined into every key (relational oracle vs Spark's
+    in-row fold: same integer math, independently shaped plans)."""
+    parts = [
+        f"""
+    WITH exj AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+               len(embedding) // {m_sub} AS w,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_GRID!r}
+                          + 0.5) AS BIGINT) AS qv
+        FROM embeddings
+    ), ex AS (
+        -- subspace width derived from the data, not pinned: the
+        -- oracle stays correct at any embedding dimension
+        SELECT vec_id, j // w AS m, j % w AS i, qv
+        FROM exj
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, m, i, qv AS cv FROM ex WHERE vec_id < {k}
+    )"""
+    ]
+    for t in range(iters):
+        parts.append(f"""
+    , a{t} AS (
+        SELECT ex.vec_id, ex.m, c{t}.cid,
+               CAST(SUM((ex.qv - c{t}.cv) * (ex.qv - c{t}.cv))
+                    AS BIGINT) AS d
+        FROM ex JOIN c{t} ON c{t}.m = ex.m AND c{t}.i = ex.i
+        GROUP BY 1, 2, 3
+    ),
+    s{t} AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, cid) AS rn
+            FROM a{t}
+        ) WHERE rn = 1
+    ),
+    u{t + 1} AS (
+        SELECT s{t}.m, s{t}.cid, ex.i,
+               CAST(FLOOR(CAST(SUM(ex.qv) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cv
+        FROM ex JOIN s{t}
+          ON s{t}.vec_id = ex.vec_id AND s{t}.m = ex.m
+        GROUP BY 1, 2, 3
+    ),
+    c{t + 1} AS (
+        SELECT c{t}.cid, c{t}.m, c{t}.i,
+               COALESCE(u{t + 1}.cv, c{t}.cv) AS cv
+        FROM c{t} LEFT JOIN u{t + 1}
+          ON u{t + 1}.cid = c{t}.cid AND u{t + 1}.m = c{t}.m
+         AND u{t + 1}.i = c{t}.i
+    )""")
+    t = iters
+    parts.append(f"""
+    , afin AS (
+        SELECT ex.vec_id, ex.m, c{t}.cid,
+               CAST(SUM((ex.qv - c{t}.cv) * (ex.qv - c{t}.cv))
+                    AS BIGINT) AS d
+        FROM ex JOIN c{t} ON c{t}.m = ex.m AND c{t}.i = ex.i
+        GROUP BY 1, 2, 3
+    ),
+    asg AS (
+        SELECT vec_id, m, cid, d FROM (
+            SELECT vec_id, m, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, cid) AS rn
+            FROM afin
+        ) WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=_pq_cte()
+    + "\n    SELECT vec_id, m, cid AS code, d AS sq_dist FROM asg",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization coding of the embedding table: 4 subspaces
+    x 16 dims, 8 sub-centroids each, 2 Lloyd rounds — every vector
+    compressed to 4 code bytes with its exact per-subspace
+    reconstruction distance. See ``pq_assign`` for exactness and the
+    one-groupBy-per-iteration scale shape."""
+    return pq_assign(spark, sf_dir)
+
+
+@register(
+    "pq_subspace_error",
+    oracle=_pq_cte()
+    + """
+    SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d) AS BIGINT) AS total_sq_err,
+           CAST(COUNT(DISTINCT cid) AS BIGINT) AS codes_used
+    FROM asg GROUP BY m
+    """,
+)
+def pq_subspace_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook quality summary: per subspace, the exact total
+    squared reconstruction error and how many of the k codes are
+    actually used — the table that decides whether M/K need to grow
+    before committing the codebook to a billion-vector index."""
+    asg = pq_assign(spark, sf_dir)
+    return asg.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("sq_dist").cast("long").alias("total_sq_err"),
+        F.countDistinct("code").cast("long").alias("codes_used"),
+    )

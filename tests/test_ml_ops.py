@@ -68,3 +68,86 @@ def test_ols_matches_numpy(spark, sf_dir):
         r = np.corrcoef(x, y)[0, 1]
         assert abs(got[t].r2 - r * r) < 1e-3, t
         assert got[t].n == len(pts)
+
+
+def test_pq_codes_match_python_reference(spark, tmp_path):
+    """pq_assign vs a pure-Python per-subspace Lloyd mirror on a tiny
+    synthetic embedding table (8-dim, 2 subspaces x 4 dims) — same
+    milli-grid, same (d, cid) tie-break, same floor-divided updates,
+    pruning seeded from vec_id 0..k-1."""
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.ml_ops import pq_assign
+
+    rng = random.Random(777)
+    n, dim, m_sub, k, iters = 40, 8, 2, 3, 2
+    vecs = [
+        [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        for _ in range(n)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(n)),
+                "embedding": [
+                    [float(x) for x in v] for v in vecs
+                ],
+                "doc_id": list(range(n)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    w = dim // m_sub
+    qv = [
+        [math.floor(float(x) * 1000.0 + 0.5) for x in v] for v in vecs
+    ]
+    cents = {
+        (m, cid): qv[cid][m * w : (m + 1) * w]
+        for cid in range(k)
+        for m in range(m_sub)
+    }
+
+    def best(vid, m):
+        sub = qv[vid][m * w : (m + 1) * w]
+        return min(
+            (
+                sum((a - b) ** 2 for a, b in zip(sub, cents[(m, cid)])),
+                cid,
+            )
+            for cid in range(k)
+        )
+
+    for _ in range(iters):
+        groups = {}
+        for vid in range(n):
+            for m in range(m_sub):
+                _, cid = best(vid, m)
+                groups.setdefault((m, cid), []).append(vid)
+        for (m, cid), vids in groups.items():
+            cents[(m, cid)] = [
+                math.floor(
+                    sum(qv[v][m * w + i] for v in vids) / len(vids)
+                )
+                for i in range(w)
+            ]
+    want = {
+        (vid, m): best(vid, m)[::-1]  # (cid, d) -> compare as (code, d)
+        for vid in range(n)
+        for m in range(m_sub)
+    }
+    want = {key: (c, d) for key, (c, d) in want.items()}
+
+    got = {
+        (r.vec_id, r.m): (r.code, r.sq_dist)
+        for r in pq_assign(
+            spark, str(tmp_path), m_sub=m_sub, k=k, iters=iters
+        ).collect()
+    }
+    assert got == want
+    # every vector coded once per subspace
+    assert len(got) == n * m_sub
