@@ -72,15 +72,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # tokenizer_family_comparison never driver-certified (judge-verified in
 # r9) and unigram_em_piece_usage red in r9 (oracle flake, fixed this
 # round — determinism pinned in tests/test_oracle_determinism.py).
-# Round-10 window = never/red/new 10 FIRST (family comparison + fixed
+# Round-10 window = never/red/new 11 FIRST (family comparison + fixed
 # EM entry per VERDICT r9 #1-2, then this round's additions: the two
 # new trainable families — unigram prune-and-re-estimate loop and
 # WordPiece likelihood training — their train→encode twins, the
 # trained family-comparison capstone, within-doc block dedup, and the
-# product-quantization pair), then ALL 34 displaced r6-vintage rows,
-# then the 6 alphabetically-first r7 rows. The remaining 44 r7 rows
-# lead the r11 rotation; after r10 no entry's latest green row is
-# older than r7.
+# product-quantization trio incl. ADC top-k), then ALL 34 displaced
+# r6-vintage rows, then the 5 alphabetically-first r7 rows. The
+# remaining 45 r7 rows lead the r11 rotation; after r10 no entry's
+# latest green row is older than r7.
 PRIORITY = [
     # --- never-certified / red-in-r9 / added this round (r10) ---
     "tokenizer_family_comparison",
@@ -93,6 +93,7 @@ PRIORITY = [
     "intra_doc_block_dedup",
     "embedding_pq_codes",
     "pq_subspace_error",
+    "similarity_topk_pq",
     # --- r6-vintage: the oldest certified rows, all 34 ---
     "anti_join_orderless_customers",
     "asof_latest_order_before_event",
@@ -134,8 +135,8 @@ PRIORITY = [
     "a4_pair_frequency",
     "bigram_collocations",
     "bm25_topk_docs",
-    "brand_revenue",
     # --- past the 50-query window -> lead the r11 rotation ---
+    "brand_revenue",
     "ccnet_perplexity_buckets",
     "char_entropy_scores",
     "clean_corpus_after_decontamination",

@@ -376,25 +376,72 @@ _PQ_K = 8      # sub-centroids per subspace (codes 0..7)
 _PQ_ITERS = 2  # Lloyd iterations before the reported coding
 
 
-def pq_assign(
-    spark: SparkSession,
-    sf_dir: str,
-    m_sub: int = _PQ_M,
-    k: int = _PQ_K,
-    iters: int = _PQ_ITERS,
-) -> DataFrame:
-    """(vec_id, m, code, sq_dist): the PQ coding of every vector —
-    per subspace ``m``, the id of the nearest sub-centroid after
-    ``iters`` Lloyd rounds (seeded from vec_id 0..k-1's subvectors)
-    and the exact integer squared distance to it."""
+def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv): the embedding table on the milli-unit grid."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
+    return emb.select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> cast(floor(cast(x as double)"
             f" * {_GRID!r} + 0.5) as bigint))"
         ).alias("qv"),
-    ).persist()
+    )
+
+
+def _pq_assign_expr(
+    cents: dict, m_sub: int, k: int, w: int
+) -> str:
+    """The in-row PQ assignment: per subspace, argmin over the k
+    sub-centroid literal arrays with the (d, cid) struct tie-break."""
+    per_m = []
+    for m in range(m_sub):
+        sub = f"slice(qv, {m * w + 1}, {w})"
+        cands = []
+        for cid in range(k):
+            lits = ", ".join(f"{v}L" for v in cents[(m, cid)])
+            cands.append(
+                f"named_struct('d', aggregate(zip_with({sub},"
+                f" array({lits}), (a, b) -> (a - b) * (a - b)), 0L,"
+                f" (acc, x) -> acc + x), 'c', {cid}L)"
+            )
+        per_m.append(
+            f"named_struct('m', {m}L,"
+            f" 'best', array_min(array({', '.join(cands)})))"
+        )
+    return f"array({', '.join(per_m)})"
+
+
+# Trained codebooks are tiny (M*K w-dim integer arrays) and fully
+# deterministic — memoize per (session, corpus stamp, geometry), the
+# trained_merges convention.
+_PQ_CENTS_MEMO: dict[tuple, tuple[dict, int]] = {}
+
+
+def pq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+) -> tuple[dict, int]:
+    """Train the PQ codebook: ``iters`` Lloyd rounds per subspace —
+    all subspaces in the same jobs. Returns ``(cents, w)`` where
+    ``cents[(m, cid)]`` is the integer sub-centroid and ``w`` the
+    subspace width."""
+    from datapipelinedemo_spark.memo import table_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(sf_dir, "embeddings"),
+        m_sub,
+        k,
+        iters,
+    )
+    hit = _PQ_CENTS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    q = _pq_quantized(spark, sf_dir).persist()
     seeds = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     dim = len(seeds[0].qv)
     assert dim % m_sub == 0, (dim, m_sub)
@@ -404,41 +451,20 @@ def pq_assign(
         for r in seeds
         for m in range(m_sub)
     }
-
-    def assign(frame: DataFrame) -> DataFrame:
-        per_m = []
-        for m in range(m_sub):
-            sub = f"slice(qv, {m * w + 1}, {w})"
-            cands = []
-            for cid in range(k):
-                lits = ", ".join(f"{v}L" for v in cents[(m, cid)])
-                cands.append(
-                    f"named_struct('d', aggregate(zip_with({sub},"
-                    f" array({lits}), (a, b) -> (a - b) * (a - b)), 0L,"
-                    f" (acc, x) -> acc + x), 'c', {cid}L)"
-                )
-            per_m.append(
-                f"named_struct('m', {m}L,"
-                f" 'best', array_min(array({', '.join(cands)})))"
-            )
-        return frame.select(
-            "vec_id",
-            "qv",
-            F.expr(f"array({', '.join(per_m)})").alias("res"),
-        )
-
     for _ in range(iters):
         upd = (
-            assign(q)
-            .select("vec_id", "qv", F.explode("res").alias("r"))
+            q.select(
+                "vec_id",
+                "qv",
+                F.explode(
+                    F.expr(_pq_assign_expr(cents, m_sub, k, w))
+                ).alias("r"),
+            )
             .select(
                 F.col("r.m").alias("m"),
                 F.col("r.best.c").alias("cid"),
                 F.posexplode(
-                    F.expr(
-                        "slice(qv, cast(r.m as int) * "
-                        f"{w} + 1, {w})"
-                    )
+                    F.expr(f"slice(qv, cast(r.m as int) * {w} + 1, {w})")
                 ).alias("i", "v"),
             )
             .groupBy("m", "cid", "i")
@@ -454,12 +480,33 @@ def pq_assign(
             fresh.setdefault((int(r.m), int(r.cid)), {})[int(r.i)] = int(
                 r.cv
             )
-        for key, dims in fresh.items():
-            cents[key] = [dims[i] for i in range(w)]
+        for ck, dims in fresh.items():
+            cents[ck] = [dims[i] for i in range(w)]
+    q.unpersist()
+    _PQ_CENTS_MEMO[key] = (cents, w)
+    return cents, w
 
-    out = (
-        assign(q)
-        .select("vec_id", F.explode("res").alias("r"))
+
+def pq_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+) -> DataFrame:
+    """(vec_id, m, code, sq_dist): the PQ coding of every vector —
+    per subspace ``m``, the id of the nearest sub-centroid after
+    ``iters`` Lloyd rounds (seeded from vec_id 0..k-1's subvectors)
+    and the exact integer squared distance to it."""
+    cents, w = pq_train(spark, sf_dir, m_sub, k, iters)
+    return (
+        _pq_quantized(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(_pq_assign_expr(cents, m_sub, k, w))
+            ).alias("r"),
+        )
         .select(
             "vec_id",
             F.col("r.m").alias("m"),
@@ -467,8 +514,6 @@ def pq_assign(
             F.col("r.best.d").alias("sq_dist"),
         )
     )
-    q.unpersist()
-    return out
 
 
 def _pq_cte(m_sub: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS) -> str:
@@ -580,4 +625,108 @@ def pq_subspace_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum("sq_dist").cast("long").alias("total_sq_err"),
         F.countDistinct("code").cast("long").alias("codes_used"),
+    )
+
+
+def _pq_lut_expr(cents: dict, m_sub: int, k: int, w: int) -> str:
+    """Per-query ADC lookup table, in-row: every (m, cid) partial
+    squared distance from this vector's subspace slices to the trained
+    sub-centroids — M*K bounded folds."""
+    items = []
+    for m in range(m_sub):
+        sub = f"slice(qv, {m * w + 1}, {w})"
+        for cid in range(k):
+            lits = ", ".join(f"{v}L" for v in cents[(m, cid)])
+            items.append(
+                f"named_struct('m', {m}L, 'c', {cid}L,"
+                f" 'pd', aggregate(zip_with({sub}, array({lits}),"
+                f" (a, b) -> (a - b) * (a - b)), 0L,"
+                f" (acc, x) -> acc + x))"
+            )
+    return f"array({', '.join(items)})"
+
+
+def _pq_topk_oracle(
+    m_sub: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS
+) -> str:
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    return (
+        _pq_cte(m_sub, k, iters)
+        + f"""
+    , lut AS (
+        SELECT ex.vec_id AS query_id, cf.m, cf.cid,
+               CAST(SUM((ex.qv - cf.cv) * (ex.qv - cf.cv)) AS BIGINT)
+                   AS pd
+        FROM ex JOIN c{iters} cf ON cf.m = ex.m AND cf.i = ex.i
+        WHERE ex.vec_id % {TOPK_QUERY_MOD} = 0
+        GROUP BY 1, 2, 3
+    ), adc AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(l.pd) AS BIGINT) AS d
+        FROM asg a JOIN lut l ON l.m = a.m AND l.cid = a.cid
+        WHERE a.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, d AS adc_sq_dist,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d, neighbor_id) AS rnk FROM adc)
+    WHERE rnk <= 10
+    """
+    )
+
+
+@register("similarity_topk_pq", oracle=_pq_topk_oracle())
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over the
+    PQ codes — the serving path product quantization exists for: each
+    query builds an M×K lookup table of partial squared distances to
+    the trained sub-centroids (in-row, then exploded to a tiny
+    broadcast frame), and every corpus vector's distance is the sum of
+    M table lookups on its CODES — the corpus-side scan never touches
+    the raw vectors. Same query set as the brute-force/LSH/IVF family
+    (``TOPK_QUERY_MOD``), exact BIGINT distances, (d, neighbor_id)
+    tie-break.
+
+    Scale shape: codes are M BIGINTs per vector (vs D floats), the
+    LUT is |queries|·M·K rows broadcast, the scan is one join + one
+    (query, neighbor) partial agg; at 100 TB this composes with the
+    IVF coarse quantizer (scan only the probed lists) — this entry
+    certifies the ADC arithmetic itself."""
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    cents, w = pq_train(spark, sf_dir)
+    codes = pq_assign(spark, sf_dir).select("vec_id", "m", "code")
+    lut = (
+        _pq_quantized(spark, sf_dir)
+        .filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(_pq_lut_expr(cents, _PQ_M, _PQ_K, w))
+            ).alias("l"),
+        )
+        .select(
+            "query_id",
+            F.col("l.m").alias("m"),
+            F.col("l.c").alias("code"),
+            F.col("l.pd").alias("pd"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").cast("long").alias("adc_sq_dist"))
+    )
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("query_id").orderBy(
+        "adc_sq_dist", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
     )

@@ -151,3 +151,101 @@ def test_pq_codes_match_python_reference(spark, tmp_path):
     assert got == want
     # every vector coded once per subspace
     assert len(got) == n * m_sub
+
+
+def test_pq_adc_topk_matches_python_reference(spark, tmp_path):
+    """similarity_topk_pq vs a full Python ADC mirror (train codebook,
+    code the corpus, per-query LUT, sum-of-lookups distance, (d, id)
+    tie-break, top-10) on a synthetic table with two query vectors."""
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+    from datapipelinedemo_spark.plans.ml_ops import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        similarity_topk_pq,
+    )
+
+    rng = random.Random(909)
+    n, dim = 60, 8  # dim % _PQ_M == 0
+    assert dim % _PQ_M == 0
+    vecs = [
+        [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        for _ in range(n)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(n)),
+                "embedding": [[float(x) for x in v] for v in vecs],
+                "doc_id": list(range(n)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    w = dim // _PQ_M
+    qv = [[math.floor(float(x) * 1000.0 + 0.5) for x in v] for v in vecs]
+    cents = {
+        (m, cid): qv[cid][m * w : (m + 1) * w]
+        for cid in range(_PQ_K)
+        for m in range(_PQ_M)
+    }
+
+    def best(vid, m):
+        sub = qv[vid][m * w : (m + 1) * w]
+        return min(
+            (
+                sum((a - b) ** 2 for a, b in zip(sub, cents[(m, cid)])),
+                cid,
+            )
+            for cid in range(_PQ_K)
+        )
+
+    for _ in range(_PQ_ITERS):
+        groups = {}
+        for vid in range(n):
+            for m in range(_PQ_M):
+                _, cid = best(vid, m)
+                groups.setdefault((m, cid), []).append(vid)
+        for (m, cid), vids in groups.items():
+            cents[(m, cid)] = [
+                math.floor(
+                    sum(qv[v][m * w + i] for v in vids) / len(vids)
+                )
+                for i in range(w)
+            ]
+
+    codes = {
+        (vid, m): best(vid, m)[1]
+        for vid in range(n)
+        for m in range(_PQ_M)
+    }
+    queries = [v for v in range(n) if v % TOPK_QUERY_MOD == 0]
+    assert len(queries) == 2
+    want = {}
+    for qid in queries:
+        dists = []
+        for nb in range(n):
+            if nb == qid:
+                continue
+            d = 0
+            for m in range(_PQ_M):
+                sub = qv[qid][m * w : (m + 1) * w]
+                cv = cents[(m, codes[(nb, m)])]
+                d += sum((a - b) ** 2 for a, b in zip(sub, cv))
+            dists.append((d, nb))
+        dists.sort()
+        for rnk, (d, nb) in enumerate(dists[:10], 1):
+            want[(qid, nb)] = (d, rnk)
+
+    got = {
+        (r.query_id, r.neighbor_id): (r.adc_sq_dist, r.rank)
+        for r in similarity_topk_pq(spark, str(tmp_path)).collect()
+    }
+    assert got == want
