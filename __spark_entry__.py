@@ -77,10 +77,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # new trainable families — unigram prune-and-re-estimate loop and
 # WordPiece likelihood training — their train→encode twins, the
 # trained family-comparison capstone, within-doc block dedup, and the
-# product-quantization trio incl. ADC top-k), then ALL 34 displaced
-# r6-vintage rows, then the 5 alphabetically-first r7 rows. The
-# remaining 45 r7 rows lead the r11 rotation; after r10 no entry's
-# latest green row is older than r7.
+# product-quantization quartet incl. ADC top-k and the IVF-PQ serving
+# composition), then ALL 34 displaced r6-vintage rows, then the 4
+# alphabetically-first r7 rows. The remaining 46 r7 rows lead the r11
+# rotation; after r10 no entry's latest green row is older than r7.
 PRIORITY = [
     # --- never-certified / red-in-r9 / added this round (r10) ---
     "tokenizer_family_comparison",
@@ -94,6 +94,7 @@ PRIORITY = [
     "embedding_pq_codes",
     "pq_subspace_error",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     # --- r6-vintage: the oldest certified rows, all 34 ---
     "anti_join_orderless_customers",
     "asof_latest_order_before_event",
@@ -134,8 +135,8 @@ PRIORITY = [
     "a2_smoothed_weighted_mean",
     "a4_pair_frequency",
     "bigram_collocations",
-    "bm25_topk_docs",
     # --- past the 50-query window -> lead the r11 rotation ---
+    "bm25_topk_docs",
     "brand_revenue",
     "ccnet_perplexity_buckets",
     "char_entropy_scores",

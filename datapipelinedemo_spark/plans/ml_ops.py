@@ -105,6 +105,105 @@ def _kmeans_oracle() -> str:
     )
 
 
+def _km_assign_frame(spark, frame: DataFrame, cents: dict) -> DataFrame:
+    """One Lloyd assignment pass: (vec_id, qv, m=(d, c)) under the
+    given centroid dict — literal-inlined fold for small k, broadcast
+    centroid-frame join above ``_LITERAL_K_MAX`` (identical BIGINT
+    arithmetic and (d, cid) tie-break; pytest-pinned equivalence)."""
+    if len(cents) > _LITERAL_K_MAX:
+        cdf = spark.createDataFrame(
+            [(cid, cents[cid]) for cid in sorted(cents)],
+            "cid long, cv array<bigint>",
+        )
+        d = F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        )
+        return (
+            frame.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                "qv",
+                F.struct(d.alias("d"), F.col("cid").alias("c")).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("s").alias("m"), F.first("qv").alias("__qv"))
+            .select("vec_id", F.col("__qv").alias("qv"), "m")
+        )
+    structs = []
+    for cid in sorted(cents):
+        lits = ", ".join(f"{v}L" for v in cents[cid])
+        dist = F.expr(
+            f"aggregate(zip_with(qv, array({lits}),"
+            f" (a, b) -> (a - b) * (a - b)), 0L,"
+            f" (acc, x) -> acc + x)"
+        )
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(cid).cast("long").alias("c"))
+        )
+    return frame.select("vec_id", "qv", F.least(*structs).alias("m"))
+
+
+# Coarse codebooks are k x dim integer matrices, fully deterministic —
+# memoized per (session, corpus stamp, geometry), like the PQ
+# codebooks below.
+_KM_CENTS_MEMO: dict[tuple, dict] = {}
+
+
+def kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _K,
+    iters: int = _ITERS,
+    _q: DataFrame | None = None,
+) -> dict[int, list[int]]:
+    """Train the coarse codebook: ``iters`` Lloyd rounds, seeded from
+    vec_id 0..k-1 on the milli-grid, (d, cid) tie-break, floor-divided
+    updates — the exact arithmetic ``kmeans_assign`` certifies.
+    Returns ``{cid: centroid}``."""
+    from datapipelinedemo_spark.memo import table_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(sf_dir, "embeddings"),
+        k,
+        iters,
+    )
+    hit = _KM_CENTS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    q = _pq_quantized(spark, sf_dir).persist() if _q is None else _q
+    init = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents: dict[int, list[int]] = {
+        int(r.vec_id): list(r.qv) for r in init
+    }
+    for _ in range(iters):
+        upd = (
+            _km_assign_frame(spark, q, cents)
+            .select(
+                F.col("m.c").alias("cid"),
+                F.posexplode("qv").alias("i", "v"),
+            )
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        fresh: dict[int, dict[int, int]] = {}
+        for r in upd:
+            fresh.setdefault(int(r.cid), {})[int(r.i)] = int(r.cv)
+        for cid, dims in fresh.items():
+            cents[cid] = [dims[i] for i in range(len(cents[cid]))]
+    if _q is None:
+        q.unpersist()
+    _KM_CENTS_MEMO[key] = cents
+    return cents
+
+
 def kmeans_assign(
     spark: SparkSession, sf_dir: str, k: int = _K, iters: int = _ITERS
 ) -> DataFrame:
@@ -134,84 +233,10 @@ def kmeans_assign(
     BIGINT arithmetic and (d, cid) tie-break, so the assignment is
     identical — pinned by a pytest equivalence test.
     """
-    emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> cast(floor(cast(x as double)"
-            f" * {_GRID!r} + 0.5) as bigint))"
-        ).alias("qv"),
-    ).persist()
+    q = _pq_quantized(spark, sf_dir).persist()
+    cents = dict(kmeans_train(spark, sf_dir, k, iters, _q=q))
 
-    init = (
-        q.filter(F.col("vec_id") < k)
-        .orderBy("vec_id")
-        .collect()
-    )
-    cents: dict[int, list[int]] = {int(r.vec_id): list(r.qv) for r in init}
-
-    def assign(frame: DataFrame) -> DataFrame:
-        if len(cents) > _LITERAL_K_MAX:
-            cdf = spark.createDataFrame(
-                [(cid, cents[cid]) for cid in sorted(cents)],
-                "cid long, cv array<bigint>",
-            )
-            d = F.expr(
-                "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
-                " 0L, (acc, x) -> acc + x)"
-            )
-            return (
-                frame.crossJoin(F.broadcast(cdf))
-                .select(
-                    "vec_id",
-                    "qv",
-                    F.struct(d.alias("d"), F.col("cid").alias("c")).alias("s"),
-                )
-                .groupBy("vec_id")
-                .agg(F.min("s").alias("m"), F.first("qv").alias("__qv"))
-                .select("vec_id", F.col("__qv").alias("qv"), "m")
-            )
-        structs = []
-        for cid in sorted(cents):
-            lits = ", ".join(f"{v}L" for v in cents[cid])
-            dist = F.expr(
-                f"aggregate(zip_with(qv, array({lits}),"
-                f" (a, b) -> (a - b) * (a - b)), 0L,"
-                f" (acc, x) -> acc + x)"
-            )
-            structs.append(
-                F.struct(
-                    dist.alias("d"), F.lit(cid).cast("long").alias("c")
-                )
-            )
-        return frame.select(
-            "vec_id", "qv", F.least(*structs).alias("m")
-        )
-
-    for _ in range(iters):
-        upd = (
-            assign(q)
-            .select(
-                F.col("m.c").alias("cid"),
-                F.posexplode("qv").alias("i", "v"),
-            )
-            .groupBy("cid", "i")
-            .agg(
-                F.floor(
-                    F.sum("v").cast("double") / F.count(F.lit(1))
-                )
-                .cast("long")
-                .alias("cv")
-            )
-            .collect()
-        )
-        fresh: dict[int, dict[int, int]] = {}
-        for r in upd:
-            fresh.setdefault(int(r.cid), {})[int(r.i)] = int(r.cv)
-        for cid, dims in fresh.items():
-            cents[cid] = [dims[i] for i in range(len(cents[cid]))]
-
-    out = assign(q).select(
+    out = _km_assign_frame(spark, q, cents).select(
         "vec_id",
         F.col("m.c").alias("cluster"),
         F.col("m.d").alias("sq_dist"),
@@ -718,6 +743,152 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").cast("long").alias("adc_sq_dist"))
+    )
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("query_id").orderBy(
+        "adc_sq_dist", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )
+
+
+_IVFPQ_NPROBE = 2
+
+
+def _pq_cte_prefixed(p: str) -> str:
+    """``_pq_cte`` with every CTE name prefixed ``p`` (word-boundary
+    token rename), so it composes with ``_kmeans_cte`` — whose names
+    (ex, c0.., afin, asg) would otherwise collide — in one WITH chain.
+    The leading ``WITH`` is rewritten to a continuation comma."""
+    import re
+
+    sql = _pq_cte()
+    names = ["exj", "ex", "afin", "asg"]
+    for t in range(_PQ_ITERS + 1):
+        names.append(f"c{t}")
+    for t in range(_PQ_ITERS):
+        names += [f"a{t}", f"s{t}", f"u{t + 1}"]
+    for n in sorted(names, key=len, reverse=True):
+        sql = re.sub(rf"\b{n}\b", f"{p}{n}", sql)
+    head = f"\n    WITH {p}exj AS ("
+    assert sql.startswith(head), sql[:60]
+    return sql.replace("WITH ", ", ", 1)
+
+
+def _ivfpq_oracle() -> str:
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    return (
+        _kmeans_cte()  # coarse lists: afin (all query-centroid dists), asg
+        + _pq_cte_prefixed("pq")  # codes: pqasg; centroids: pqc{iters}
+        + f"""
+    , probe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM afin WHERE vec_id % {TOPK_QUERY_MOD} = 0
+        ) WHERE rn <= {_IVFPQ_NPROBE}
+    ), lut AS (
+        SELECT pe.vec_id AS query_id, cf.m, cf.cid,
+               CAST(SUM((pe.qv - cf.cv) * (pe.qv - cf.cv)) AS BIGINT)
+                   AS pd
+        FROM pqex pe JOIN pqc{_PQ_ITERS} cf
+          ON cf.m = pe.m AND cf.i = pe.i
+        WHERE pe.vec_id % {TOPK_QUERY_MOD} = 0
+        GROUP BY 1, 2, 3
+    ), cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM asg a JOIN probe p ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id
+    ), adcd AS (
+        SELECT c.query_id, c.neighbor_id, CAST(SUM(l.pd) AS BIGINT) AS d
+        FROM cand c
+        JOIN pqasg pa ON pa.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.m = pa.m AND l.cid = pa.cid
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, d AS adc_sq_dist,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d, neighbor_id) AS rnk FROM adcd)
+    WHERE rnk <= 10
+    """
+    )
+
+
+@register("similarity_topk_ivfpq", oracle=_ivfpq_oracle())
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-vector serving composition, certified end to end:
+    IVF coarse quantizer (the certified k-means codebook) prunes the
+    corpus to each query's ``nprobe``=2 nearest lists, then ADC over
+    the PQ codes ranks ONLY those candidates — the corpus-side scan
+    touches M code-BIGINTs per candidate vector and nothing else.
+    Exact BIGINT arithmetic and (d, cid)/(d, neighbor) tie-breaks all
+    the way down, so the two-level approximation is bit-reproducible
+    in both engines.
+
+    Scale shape: probe selection is in-row per query against the
+    k-centroid literal table; candidates = one join against the
+    (vec_id, cluster) list assignment (cluster-partitionable at
+    scale); ADC = one broadcast-LUT join + one (query, neighbor)
+    partial agg over the PRUNED set — work scales with nprobe/k of
+    the corpus, not the corpus."""
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    coarse_cents = kmeans_train(spark, sf_dir)
+    lists = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    pq_cents, w = pq_train(spark, sf_dir)
+    codes = pq_assign(spark, sf_dir).select("vec_id", "m", "code")
+    queries = _pq_quantized(spark, sf_dir).filter(
+        F.col("vec_id") % TOPK_QUERY_MOD == 0
+    )
+
+    cand_structs = []
+    for cid in sorted(coarse_cents):
+        lits = ", ".join(f"{v}L" for v in coarse_cents[cid])
+        cand_structs.append(
+            f"named_struct('d', aggregate(zip_with(qv, array({lits}),"
+            f" (a, b) -> (a - b) * (a - b)), 0L,"
+            f" (acc, x) -> acc + x), 'c', {cid}L)"
+        )
+    probe = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.expr(
+                f"slice(array_sort(array({', '.join(cand_structs)})),"
+                f" 1, {_IVFPQ_NPROBE})"
+            )
+        ).alias("p"),
+    ).select("query_id", F.col("p.c").alias("cluster"))
+
+    lut = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.expr(_pq_lut_expr(pq_cents, _PQ_M, _PQ_K, w))
+        ).alias("l"),
+    ).select(
+        "query_id",
+        F.col("l.m").alias("m"),
+        F.col("l.c").alias("code"),
+        F.col("l.pd").alias("pd"),
+    )
+
+    cand = (
+        lists.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(codes, cand.neighbor_id == codes.vec_id)
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pd").cast("long").alias("adc_sq_dist"))
     )
     from pyspark.sql import Window

@@ -249,3 +249,42 @@ def test_pq_adc_topk_matches_python_reference(spark, tmp_path):
         for r in similarity_topk_pq(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_ivfpq_is_consistent_pruning_of_full_adc(spark, sf_dir):
+    """similarity_topk_ivfpq must (a) only return neighbors whose
+    coarse list is among the query's nprobe nearest lists, and (b)
+    agree with the FULL ADC scan on every (query, neighbor) distance
+    it returns — pruning changes the candidate set, never the
+    arithmetic."""
+    from datapipelinedemo_spark.plans.ml_ops import (
+        similarity_topk_ivfpq,
+        similarity_topk_pq,
+        kmeans_assign,
+    )
+
+    ivf = {
+        (r.query_id, r.neighbor_id): r.adc_sq_dist
+        for r in similarity_topk_ivfpq(spark, sf_dir).collect()
+    }
+    assert ivf
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_sq_dist
+        for r in similarity_topk_pq(spark, sf_dir).collect()
+    }
+    lists = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(spark, sf_dir).collect()
+    }
+    # (b): any pair present in both rankings carries the same distance
+    for key, d in ivf.items():
+        if key in full:
+            assert full[key] == d, key
+    # (a): per query, all returned neighbors come from <= nprobe lists
+    from collections import defaultdict
+
+    per_q = defaultdict(set)
+    for (q, nb) in ivf:
+        per_q[q].add(lists[nb])
+    for q, used in per_q.items():
+        assert len(used) <= 2, (q, used)
