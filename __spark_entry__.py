@@ -77,10 +77,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # new trainable families — unigram prune-and-re-estimate loop and
 # WordPiece likelihood training — their train→encode twins, the
 # trained family-comparison capstone, within-doc block dedup, and the
-# product-quantization quartet incl. ADC top-k and the IVF-PQ serving
-# composition), then ALL 34 displaced r6-vintage rows, then the 4
-# alphabetically-first r7 rows. The remaining 46 r7 rows lead the r11
-# rotation; after r10 no entry's latest green row is older than r7.
+# product-quantization family incl. ADC top-k, the IVF-PQ serving
+# composition, and recall@10 measurement), then ALL 34 displaced
+# r6-vintage rows, then the 3 alphabetically-first r7 rows. The
+# remaining 47 r7 rows lead the r11 rotation; after r10 no entry's
+# latest green row is older than r7.
 PRIORITY = [
     # --- never-certified / red-in-r9 / added this round (r10) ---
     "tokenizer_family_comparison",
@@ -95,6 +96,7 @@ PRIORITY = [
     "pq_subspace_error",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "pq_recall_at_10",
     # --- r6-vintage: the oldest certified rows, all 34 ---
     "anti_join_orderless_customers",
     "asof_latest_order_before_event",

@@ -901,3 +901,138 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
     )
+
+
+def _pq_recall_oracle() -> str:
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    ivfpq = _ivfpq_oracle()
+    # reuse the whole composed chain up to adcd, drop its final SELECT
+    cut = "\n    SELECT query_id, neighbor_id, d AS adc_sq_dist,"
+    assert ivfpq.count(cut) == 1
+    chain = ivfpq[: ivfpq.index(cut)]
+    return (
+        chain
+        + f"""
+    , adc_all AS (
+        SELECT l.query_id, pa.vec_id AS neighbor_id,
+               CAST(SUM(l.pd) AS BIGINT) AS d
+        FROM pqasg pa JOIN lut l ON l.m = pa.m AND l.cid = pa.cid
+        WHERE pa.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ), pq10 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM adc_all
+        ) WHERE rnk <= 10
+    ), ivf10 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM adcd
+        ) WHERE rnk <= 10
+    ), gtd AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+        FROM pqex a JOIN pqex b ON a.m = b.m AND a.i = b.i
+        WHERE a.vec_id % {TOPK_QUERY_MOD} = 0 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2
+    ), gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM gtd
+        ) WHERE rnk <= 10
+    ), nq AS (
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS gt_pairs
+        FROM gt
+    ), hp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS pq_hits
+        FROM gt JOIN pq10 USING (query_id, neighbor_id)
+    ), hi AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ivfpq_hits
+        FROM gt JOIN ivf10 USING (query_id, neighbor_id)
+    )
+    SELECT n_queries, gt_pairs, pq_hits, ivfpq_hits,
+           round(CAST(pq_hits AS DOUBLE) / gt_pairs, 6) AS pq_recall,
+           round(CAST(ivfpq_hits AS DOUBLE) / gt_pairs, 6)
+               AS ivfpq_recall
+    FROM nq CROSS JOIN hp CROSS JOIN hi
+    """
+    )
+
+
+@register("pq_recall_at_10", oracle=_pq_recall_oracle())
+def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two approximate search paths against the EXACT
+    quantized-L2 top-10 (same milli-grid, same (d, id) tie-break) —
+    the measurement that decides M/K/nprobe before a codebook ships.
+    One row: query count, ground-truth pairs, hit counts, recalls.
+
+    Scale shape: the ground-truth scan is the brute-force frame the
+    exactness baseline already pays (query-set × corpus, in-row
+    folds); everything else is semi-joins between top-10 frames. At
+    100 TB this runs on a SAMPLED query set by construction
+    (TOPK_QUERY_MOD)."""
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    q = _pq_quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qc")
+    )
+    from pyspark.sql import Window
+
+    gtd = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qq, qc, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    gt = (
+        gtd.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    pq10 = similarity_topk_pq(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf10 = similarity_topk_ivfpq(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    nq = gt.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("gt_pairs"),
+    )
+    hp = (
+        gt.join(pq10, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("pq_hits"))
+    )
+    hi = (
+        gt.join(ivf10, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("ivfpq_hits"))
+    )
+    return (
+        nq.crossJoin(hp)
+        .crossJoin(hi)
+        .select(
+            "n_queries",
+            "gt_pairs",
+            "pq_hits",
+            "ivfpq_hits",
+            F.round(
+                F.col("pq_hits").cast("double") / F.col("gt_pairs"), 6
+            ).alias("pq_recall"),
+            F.round(
+                F.col("ivfpq_hits").cast("double") / F.col("gt_pairs"), 6
+            ).alias("ivfpq_recall"),
+        )
+    )
