@@ -136,8 +136,8 @@ PRIORITY = [
     "a1_weighted_monthly_frequency",
     "a2_smoothed_weighted_mean",
     "a4_pair_frequency",
-    "bigram_collocations",
     # --- past the 50-query window -> lead the r11 rotation ---
+    "bigram_collocations",
     "bm25_topk_docs",
     "brand_revenue",
     "ccnet_perplexity_buckets",
