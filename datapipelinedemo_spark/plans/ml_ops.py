@@ -1,7 +1,9 @@
 """ML-adjacent analytics: deterministic Lloyd's k-means over the
-embedding table and closed-form per-group OLS regression.
+embedding table, closed-form per-group OLS regression, and the
+product-quantization family (codebook training, coding, ADC top-k,
+the IVF-PQ serving composition, recall@10 vs exact).
 
-Both follow the repo's iterative-exactness playbook (PageRank
+All follow the repo's iterative-exactness playbook (PageRank
 precedent, ``plans/graph_ops.py``): put the data on an integer grid
 first, keep every aggregation in exact BIGINT arithmetic, and only
 surface doubles through single, operation-mirrored expressions — so
