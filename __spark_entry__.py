@@ -78,10 +78,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # WordPiece likelihood training — their train→encode twins, the
 # trained family-comparison capstone, within-doc block dedup, and the
 # product-quantization family incl. ADC top-k, the IVF-PQ serving
-# composition, and recall@10 measurement), then ALL 34 displaced
-# r6-vintage rows, then the 3 alphabetically-first r7 rows. The
-# remaining 47 r7 rows lead the r11 rotation; after r10 no entry's
-# latest green row is older than r7.
+# composition, recall@10 measurement, and the streaming PQ-coding
+# batch twin), then ALL 34 displaced r6-vintage rows, then the 2
+# alphabetically-first r7 rows. The remaining 48 r7 rows lead the r11
+# rotation; after r10 no entry's latest green row is older than r7.
 PRIORITY = [
     # --- never-certified / red-in-r9 / added this round (r10) ---
     "tokenizer_family_comparison",
@@ -97,6 +97,7 @@ PRIORITY = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "pq_recall_at_10",
+    "streaming_pq_code_batch",
     # --- r6-vintage: the oldest certified rows, all 34 ---
     "anti_join_orderless_customers",
     "asof_latest_order_before_event",
@@ -135,8 +136,8 @@ PRIORITY = [
     # --- oldest r7-vintage (alphabetical; all same freshness) ---
     "a1_weighted_monthly_frequency",
     "a2_smoothed_weighted_mean",
-    "a4_pair_frequency",
     # --- past the 50-query window -> lead the r11 rotation ---
+    "a4_pair_frequency",
     "bigram_collocations",
     "bm25_topk_docs",
     "brand_revenue",

@@ -1038,3 +1038,41 @@ def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ivfpq_recall"),
         )
     )
+
+
+@register(
+    "streaming_pq_code_batch",
+    oracle=_pq_cte()
+    + """
+    SELECT vec_id, m, cid AS code, d AS sq_dist
+    FROM asg WHERE vec_id % 10 = 0
+    """,
+)
+def streaming_pq_code_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch body of a PQ-coded ingest stream: a later micro-batch
+    (vec_id % 10 == 0) arrives raw and is coded against the FROZEN
+    codebook — in production the codebook freezes when the serving
+    index is built, and every subsequent batch is coded incrementally
+    (codes append to the index; the codebook never retrains
+    mid-generation, or stored codes would silently mean different
+    centroids). The assignment is MAP-ONLY: centroid literals in one
+    in-row fold, zero shuffles for the batch — the cheapest possible
+    admission step. tests/test_ml_ops.py drives the same body through
+    a REAL micro-batch stream and pins snapshot equality."""
+    cents, w = pq_train(spark, sf_dir)
+    return (
+        _pq_quantized(spark, sf_dir)
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(_pq_assign_expr(cents, _PQ_M, _PQ_K, w))
+            ).alias("r"),
+        )
+        .select(
+            "vec_id",
+            F.col("r.m").alias("m"),
+            F.col("r.best.c").alias("code"),
+            F.col("r.best.d").alias("sq_dist"),
+        )
+    )

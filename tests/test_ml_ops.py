@@ -288,3 +288,88 @@ def test_ivfpq_is_consistent_pruning_of_full_adc(spark, sf_dir):
         per_q[q].add(lists[nb])
     for q, used in per_q.items():
         assert len(used) <= 2, (q, used)
+
+
+def test_streaming_pq_coding_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Drive the PQ-coding admission body through a REAL micro-batch
+    stream (map-only: codebook literals, no shuffle, no state) and pin
+    snapshot equality with the certified batch twin."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.ml_ops import (
+        _PQ_K,
+        _PQ_M,
+        _pq_assign_expr,
+        _pq_quantized,
+        pq_train,
+        streaming_pq_code_batch,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    want = {
+        (r.vec_id, r.m): (r.code, r.sq_dist)
+        for r in streaming_pq_code_batch(spark, sf_dir).collect()
+    }
+    assert want
+
+    src = str(tmp_path / "emb_stream")
+    batch = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    batch.select("vec_id", "embedding").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    cents, w = pq_train(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from datapipelinedemo_spark.plans.ml_ops import _GRID
+
+    coded = (
+        stream.select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> cast(floor(cast(x as double)"
+                f" * {_GRID!r} + 0.5) as bigint))"
+            ).alias("qv"),
+        )
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(_pq_assign_expr(cents, _PQ_M, _PQ_K, w))
+            ).alias("r"),
+        )
+        .select(
+            "vec_id",
+            F.col("r.m").alias("m"),
+            F.col("r.best.c").alias("code"),
+            F.col("r.best.d").alias("sq_dist"),
+        )
+    )
+    qname = f"pqstream_{uuid.uuid4().hex}"
+    q = (
+        coded.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        got = {
+            (r.vec_id, r.m): (r.code, r.sq_dist)
+            for r in spark.table(qname).collect()
+        }
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(qname)
+    assert got == want
+    assert n_batches >= 2  # really multi-batch (maxFilesPerTrigger=1)
