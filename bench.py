@@ -52,13 +52,29 @@ HEADLINE = [
 ]
 
 
-# Reference time of the calibration probe on an idle build box
-# (measured r10, min of 2 on local[32]); drift = calib_now / CALIB_REF
-# is the host-load correction factor — r9's diffuse 1.2x inflation on
-# untouched queries exceeded any real regression the bench could
-# catch (VERDICT r9 #5), so per-round comparisons should divide by
-# drift before flagging a query.
-CALIB_REF = 0.66  # r10 idle-box measurement (3 probes: 0.71/0.65/0.62)
+# Reference time of the calibration probe on an idle build box, keyed
+# by host identity in fixtures/calib_ref.json (ADVICE r10: a constant
+# baked into source silently mis-normalizes on any other host — the
+# reference only applies to the host that produced it; elsewhere drift
+# is emitted as null). drift = calib_now / ref is the host-load
+# correction factor — r9's diffuse 1.2x inflation on untouched queries
+# exceeded any real regression the bench could catch (VERDICT r9 #5),
+# so per-round comparisons divide by drift before flagging a query.
+def _calib_ref() -> tuple[float | None, str]:
+    import platform
+
+    host_key = f"{platform.node()}|{os.cpu_count()}"
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "calib_ref.json",
+    )
+    try:
+        with open(path) as fh:
+            entry = json.load(fh)["refs"].get(host_key)
+    except (OSError, ValueError, KeyError):
+        entry = None
+    return (entry["ref"] if entry else None), host_key
 
 
 def _calibration_probe(spark) -> float:
@@ -168,8 +184,48 @@ def main() -> None:
         sum(t for t in amortized.values() if t >= 0), 3
     )
     calib = round((calib_pre + calib_post) / 2, 3)
-    drift = round(calib / CALIB_REF, 3) if CALIB_REF else None
+    calib_ref, host_key = _calib_ref()
+    drift = round(calib / calib_ref, 3) if calib_ref else None
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # VERDICT r10 #8: the opaque value_drift_normalized scalar is
+    # replaced by the per-query ratios it summarized — each shared
+    # query's (t_now / drift_now) / (t_prev / drift_prev) against the
+    # newest BENCH_r*.json artifact, so a reader sees exactly which
+    # queries moved after host-load correction. >1.5x rows are
+    # surfaced separately (the flag -> isolated-re-run workflow).
+    import glob
+
+    prev_path, prev = None, None
+    cands = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r[0-9][0-9].json",
+            )
+        )
+    )
+    if cands:
+        prev_path = cands[-1]
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = None
+    normalized_vs_prev: dict[str, float] = {}
+    if prev and isinstance(prev.get("queries"), dict):
+        prev_drift = prev.get("drift") or 1.0
+        cur_drift = drift or 1.0
+        for name, t_prev in prev["queries"].items():
+            t_now = times.get(name)
+            if t_now and t_now > 0 and t_prev and t_prev > 0:
+                normalized_vs_prev[name] = round(
+                    (t_now / cur_drift) / (t_prev / prev_drift), 3
+                )
+    flagged = {
+        n: r for n, r in normalized_vs_prev.items() if r > 1.5
+    }
+
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -184,10 +240,14 @@ def main() -> None:
         # before comparing rounds (CALIB_REF = idle-box probe time)
         "calib_pre": calib_pre,
         "calib_post": calib_post,
+        "calib_ref": calib_ref,
+        "calib_host": host_key,
         "drift": drift,
-        "value_drift_normalized": (
-            round(total / drift, 3) if drift else None
+        "prev_artifact": (
+            os.path.basename(prev_path) if prev_path else None
         ),
+        "normalized_vs_prev": normalized_vs_prev,
+        "flagged_over_1p5x": flagged,
     }
     # The driver records a bounded 2000-char TAIL of stdout; with 150+
     # queries the full payload is ~3x that, so a single full line gets
@@ -213,10 +273,9 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "n_queries": len(times),
         "calib": calib,
+        "calib_ref": calib_ref,
         "drift": drift,
-        "value_drift_normalized": (
-            round(total / drift, 3) if drift else None
-        ),
+        "flagged_over_1p5x": flagged,
         "full": "BENCH_LOCAL.json",
         "queries": {},
     }

@@ -218,6 +218,50 @@ def ensure_dir(dest: str, build) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def append_frame(dest: str, name: str, build) -> str:
+    """Commit ONE MORE frame dir ``dest/name`` into an existing
+    committed index — the ingest-append step of a serving index
+    (streaming PQ admission, incremental dedup): the base generation
+    is immutable, each admitted batch lands as its own
+    manifest-pinned frame, and readers union the frames. Idempotent:
+    an already-committed valid ``dest/name`` is kept as-is (batch
+    content is deterministic per batch id); a half-written or
+    corrupted one is replaced. Same tmp-build → manifest → atomic
+    rename protocol as ``ensure_dir``, so concurrent appenders of the
+    same batch race benignly. Returns the committed frame dir."""
+    frame = os.path.join(dest, name)
+    m = _load_manifest(frame)
+    if m is not None and _check_frame(frame, m) is None:
+        return frame
+    if os.path.isdir(frame):
+        trash = frame + f".stale-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(frame, trash)
+        except OSError:
+            pass
+        else:
+            shutil.rmtree(trash, ignore_errors=True)
+    tmp = frame + f".tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        build(tmp)
+        if not _is_frame_dir(tmp):
+            raise IndexIntegrityError(
+                f"batch append for {frame!r} wrote no parquet files"
+            )
+        write_manifest(tmp)
+        try:
+            os.rename(tmp, frame)
+        except OSError:
+            m = _load_manifest(frame)
+            if m is None or _check_frame(frame, m) is not None:
+                raise IndexIntegrityError(
+                    f"concurrent append of {frame!r} left an invalid dir"
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return frame
+
+
 def read_frame(spark: SparkSession, frame_dir: str) -> DataFrame:
     """Scan exactly the manifest's part files, re-checking footers
     first. Raises ``IndexIntegrityError`` on a missing manifest, a

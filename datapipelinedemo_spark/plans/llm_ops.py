@@ -1312,23 +1312,56 @@ def _stateful_source_dir(spark: SparkSession, sf_dir: str) -> str:
     # session reuses ONE stable dir per corpus version instead of
     # accreting a /tmp copy per application (ADVICE r9). md5, not
     # hash(): PYTHONHASHSEED randomizes str hashing per process.
+    # ADVICE r10: the uid is in the path (no cross-user tmp-squatting
+    # on a shared host), ownership is verified before trusting a
+    # pre-existing dir, and the write goes to a unique temp dir that
+    # is atomically renamed into place — two concurrent processes race
+    # benignly (one rename wins, the loser reuses the winner's dir).
     key = (sf_dir, table_stamp(sf_dir, "events"))
     d = _STATEFUL_SRC.get(key)
     if d is None:
         tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+        uid = os.getuid()
         d = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_stateful_{tag}"
+            tempfile.gettempdir(), f"spark_graft_stateful_{uid}_{tag}"
         )
-        # _SUCCESS gates reuse across processes: a dir left by a
-        # killed mid-write run is rewritten, a complete one is reused
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+
+        def _owned_complete(path: str) -> bool:
+            try:
+                return (
+                    os.stat(path).st_uid == uid
+                    and os.path.exists(os.path.join(path, "_SUCCESS"))
+                )
+            except OSError:
+                return False
+
+        if not _owned_complete(d):
+            stage = tempfile.mkdtemp(
+                prefix=f"spark_graft_stateful_{uid}_{tag}_stage_"
+            )
+            out = os.path.join(stage, "data")
             (
                 table(spark, sf_dir, "events")
                 .select("user_id", "ts", "value")
                 .repartition(4)
                 .write.mode("overwrite")
-                .parquet(d)
+                .parquet(out)
             )
+            try:
+                os.rename(out, d)  # atomic publish (same tmpfs)
+            except OSError:
+                # lost the race (or a stale non-owned dir squats the
+                # name): reuse the existing dir only if it is ours and
+                # complete, else fall back to the private staged copy
+                if _owned_complete(d):
+                    import shutil
+
+                    shutil.rmtree(out, ignore_errors=True)
+                else:
+                    d = out
+            finally:
+                if os.path.isdir(stage) and not os.listdir(stage):
+                    os.rmdir(stage)
         _STATEFUL_SRC[key] = d
     return d
 
@@ -2445,11 +2478,19 @@ def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here even when no other document shares the text. Same fixed 4-word
 # block segmenter seam (split('\n') on real web data).
 #
-# Scale shape: ENTIRELY in-row — blocks built by one transform over a
-# sequence, the keep-first filter compares each block's first
-# occurrence index to its own position (O(blocks^2) per doc, bounded
-# by document length, zero shuffles beyond the scan); nothing leaves
-# the row, so the operator composes into any corpus pass for free.
+# Scale shape (r11, VERDICT r10 "What's wrong #1"): LINEAR in blocks.
+# The r10 version kept everything in-row but paid an
+# ``array_position`` linear scan per block — O(blocks^2) inside ONE
+# task, so a single book-length document (200k words -> 50k blocks ->
+# 2.5e9 comparisons) became an unsplittable straggler. This shape is
+# the same one ``c4_line_dedup_frame`` uses: posexplode ->
+# groupBy(doc_id, blk).agg(min(idx), count) -> rejoin ordered by
+# first index. Two shuffles keyed by (doc_id, blk) then doc_id, both
+# partial-aggregated map-side, each O(blocks) total — a 50k-block
+# document costs 50k rows through a hash aggregate instead of 2.5e9
+# comparisons, and skewed (long) documents split across tasks at the
+# (doc_id, blk) grain. Semantics unchanged (keep FIRST occurrence,
+# preserve order); certified hash-equal to the r10 entry.
 # --------------------------------------------------------------------------
 @register(
     "intra_doc_block_dedup",
@@ -2486,28 +2527,61 @@ def intra_doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep-first, order preserved) — the within-doc half of line-level
     dedup; ``c4_line_dedup`` is the cross-doc half."""
     docs = table(spark, sf_dir, "documents")
-    b = F.lit(_C4_B)
-    words = F.split(F.col("text"), " ")
+    return intra_doc_block_dedup_frame(docs)
+
+
+def intra_doc_block_dedup_frame(
+    docs: DataFrame, block_words: int = _C4_B
+) -> DataFrame:
+    """Linear keep-first within-doc block dedup (see banner above).
+
+    posexplode(blocks) -> groupBy(doc_id, blk) {min(idx), count} ->
+    groupBy(doc_id) rejoin sorted by first index.  O(blocks) total,
+    no per-row quadratic scan, so a single 50k-block document is a
+    hash-aggregate workload rather than a one-task straggler.
+
+    The word array is materialized as a COLUMN before the block
+    lambda references it: embedding the ``split(text)`` expression
+    inside the higher-order ``transform`` would re-split the whole
+    document once per block index (a hidden O(words x blocks)
+    re-evaluation — the lambda body is evaluated per element, and a
+    non-attribute subexpression inside it is not hoisted), which is
+    exactly the quadratic this rewrite removes. Bound attribute
+    references are O(1) per iteration.
+    """
+    b = F.lit(block_words)
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    words = F.col("words")
     nblk = F.ceil(F.size(words) / b.cast("double")).cast("long")
     blocks = F.transform(
         F.sequence(F.lit(0).cast("long"), nblk - F.lit(1)),
         lambda i: F.array_join(
-            F.slice(words, (i * b + 1).cast("int"), _C4_B), " "
+            F.slice(words, (i * b + 1).cast("int"), block_words), " "
         ),
     )
-    staged = docs.select("doc_id", blocks.alias("blocks"))
-    # Spark lambda index is 0-based; array_position is first-match
-    kept = F.filter(
-        F.col("blocks"),
-        lambda x, i: F.array_position(F.col("blocks"), x) == i + 1,
+    ex = staged.select(
+        "doc_id", F.posexplode(blocks).alias("idx", "blk")
     )
-    return staged.select(
-        "doc_id",
-        F.size("blocks").cast("int").alias("n_blocks"),
-        (F.size("blocks") - F.size(kept)).cast("int").alias(
+    per_block = ex.groupBy("doc_id", "blk").agg(
+        F.min("idx").alias("first_idx"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    return per_block.groupBy("doc_id").agg(
+        F.sum("occ").cast("int").alias("n_blocks"),
+        (F.sum("occ") - F.count(F.lit(1))).cast("int").alias(
             "removed_blocks"
         ),
-        F.array_join(kept, " ").alias("cleaned_text"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("first_idx", "blk"))
+                ),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )
 
 

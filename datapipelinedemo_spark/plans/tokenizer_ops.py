@@ -1561,6 +1561,11 @@ def train_unigram(
         if prev is not None:
             prev.unpersist()
         raise
+    # ADVICE r10: the success path used to leak the second-to-last
+    # checkpoint — cur is an EAGER localCheckpoint, so prev's blocks
+    # are not part of its lineage and can be dropped here.
+    if prev is not None:
+        prev.unpersist()
     return cur
 
 
@@ -1830,7 +1835,16 @@ def _uv_trained_encode_oracle() -> str:
     tail = vit[vit.index(cut) :]
     assert tail.count("JOIN scored sc") == 1
     tail = tail.replace("JOIN scored sc", f"JOIN sc{UV_TRAIN_ROUNDS} sc")
-    tail = tail.replace("wsp", "wspf")
+    # ADVICE r10: word-boundary rename with an occurrence assertion
+    # (the `_pq_cte_prefixed` convention) — a substring replace would
+    # silently corrupt the SQL if 'wsp' ever appears inside another
+    # token or a comment in the certified viterbi tail.
+    import re
+
+    n_wsp = len(re.findall(r"\bwsp\b", tail))
+    assert n_wsp == 2, n_wsp
+    tail = re.sub(r"\bwsp\b", "wspf", tail)
+    assert len(re.findall(r"\bwspf\b", tail)) == n_wsp
     tail = tail.replace(
         "AS n_unigram_tokens", "AS n_unigram_trained_tokens"
     )

@@ -93,3 +93,38 @@ def test_em_backtrack_is_recursive_not_fold(oracles):
     # the DP (seg) may fold; the BACKTRACK may not
     tail = sql[sql.index(", walk AS (") :]
     assert "list_reduce(" not in tail
+
+
+def test_unigram_training_singles_survive_every_round(con, oracles):
+    """ADVICE r10: the trained-encode oracle's recursive backtrack
+    terminates only because every single-character piece keeps a
+    finite score each round (the coverage fallback). The Spark side
+    keeps singles by construction (train_unigram's ``sing`` frame);
+    this pins the ORACLE's prune path to the same invariant, so a
+    future pruning change fails loudly here instead of silently
+    dropping words from usage counts."""
+    tr = oracles["unigram_train_rounds_3"]
+    fin = "\n    SELECT piece, usage, nll6 FROM sc3\n    "
+    assert tr.endswith(fin), tr[-80:]
+    prefix = tr[: -len(fin)]
+    base = set(
+        r[0]
+        for r in con.execute(
+            prefix
+            + "\n    SELECT piece FROM scored WHERE length(piece) = 1"
+        ).fetchall()
+    )
+    assert base, "empty single-char alphabet?"
+    for k in (1, 2, 3):
+        got = set(
+            r[0]
+            for r in con.execute(
+                prefix
+                + f"\n    SELECT piece FROM sc{k}"
+                  " WHERE length(piece) = 1"
+            ).fetchall()
+        )
+        assert got == base, (
+            f"round {k} dropped single-char pieces: "
+            f"{sorted(base - got)[:10]}"
+        )
