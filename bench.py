@@ -213,6 +213,8 @@ def main() -> None:
         except (OSError, ValueError):
             prev = None
     normalized_vs_prev: dict[str, float] = {}
+    if prev and prev.get("sf") != (float(sf) if sf else None):
+        prev = None  # cross-sf ratios are meaningless
     if prev and isinstance(prev.get("queries"), dict):
         prev_drift = prev.get("drift") or 1.0
         cur_drift = drift or 1.0

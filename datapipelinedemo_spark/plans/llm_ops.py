@@ -1287,6 +1287,66 @@ def streaming_embedding_vs_corpus(
     )
 
 
+# A production ingest batch is bounded by the ADMISSION RATE (what
+# arrived since the last trigger), not by corpus size — the certified
+# vs_corpus entry above keeps the historical 10%-of-corpus slice
+# (whose cost therefore grows WITH the corpus: its ~0.9 scale exponent
+# is the batch growing, not the screen degrading), while this variant
+# certifies the fixed-size admission shape: the batch is capped at a
+# constant vector count no matter the corpus scale, so per-batch cost
+# is O(batch x hit-rate) against the stored index and the exponent
+# reflects only index probing.
+_EMB_BATCH_CAP = 2_000
+
+
+@register(
+    "streaming_embedding_vs_corpus_capped",
+    oracle="WITH "
+    + _EMB_KEYS_CTE
+    + f"""
+    , bk AS (SELECT * FROM keys
+             WHERE vec_id % 10 = 0 AND vec_id < {_EMB_BATCH_CAP}),
+    ck AS (SELECT * FROM keys WHERE vec_id % 10 <> 0),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS id_new, y.vec_id AS id_corpus,
+               'vs_corpus' AS pair_type
+        FROM bk x JOIN ck y ON x.band = y.band AND x.key = y.key
+        UNION ALL
+        SELECT DISTINCT x.vec_id AS id_new, y.vec_id AS id_corpus,
+               'in_batch' AS pair_type
+        FROM bk x JOIN bk y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+    )
+    """
+    + _EMB_SCORE,
+)
+def streaming_embedding_vs_corpus_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`streaming_embedding_vs_corpus` with the batch capped at a
+    FIXED vector count (VERDICT r10 #6) — the fixed-size admission
+    step a production trigger actually pays: signing cost is constant
+    per batch, the corpus participates only through band/key index
+    probes, and the whole screen stays sub-linear in corpus scale.
+    Same stored-index corpus side, same scoring, same tau."""
+    from datapipelinedemo_spark.operators.ann_index import lsh_index
+    from datapipelinedemo_spark.streaming.dedup import embedding_batch_pairs
+
+    batch = table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < _EMB_BATCH_CAP)
+    )
+    corpus = lsh_index(spark, sf_dir, planes=16, bands=4, dim=64).filter(
+        F.col("neighbor_id") % 10 != 0
+    )
+    _, pairs = embedding_batch_pairs(batch, corpus, threshold=NEARDUP_TAU)
+    return pairs.select(
+        "id_new",
+        "id_corpus",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "pair_type",
+    )
+
+
 # --------------------------------------------------------------------------
 # Custom stateful streaming, certified: applyInPandasWithState driven
 # through a REAL multi-batch stream inside the catalog entry — the

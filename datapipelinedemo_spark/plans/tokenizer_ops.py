@@ -1897,6 +1897,255 @@ def unigram_trained_token_counts(
     )
 
 
+# --------------------------------------------------------------------------
+# Byte fallback under the TRAINED unigram vocab (VERDICT r10 #7).
+# Modern LLM tokenizers guarantee total coverage without giving every
+# rare character its own piece: SentencePiece's character_coverage
+# (default 0.9995) leaves the rarest alphabet entries OUT of the
+# vocab, and encoding falls back to byte pieces (<0x41>...) exactly
+# where no vocab piece covers. Model here: the UV_BF_DROP
+# lowest corpus-frequency characters fall outside the coverage
+# budget, every piece CONTAINING an uncovered
+# char leaves the vocab with them (it could never have been trained),
+# and the Viterbi lattice gains one byte-fallback edge per character
+# position — octet_length(char) tokens at a per-byte penalty score
+# larger than any trained piece's NLL, so fallback fires only where
+# coverage actually fails, and segmentation is total for ANY input
+# (the unasserted-reachability hazard the r10 ADVICE flagged is
+# structurally gone: no boundary can be span-less).
+# --------------------------------------------------------------------------
+UV_BF_DROP = 4  # single chars outside the coverage budget
+UV_BF_NLL6 = 20_000_000  # per-byte fallback penalty on the 1e-6 grid
+
+_UV_BF_SPAN_T = (
+    "array<struct<pos:int,len:int,nll6:bigint,ntok:bigint,fb:bigint>>"
+)
+
+# fallback edges: one per character position — len 1, cost/token
+# count = the character's UTF-8 byte length (times the penalty)
+_UV_BF_EDGES = f"""
+    transform(sequence(1, length(word)), i -> named_struct(
+      'pos', cast(i as int), 'len', cast(1 as int),
+      'nll6', cast(octet_length(substring(word, i, 1)) as bigint)
+              * cast({UV_BF_NLL6} as bigint),
+      'ntok', cast(octet_length(substring(word, i, 1)) as bigint),
+      'fb',   cast(octet_length(substring(word, i, 1)) as bigint)))
+"""
+
+_UV_BF_FOLD = """
+    aggregate(
+      sequence(1, length(word)),
+      array(named_struct('c', cast(0 as bigint), 'n', cast(0 as bigint),
+                         'f', cast(0 as bigint))),
+      (acc, i) -> concat(acc, array(
+        array_min(transform(
+          filter(spans, s -> s.pos + s.len - 1 = i),
+          s -> named_struct(
+            'c', element_at(acc, s.pos).c + s.nll6,
+            'n', element_at(acc, s.pos).n + s.ntok,
+            'f', element_at(acc, s.pos).f + s.fb))))),
+      acc -> element_at(acc, length(word) + 1))
+"""
+
+
+def uv_bf_dropped_chars(spark: SparkSession, sf_dir: str) -> list[str]:
+    """The characters outside the coverage budget: the UV_BF_DROP
+    lowest CORPUS-FREQUENCY characters (weighted by word count,
+    (count, char)-ordered) — SentencePiece's character_coverage ranks
+    by corpus character frequency, NOT by trained piece usage (usage
+    ranks common letters low precisely because multi-char pieces
+    absorb them). One alphabet-sized aggregate over the pinned
+    distinct-word histogram."""
+    words, _, _ = _uv_base(spark, sf_dir)
+    rows = (
+        words.select(
+            F.explode(F.split("word", "")).alias("ch"), "wcnt"
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.sum("wcnt").cast("long").alias("c"))
+        .orderBy("c", "ch")
+        .limit(UV_BF_DROP)
+        .collect()
+    )
+    return [r.ch for r in rows]
+
+
+def uv_bf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage-capped trained vocab: the trained inventory minus
+    every piece containing an out-of-coverage character."""
+    tr = trained_unigram_scores(spark, sf_dir)
+    cond = F.lit(True)
+    for ch in uv_bf_dropped_chars(spark, sf_dir):
+        cond = cond & ~F.col("piece").contains(ch)
+    return tr.filter(cond).select("piece", "nll6")
+
+
+def uv_bf_word_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(word, best): per distinct word, the byte-fallback Viterbi
+    optimum — best.c total cost, best.n token count (byte tokens
+    count per byte), best.f byte-fallback tokens among them."""
+    words, allspans, _ = _uv_base(spark, sf_dir)
+    cov = (
+        allspans.join(
+            F.broadcast(uv_bf_scores(spark, sf_dir)), "piece"
+        )
+        .groupBy("word")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("pos").cast("int").alias("pos"),
+                    F.col("len").cast("int").alias("len"),
+                    F.col("nll6").alias("nll6"),
+                    F.lit(1).cast("long").alias("ntok"),
+                    F.lit(0).cast("long").alias("fb"),
+                )
+            ).alias("cspans")
+        )
+    )
+    # LEFT join: a word made entirely of uncovered characters has no
+    # covered span at all and must still segment (pure byte edges)
+    spans = words.join(cov, "word", "left").select(
+        "word",
+        F.concat(
+            F.coalesce(
+                F.col("cspans"),
+                F.expr(f"cast(array() as {_UV_BF_SPAN_T})"),
+            ),
+            F.expr(_UV_BF_EDGES),
+        ).alias("spans"),
+    )
+    return spans.select("word", F.expr(_UV_BF_FOLD).alias("best"))
+
+
+def _uv_bf_oracle() -> str:
+    """Training prefix (certified) + coverage cap + byte-fallback
+    Viterbi. The seg fold is the certified DP shape with (ntok, fb)
+    accumulators; the span list is sorted after the byte-edge concat
+    (the list_sort determinism convention)."""
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    train = ORACLES["unigram_train_rounds_3"]
+    fin = f"\n    SELECT piece, usage, nll6 FROM sc{UV_TRAIN_ROUNDS}\n    "
+    assert train.endswith(fin)
+    prefix = train[: -len(fin)]
+    return (
+        prefix
+        + f"""
+    , bfcf AS (
+        SELECT ch, CAST(SUM(wcnt) AS BIGINT) AS c FROM (
+            SELECT unnest(split(word, '')) AS ch, wcnt FROM words
+        ) WHERE ch <> '' GROUP BY ch
+    ), bfdrop AS (
+        SELECT ch AS piece FROM (
+            SELECT ch, ROW_NUMBER() OVER (ORDER BY c, ch) AS rn
+            FROM bfcf
+        ) WHERE rn <= {UV_BF_DROP}
+    ), bfsc AS MATERIALIZED (
+        SELECT s.piece, s.nll6 FROM sc{UV_TRAIN_ROUNDS} s
+        WHERE NOT EXISTS (SELECT 1 FROM bfdrop d
+                          WHERE contains(s.piece, d.piece))
+    ), bfcov AS (
+        SELECT a.word,
+               list(struct_pack(pos := CAST(a.sp.pos AS INT),
+                                len := CAST(a.sp.len AS INT),
+                                nll6 := sc.nll6,
+                                ntok := 1::BIGINT,
+                                fb := 0::BIGINT)) AS cspans
+        FROM allspans a JOIN bfsc sc ON sc.piece = a.sp.piece
+        GROUP BY a.word
+    ), bfsp AS MATERIALIZED (
+        SELECT w.word,
+               list_sort(COALESCE(c.cspans,
+                   []::STRUCT(pos INT, len INT, nll6 BIGINT,
+                              ntok BIGINT, fb BIGINT)[]) ||
+                   [struct_pack(pos := CAST(i AS INT),
+                                len := 1::INT,
+                                nll6 := CAST(strlen(substring(
+                                    w.word, i, 1)) AS BIGINT)
+                                    * {UV_BF_NLL6}::BIGINT,
+                                ntok := CAST(strlen(substring(
+                                    w.word, i, 1)) AS BIGINT),
+                                fb := CAST(strlen(substring(
+                                    w.word, i, 1)) AS BIGINT))
+                    for i in generate_series(1, length(w.word))])
+                   AS spans
+        FROM words w LEFT JOIN bfcov c ON c.word = w.word
+    ), bfseg AS (
+        SELECT w.word,
+               (list_reduce(
+                   list_prepend(
+                       [struct_pack(c := 0::BIGINT, n := 0::BIGINT,
+                                    f := 0::BIGINT)],
+                       list_transform(
+                           generate_series(1, length(w.word)),
+                           i -> [struct_pack(c := CAST(i AS BIGINT),
+                                             n := 0::BIGINT,
+                                             f := 0::BIGINT)])
+                   ),
+                   (acc, x) -> list_append(acc, list_aggregate(
+                       list_transform(
+                           list_filter(sp.spans,
+                               s -> s.pos + s.len - 1 = x[1].c),
+                           s -> struct_pack(
+                               c := acc[s.pos].c + s.nll6,
+                               n := acc[s.pos].n + s.ntok,
+                               f := acc[s.pos].f + s.fb)),
+                       'min'))
+               ))[length(w.word) + 1] AS best
+        FROM words w JOIN bfsp sp ON sp.word = w.word
+    ), bfdt AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents
+        ) WHERE length(word) <= {MAX_WORD_CHARS}
+    )
+    SELECT bfdt.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(bfseg.best.n) AS BIGINT) AS n_bf_tokens,
+           CAST(SUM(bfseg.best.f) AS BIGINT) AS n_fallback_bytes,
+           CAST(SUM(bfseg.best.c) AS BIGINT) AS total_bf_nll6
+    FROM bfdt JOIN bfseg ON bfseg.word = bfdt.word
+    GROUP BY 1
+    """
+    )
+
+
+@register(
+    "unigram_byte_fallback_token_counts", oracle=_uv_bf_oracle()
+)
+def unigram_byte_fallback_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-fallback encoding under the trained unigram vocab (banner
+    above): per document, word count, total tokens (byte tokens count
+    per byte), how many of them came through the fallback path, and
+    the total lattice cost. tests/test_bpe.py pins a pure-Python
+    replica of the same DP and asserts the fallback actually fires
+    on the certification corpus.
+
+    Scale shape: identical to the certified inference entries — the
+    capped vocab is vocab-sized and broadcast, the DP is one bounded
+    in-row fold per DISTINCT word, byte edges are generated in-row;
+    the doc-grain join and aggregate are the only shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    seg = uv_bf_word_segments(spark, sf_dir)
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("best.n").cast("long").alias("n_bf_tokens"),
+            F.sum("best.f").cast("long").alias("n_fallback_bytes"),
+            F.sum("best.c").cast("long").alias("total_bf_nll6"),
+        )
+    )
+
+
 def _family_comparison_oracle() -> str:
     """Composes the three certified per-doc oracles as derived tables
     (each is a standalone WITH...SELECT; no CTE-name collisions that

@@ -39,6 +39,7 @@ FOLD_ORACLES = {
     "unigram_trained_token_counts": 3,
     "wordpiece_train_merges": 3,
     "intra_doc_block_dedup": 4,
+    "unigram_byte_fallback_token_counts": 3,
 }
 
 
