@@ -67,76 +67,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness snapshot certifies queries() entries in
 # iteration order with a bounded budget (observed: exactly the first 50
-# every round). Freshness entering r10 (latest GREEN row per entry over
-# CORRECTNESS_r01..r09): 49 r9 / 50 r8 / 50 r7 / 34 r6, plus
-# tokenizer_family_comparison never driver-certified (judge-verified in
-# r9) and unigram_em_piece_usage red in r9 (oracle flake, fixed this
-# round — determinism pinned in tests/test_oracle_determinism.py).
-# Round-10 window = never/red/new 11 FIRST (family comparison + fixed
-# EM entry per VERDICT r9 #1-2, then this round's additions: the two
-# new trainable families — unigram prune-and-re-estimate loop and
-# WordPiece likelihood training — their train→encode twins, the
-# trained family-comparison capstone, within-doc block dedup, and the
-# product-quantization family incl. ADC top-k, the IVF-PQ serving
-# composition, recall@10 measurement, and the streaming PQ-coding
-# batch twin), then ALL 34 displaced r6-vintage rows, then the 2
-# alphabetically-first r7 rows. The remaining 48 r7 rows lead the r11
-# rotation; after r10 no entry's latest green row is older than r7.
+# every round). Freshness entering r11, computed from
+# CORRECTNESS_r01..r10 (latest GREEN driver row per entry): 50 r10 /
+# 37 r9 / 50 r8 / 48 r7 / 12 r6 — the r10 comment mislabeled the 12
+# r6 rows as r7 (VERDICT r10 "What's wrong #2"); this list and its
+# bookkeeping are now generated from the artifacts, not hand-tracked.
+# Round-11 window = the 7 new entries (residual IVFADC + its recall
+# comparison, the packed-codes index pair, the composed
+# streaming-admission serving entry, the capped-batch embedding
+# stream, unigram byte fallback) plus the re-planned
+# intra_doc_block_dedup FIRST, then ALL 12 r6-vintage rows, then the
+# 30 alphabetically-first r7 rows. The 18 remaining r7 rows lead the
+# r12 rotation; after r11 no entry's latest green row is older
+# than r7.
 PRIORITY = [
-    # --- never-certified / red-in-r9 / added this round (r10) ---
-    "tokenizer_family_comparison",
-    "unigram_em_piece_usage",
-    "unigram_train_rounds_3",
-    "wordpiece_train_merges",
-    "unigram_trained_token_counts",
-    "wordpiece_trained_token_counts",
-    "tokenizer_family_comparison_trained",
+    # --- new this round (r11) + the re-planned linear rewrite ---
+    "similarity_topk_ivfpq_residual",
+    "ivfpq_recall_residual_vs_raw",
+    "embedding_pq_codes_packed",
+    "similarity_topk_pq_stored",
+    "similarity_topk_pq_after_ingest",
+    "streaming_embedding_vs_corpus_capped",
+    "unigram_byte_fallback_token_counts",
     "intra_doc_block_dedup",
-    "embedding_pq_codes",
-    "pq_subspace_error",
-    "similarity_topk_pq",
-    "similarity_topk_ivfpq",
-    "pq_recall_at_10",
-    "streaming_pq_code_batch",
-    # --- r6-vintage: the oldest certified rows, all 34 ---
-    "anti_join_orderless_customers",
-    "asof_latest_order_before_event",
-    "asof_sorted_latest_order",
-    "bloom_decontamination",
-    "c4_line_dedup",
-    "cube_lineitem_flags",
-    "customer_revenue_gini",
-    "event_dedup_keep_first",
-    "events_json_props",
-    "events_props_map_explode",
-    "events_session_windows",
-    "events_sliding_2h_1h",
-    "events_tumbling_1h",
-    "monthly_event_type_pivot",
-    "monthly_revenue_yoy",
-    "order_gap_days_lag",
-    "order_rank_profile",
-    "order_value_deciles",
-    "orders_above_customer_average",
-    "pair_struct_extract_reverse",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
-    "q19_bracketed_revenue",
-    "q1_pricing_summary",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_with_late_items",
-    "q5_region_revenue",
-    # --- oldest r7-vintage (alphabetical; all same freshness) ---
-    "a1_weighted_monthly_frequency",
-    "a2_smoothed_weighted_mean",
-    # --- past the 50-query window -> lead the r11 rotation ---
+    # --- r6-vintage (mislabeled r7 in the r10 comment; VERDICT r10
+    # "What's wrong #2") — all 12, certified here ---
+    "q6_forecast_revenue_sql",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "range_join_purchase_attribution",
+    "rollup_orders_year_priority",
+    "running_total_per_customer",
+    "semi_join_urgent_customers",
+    "setops_customer_segments",
+    "suppliers_per_nation_list",
+    "two_level_time_rollup",
+    "value_percentiles_per_type",
+    "window_top3_orders_per_customer",
+    # --- oldest r7-vintage rows, alphabetical: 30 of 48 fit ---
     "a4_pair_frequency",
     "bigram_collocations",
     "bm25_topk_docs",
@@ -147,17 +115,6 @@ PRIORITY = [
     "decontamination_overlap",
     "distinct_parts_per_flag",
     "doc_quality_scores",
-    "q6_forecast_revenue_sql",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "range_join_purchase_attribution",
-    "rollup_orders_year_priority",
-    "running_total_per_customer",
-    "semi_join_urgent_customers",
-    "suppliers_per_nation_list",
-    "two_level_time_rollup",
-    "value_percentiles_per_type",
-    "window_top3_orders_per_customer",
     "doc_repetition_stats",
     "domain_mix_sample",
     "dsir_importance_weights",
@@ -169,6 +126,35 @@ PRIORITY = [
     "hard_negative_mining",
     "hybrid_retrieval_rrf",
     "lang_id_confusion",
+    "lexicon_sentiment_documents",
+    "moving_avg_daily_revenue",
+    "neardup_canonical_quality",
+    "neardup_clusters",
+    "ner_full_dictionary",
+    "ngram_jaccard_neardups",
+    "order_date_features",
+    "pii_redaction_stats",
+    "semdedup_prune",
+    # --- past the 50-query window -> the remaining 18 r7 rows lead
+    # the r12 rotation ---
+    "simhash_editdist_verify",
+    "simhash_neardup_pairs",
+    "simhash_signatures",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "soft_dedup_weights",
+    "stratified_sample_documents",
+    "tfidf_top_terms",
+    "token_stats_per_source",
+    "training_corpus_pipeline",
+    "training_corpus_pipeline_v2",
+    "tweets_frequency_2d_monthly",
+    "tweets_sentiments_monthly",
+    "unigram_perplexity_scores",
+    "winnowed_substring_matches",
+    "winnowed_substring_spans",
+    "winnowing_fingerprints",
 ]
 
 
