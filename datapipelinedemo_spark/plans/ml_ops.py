@@ -1656,6 +1656,66 @@ def _rpq_chain(
     return "".join(parts)
 
 
+def _ivfpq_admission_oracle() -> str:
+    return (
+        _kmeans_cte()
+        + _rpq_chain()
+        + """
+    SELECT ra.vec_id, a.cid AS cluster, ra.m, ra.cid AS code,
+           ra.d AS sq_dist
+    FROM rasg ra JOIN asg a ON a.vec_id = ra.vec_id
+    WHERE ra.vec_id % 10 = 0
+    """
+    )
+
+
+@register("streaming_ivfpq_admission", oracle=_ivfpq_admission_oracle())
+def streaming_ivfpq_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full IVFADC admission step for one micro-batch (the
+    residual twin of `streaming_pq_code_batch`): a later batch
+    (vec_id % 10 == 0) arrives raw and, against FROZEN coarse and
+    residual codebooks, gets (a) its inverted list — in-row literal
+    argmin over the k coarse centroids, (b) its residual — one
+    broadcast (k×dim) centroid join + zip_with, (c) its residual PQ
+    codes — in-row per-subspace argmin. MAP-ONLY end to end: zero
+    shuffles for the batch, which is what an ingest trigger pays
+    before `pq_index_append_batch` commits (list, codes) to the
+    serving index. tests/test_ml_ops.py drives the same body through
+    a REAL micro-batch stream and pins snapshot equality."""
+    coarse = kmeans_train(spark, sf_dir)
+    rcents, w = residual_pq_train(spark, sf_dir)
+    batch = _pq_quantized(spark, sf_dir).filter(
+        F.col("vec_id") % 10 == 0
+    )
+    assigned = _km_assign_frame(spark, batch, coarse).select(
+        "vec_id", "qv", F.col("m.c").alias("cluster")
+    )
+    ccdf = _coarse_centroid_frame(spark, coarse)
+    res = (
+        assigned.join(F.broadcast(ccdf), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.expr("zip_with(qv, ccv, (a, b) -> a - b)").alias("qv"),
+        )
+    )
+    return res.select(
+        "vec_id",
+        "cluster",
+        F.explode(
+            F.expr(_pq_assign_expr(rcents, _PQ_M, _PQ_K, w))
+        ).alias("r"),
+    ).select(
+        "vec_id",
+        "cluster",
+        F.col("r.m").alias("m"),
+        F.col("r.best.c").alias("code"),
+        F.col("r.best.d").alias("sq_dist"),
+    )
+
+
 def _residual_tail_sql() -> str:
     """The IVFADC query tail over the residual chain: probe selection
     (same as raw IVF-PQ), a per-(query, probed-list) LUT — the LUT is

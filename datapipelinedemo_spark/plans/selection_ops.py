@@ -1018,3 +1018,226 @@ def unimax_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nt").cast("long").alias("n_tokens"))
     )
     return unimax_allocate(s)
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining"). The mixture
+# member the catalog lacked: UniMax/temperature set weights from token
+# COUNTS; DoReMi sets them from per-domain EXCESS LOSS — how much a
+# stronger proxy model improves on each domain over a weak reference —
+# then takes one multiplicative-weights step from uniform and smooths
+# back toward uniform.
+#
+# Deterministic instantiation on this stack: reference model = the
+# corpus-trained interpolated bigram LM (`bigram_perplexity_scores`,
+# certified), proxy = the unigram LM (`unigram_perplexity_scores`'
+# model with the half-up integer mean) — excess_d = mean over domain d
+# of max(0, unigram_nll − bigram_nll) per doc, i.e. the per-domain
+# headroom context structure buys; domains with more learnable
+# structure get upweighted, exactly DoReMi's signal shape. All per-doc
+# means live on the 1e-6 integer grid (half-up division), the excess
+# aggregate too; the only float steps are the mirrored-op exp() and
+# the final normalization divisions (the ln() precedent —
+# per-domain scalars, k rows).
+# --------------------------------------------------------------------------
+DOREMI_SMOOTH_NUM, DOREMI_SMOOTH_DEN = 1, 5  # c = 0.2 uniform smoothing
+
+
+def _doremi_oracle() -> str:
+    return f"""
+    WITH utok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    utc AS (SELECT doc_id, unnest(t) AS term FROM utok),
+    uvocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM utc GROUP BY 1
+    ),
+    un AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uvocab),
+    unll AS (
+        SELECT term,
+               CAST(FLOOR(-ln(CAST(c AS DOUBLE) / total) * 1e6 + 0.5)
+                    AS BIGINT) AS nll6
+        FROM uvocab, un
+    ),
+    udoc AS (
+        SELECT utc.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST((2 * SUM(nll6) + COUNT(*)) // (2 * COUNT(*))
+                    AS BIGINT) AS u_nll6
+        FROM utc JOIN unll ON utc.term = unll.term
+        GROUP BY 1
+    ),
+    bg AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM utok WHERE len(t) >= 2
+    ),
+    bocc AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bg),
+    bbc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM bocc GROUP BY 1, 2
+    ),
+    bctx AS (
+        SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c1 FROM bbc GROUP BY 1
+    ),
+    buc AS (
+        SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS cu FROM bbc GROUP BY 1
+    ),
+    bn AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM buc),
+    bnll AS (
+        SELECT bbc.w1, bbc.w2,
+               CAST(FLOOR(-ln(CAST(CAST(7 AS HUGEINT) * c_xy * total
+                                   + CAST(3 AS HUGEINT) * cu * c1 AS DOUBLE)
+                              / CAST(CAST(10 AS HUGEINT) * c1 * total
+                                     AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS nll6
+        FROM bbc
+        JOIN bctx ON bbc.w1 = bctx.w1
+        JOIN buc ON bbc.w2 = buc.w2
+        CROSS JOIN bn
+    ),
+    bdoc AS (
+        SELECT bocc.doc_id AS doc_id,
+               CAST((2 * SUM(nll6) + COUNT(*)) // (2 * COUNT(*))
+                    AS BIGINT) AS b_nll6
+        FROM bocc JOIN bnll
+          ON bocc.w1 = bnll.w1 AND bocc.w2 = bnll.w2
+        GROUP BY 1
+    ),
+    perdoc AS (
+        SELECT d.source, udoc.n_tokens,
+               greatest(0, udoc.u_nll6 - bdoc.b_nll6) AS excess6
+        FROM documents d
+        JOIN udoc ON udoc.doc_id = d.doc_id
+        JOIN bdoc ON bdoc.doc_id = d.doc_id
+    ),
+    dom AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST((2 * SUM(excess6) + COUNT(*)) // (2 * COUNT(*))
+                    AS BIGINT) AS excess6
+        FROM perdoc GROUP BY 1
+    ),
+    ew AS (
+        SELECT source, n_docs, n_tokens, excess6,
+               CAST(FLOOR(exp(CAST(excess6 AS DOUBLE) / 1e6) * 1e6
+                          + 0.5) AS BIGINT) AS e6
+        FROM dom
+    ),
+    tot AS (
+        SELECT CAST(SUM(e6) AS BIGINT) AS se,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM ew
+    )
+    SELECT source, n_docs, n_tokens, excess6,
+           round((CAST({DOREMI_SMOOTH_DEN - DOREMI_SMOOTH_NUM} AS DOUBLE)
+                  * e6 / se
+                  + CAST({DOREMI_SMOOTH_NUM} AS DOUBLE) / k)
+                 / {DOREMI_SMOOTH_DEN}, 6) AS weight
+    FROM ew CROSS JOIN tot
+    """
+
+
+@register("doremi_domain_weights", oracle=_doremi_oracle())
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain weights (banner above): per source, doc and
+    token counts, the mean per-doc excess NLL (unigram proxy over the
+    interpolated-bigram reference, clipped at 0, 1e-6 integer grid),
+    and the smoothed multiplicative-weights mixture weight
+    α_d = (1−c)·exp(excess_d)/Σ + c/k with c = 0.2. Docs with fewer
+    than 2 tokens have no bigram row and drop from the excess mean
+    (disclosed; they carry no bigram evidence).
+
+    Scale shape: both LM chains are the certified perplexity plans —
+    one tokenize pass each, model tables vocab-/Heaps-bounded with
+    AQE-decided joins; everything after the per-doc frames is
+    |sources|-row arithmetic. exp() is the ln() precedent: a
+    per-domain scalar mirrored operation-for-operation in both
+    engines, snapped to the grid before the ratio."""
+    from datapipelinedemo_spark.functions.text import tokenize
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        bigram_perplexity_scores,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tc = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    vocab = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = vocab.agg(F.sum("c").alias("total"))
+    unll = vocab.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("total")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll6"),
+    )
+    udoc = (
+        tc.join(unll, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            # half-up integer mean on the micro grid (div, not /: the
+            # bigram entry's exactness convention)
+            F.expr("(2 * sum(nll6) + count(1)) div (2 * count(1))")
+            .cast("long")
+            .alias("u_nll6"),
+        )
+    )
+    bdoc = bigram_perplexity_scores(spark, sf_dir).select(
+        "doc_id", F.col("mean_nll_micro").alias("b_nll6")
+    )
+    perdoc = (
+        docs.select("doc_id", "source")
+        .join(udoc, "doc_id")
+        .join(bdoc, "doc_id")
+        .select(
+            "source",
+            "n_tokens",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("u_nll6") - F.col("b_nll6"),
+            ).alias("excess6"),
+        )
+    )
+    dom = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("(2 * sum(excess6) + count(1)) div (2 * count(1))")
+        .cast("long")
+        .alias("excess6"),
+    )
+    ew = dom.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "excess6",
+        F.floor(
+            F.exp(F.col("excess6").cast("double") / F.lit(1e6)) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("e6"),
+    )
+    tot = ew.agg(
+        F.sum("e6").cast("long").alias("se"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    c_num, c_den = DOREMI_SMOOTH_NUM, DOREMI_SMOOTH_DEN
+    return ew.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "excess6",
+        F.round(
+            (
+                F.lit(float(c_den - c_num))
+                * F.col("e6")
+                / F.col("se")
+                + F.lit(float(c_num)) / F.col("k")
+            )
+            / F.lit(c_den),
+            6,
+        ).alias("weight"),
+    )

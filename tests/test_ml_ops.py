@@ -605,3 +605,107 @@ def test_streaming_ingest_appends_to_serving_index(
         "query_id", "rank"
     ).collect()
     assert a == b and len(a) > 0
+
+
+def test_streaming_ivfpq_admission_matches_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """The IVFADC admission body (coarse list + residual + codes,
+    map-only) driven through a REAL micro-batch stream equals the
+    certified batch twin snapshot — the residual analogue of the
+    frozen-codebook PQ coding twin."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.ml_ops import (
+        _GRID,
+        _PQ_K,
+        _PQ_M,
+        _coarse_centroid_frame,
+        _km_assign_frame,
+        _pq_assign_expr,
+        kmeans_train,
+        residual_pq_train,
+        streaming_ivfpq_admission,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    want = {
+        (r.vec_id, r.m): (r.cluster, r.code, r.sq_dist)
+        for r in streaming_ivfpq_admission(spark, sf_dir).collect()
+    }
+    assert want
+
+    src = str(tmp_path / "emb_stream")
+    (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    coarse = kmeans_train(spark, sf_dir)
+    rcents, w = residual_pq_train(spark, sf_dir)
+    ccdf = _coarse_centroid_frame(spark, coarse)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    quant = stream.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_GRID!r} + 0.5) as bigint))"
+        ).alias("qv"),
+    )
+    assigned = _km_assign_frame(spark, quant, coarse).select(
+        "vec_id", "qv", F.col("m.c").alias("cluster")
+    )
+    coded = (
+        assigned.join(F.broadcast(ccdf), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.expr("zip_with(qv, ccv, (a, b) -> a - b)").alias("qv"),
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.explode(
+                F.expr(_pq_assign_expr(rcents, _PQ_M, _PQ_K, w))
+            ).alias("r"),
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("r.m").alias("m"),
+            F.col("r.best.c").alias("code"),
+            F.col("r.best.d").alias("sq_dist"),
+        )
+    )
+    qname = f"ivfpqadm_{uuid.uuid4().hex}"
+    q = (
+        coded.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        got = {
+            (r.vec_id, r.m): (r.cluster, r.code, r.sq_dist)
+            for r in spark.table(qname).collect()
+        }
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(qname)
+    assert got == want
+    assert n_batches >= 2

@@ -240,3 +240,29 @@ def test_unimax_budget_is_exact_integer_division_past_2e53(spark):
     # (not asserted — double may coincide for this triple; the point
     # is the exact form equals big-int math bit-for-bit)
     assert isinstance(got, int)
+
+
+def test_doremi_weights_sum_to_one_and_track_excess(spark, sf_dir):
+    """DoReMi invariants: weights form a distribution, respect the
+    uniform smoothing floor c/k, and are strictly monotone in the
+    per-domain excess loss (the multiplicative-weights step from
+    uniform preserves excess order)."""
+    from datapipelinedemo_spark.plans.selection_ops import (
+        DOREMI_SMOOTH_DEN,
+        DOREMI_SMOOTH_NUM,
+        doremi_domain_weights,
+    )
+
+    rows = doremi_domain_weights(spark, sf_dir).collect()
+    assert rows
+    k = len(rows)
+    total = sum(r.weight for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    floor = DOREMI_SMOOTH_NUM / DOREMI_SMOOTH_DEN / k
+    assert all(r.weight >= floor - 1e-9 for r in rows)
+    by_excess = sorted(rows, key=lambda r: (r.excess6, r.source))
+    for a, b in zip(by_excess, by_excess[1:]):
+        if a.excess6 < b.excess6:
+            assert a.weight <= b.weight + 1e-9
+    # the signal is real: excess varies across domains on this corpus
+    assert len({r.excess6 for r in rows}) > 1
