@@ -72,13 +72,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # 37 r9 / 50 r8 / 48 r7 / 12 r6 — the r10 comment mislabeled the 12
 # r6 rows as r7 (VERDICT r10 "What's wrong #2"); this list and its
 # bookkeeping are now generated from the artifacts, not hand-tracked.
-# Round-11 window = the 9 new entries (residual IVFADC + its recall
+# Round-11 window = the 12 new entries (residual IVFADC + its recall
 # comparison, the packed-codes index pair, the composed
 # streaming-admission serving entry, the capped-batch embedding
 # stream, unigram byte fallback, the IVFADC admission twin, DoReMi
-# domain reweighting) plus the re-planned
+# domain reweighting, exact reranking over the deep ADC cut, the
+# IVF list-balance report, the persisted trained vocab) plus
+# the re-planned
 # intra_doc_block_dedup FIRST, then ALL 12 r6-vintage rows, then the
-# 28 alphabetically-first r7 rows. The 20 remaining r7 rows lead the
+# 25 alphabetically-first r7 rows. The 23 remaining r7 rows lead the
 # r12 rotation; after r11 no entry's latest green row is older
 # than r7.
 PRIORITY = [
@@ -92,6 +94,9 @@ PRIORITY = [
     "unigram_byte_fallback_token_counts",
     "streaming_ivfpq_admission",
     "doremi_domain_weights",
+    "similarity_topk_ivfpq_rerank",
+    "ivf_list_balance_report",
+    "trained_unigram_vocab_stored",
     "intra_doc_block_dedup",
     # --- r6-vintage (mislabeled r7 in the r10 comment; VERDICT r10
     # "What's wrong #2") — all 12, certified here ---
@@ -133,11 +138,11 @@ PRIORITY = [
     "moving_avg_daily_revenue",
     "neardup_canonical_quality",
     "neardup_clusters",
+    # --- past the 50-query window -> the remaining 23 r7 rows lead
+    # the r12 rotation ---
     "ner_full_dictionary",
     "ngram_jaccard_neardups",
     "order_date_features",
-    # --- past the 50-query window -> the remaining 20 r7 rows lead
-    # the r12 rotation ---
     "pii_redaction_stats",
     "semdedup_prune",
     "simhash_editdist_verify",

@@ -1106,6 +1106,24 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale); ADC = one broadcast-LUT join + one (query, neighbor)
     partial agg over the PRUNED set — work scales with nprobe/k of
     the corpus, not the corpus."""
+    from pyspark.sql import Window
+
+    adc = _ivfpq_adc(spark, sf_dir)
+    wnd = Window.partitionBy("query_id").orderBy(
+        "adc_sq_dist", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )
+
+
+def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_sq_dist): the pre-cut IVF-PQ ADC
+    frame — probe selection, candidate generation from the probed
+    lists, LUT-summed distances. Shared by the top-10 serving entry
+    and the exact reranker (which keeps a deeper candidate cut)."""
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 
     coarse_cents = kmeans_train(spark, sf_dir)
@@ -1151,21 +1169,160 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    adc = (
+    return (
         cand.join(codes, cand.neighbor_id == codes.vec_id)
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pd").cast("long").alias("adc_sq_dist"))
     )
+
+
+_RERANK_N = 50
+
+
+def _ivfpq_rerank_oracle() -> str:
+    ivfpq = _ivfpq_oracle()
+    # reuse the composed chain up to adcd (the _pq_recall_oracle
+    # asserted-surgery convention), then rerank exactly
+    cut = "\n    SELECT query_id, neighbor_id, d AS adc_sq_dist,"
+    assert ivfpq.count(cut) == 1
+    chain = ivfpq[: ivfpq.index(cut)]
+    return (
+        chain
+        + f"""
+    , rr AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM adcd
+        ) WHERE rnk <= {_RERANK_N}
+    ), rrex AS (
+        SELECT r.query_id, r.neighbor_id,
+               CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+        FROM rr r
+        JOIN ex a ON a.vec_id = r.query_id
+        JOIN ex b ON b.vec_id = r.neighbor_id AND b.i = a.i
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, d AS exact_sq_dist,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d, neighbor_id) AS rnk FROM rrex)
+    WHERE rnk <= 10
+    """
+    )
+
+
+@register(
+    "similarity_topk_ivfpq_rerank", oracle=_ivfpq_rerank_oracle()
+)
+def similarity_topk_ivfpq_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The canonical two-stage serving pattern: IVF-PQ ADC generates
+    a DEEP candidate cut (top-{N} per query by approximate distance),
+    then the final top-10 is re-ranked by EXACT distance on the raw
+    quantized vectors — quantization error affects only which
+    candidates survive stage 1, never the final ordering. This is how
+    production ANN closes the recall gap `pq_recall_at_10` measures
+    without growing the codebook.
+
+    Scale shape: stage 1 is the certified pruned ADC plan; stage 2
+    touches RERANK_N × |queries| rows — two hash joins back to the
+    vector table (query side and candidate side) + one in-row
+    zip_with fold; the corpus-sized frames never re-shuffle. Exact
+    BIGINT distances, (d, neighbor) tie-break."""
     from pyspark.sql import Window
 
+    adc = _ivfpq_adc(spark, sf_dir)
     wnd = Window.partitionBy("query_id").orderBy(
         "adc_sq_dist", "neighbor_id"
     )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= _RERANK_N)
+        .select("query_id", "neighbor_id")
+    )
+    q = _pq_quantized(spark, sf_dir)
+    qq = q.select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    nn = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("nqv")
+    )
+    exact = (
+        cand.join(qq, "query_id")
+        .join(nn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qqv, nqv,"
+                " (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("exact_sq_dist"),
+        )
+    )
+    wnd2 = Window.partitionBy("query_id").orderBy(
+        "exact_sq_dist", "neighbor_id"
+    )
     return (
-        adc.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        exact.withColumn(
+            "rank", F.row_number().over(wnd2).cast("long")
+        )
         .filter(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+        .select("query_id", "neighbor_id", "exact_sq_dist", "rank")
+    )
+
+
+@register(
+    "ivf_list_balance_report",
+    oracle=_kmeans_cte()
+    + """
+    , lst AS (
+        SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM asg GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM lst)
+    SELECT cluster, n_vecs,
+           CAST((2 * 1000000 * n_vecs + total) // (2 * total)
+                AS BIGINT) AS share6,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cluster)
+                AS BIGINT) AS size_rank
+    FROM lst CROSS JOIN t
+    """,
+)
+def ivf_list_balance_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operational report for the IVF index: per inverted list, its
+    occupancy, corpus share (half-up 1e-6 grid), and size rank — the
+    `key_skew_report` of ANN serving. Under nprobe probing, expected
+    scan cost per query is Σ share of the probed lists, so a skewed
+    top list means P99 latency and "grow nlist / re-train the coarse
+    quantizer" — this is the table that decides it before shipping.
+
+    Scale shape: reads the write-once assignment index, one k-row
+    partial agg; the window runs on k rows by construction."""
+    from pyspark.sql import Window
+
+    lst = (
+        kmeans_assign_cached(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+    t = lst.agg(F.sum("n_vecs").cast("long").alias("total"))
+    wnd = Window.orderBy(F.col("n_vecs").desc(), "cluster")
+    return (
+        lst.crossJoin(F.broadcast(t))
+        .select(
+            "cluster",
+            "n_vecs",
+            F.expr("(2 * 1000000 * n_vecs + total) div (2 * total)")
+            .cast("long")
+            .alias("share6"),
+        )
+        .withColumn(
+            "size_rank", F.row_number().over(wnd).cast("long")
+        )
     )
 
 

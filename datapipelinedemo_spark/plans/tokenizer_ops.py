@@ -1819,6 +1819,48 @@ def trained_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("trained_unigram_vocab_stored", oracle=_uv_train_oracle())
+def trained_unigram_vocab_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trained tokenizer as a PERSISTED artifact: the final
+    (piece, usage, nll6) inventory committed once per (corpus
+    generation, geometry) to a write-once manifest-pinned index —
+    the "ship the tokenizer" step. In-process memoization
+    (`trained_unigram_scores`) dies with the session; a real pipeline
+    trains once and every later JOB reads the stored vocab (the
+    `kmeans_assign_cached` / packed-PQ-codes convention). Training is
+    fully deterministic, so the stored frame is bit-identical to
+    training inline and the training oracle certifies the round
+    trip."""
+    import os
+
+    from datapipelinedemo_spark.memo import table_stamp
+    from datapipelinedemo_spark.operators.neardup_index import (
+        _index_root,
+    )
+    from datapipelinedemo_spark.operators.write_once import (
+        ensure_dir,
+        read_frame,
+    )
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    mt, sz = table_stamp(sf_dir, "documents")
+    tag = (
+        f"{sf_name}-m{mt}-s{sz}"
+        f"-uvvocab{UV_VOCAB}_{UV_TRAIN_ROUNDS}"
+    )
+    dest = os.path.join(_index_root(), tag)
+
+    def _build(tmp: str) -> None:
+        trained_unigram_scores(spark, sf_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    ensure_dir(dest, _build)
+    return read_frame(spark, dest)
+
+
 def _uv_trained_encode_oracle() -> str:
     """Train→encode: the full 3-round training oracle as the prefix,
     the certified viterbi inference tail re-pointed at the FINAL score

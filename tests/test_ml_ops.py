@@ -709,3 +709,58 @@ def test_streaming_ivfpq_admission_matches_batch_twin(
         spark.catalog.dropTempView(qname)
     assert got == want
     assert n_batches >= 2
+
+
+def test_ivfpq_rerank_never_below_adc_recall(spark, sf_dir):
+    """Exact reranking over the deep ADC candidate cut can only match
+    or beat plain ADC top-10 recall against the exact quantized-L2
+    ground truth, and each reranked list must be exactly the exact-
+    distance ordering of its own candidates."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+    from datapipelinedemo_spark.plans.ml_ops import (
+        _pq_quantized,
+        similarity_topk_ivfpq,
+        similarity_topk_ivfpq_rerank,
+    )
+
+    q = _pq_quantized(spark, sf_dir)
+    vecs = {r.vec_id: r.qv for r in q.collect()}
+    gt = {}
+    for qid in vecs:
+        if qid % TOPK_QUERY_MOD:
+            continue
+        qs = vecs[qid]
+        d = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(qs, vecs[n])),
+                n,
+            )
+            for n in vecs
+            if n != qid
+        )
+        gt[qid] = {n for _, n in d[:10]}
+
+    adc10 = similarity_topk_ivfpq(spark, sf_dir).collect()
+    rr10 = similarity_topk_ivfpq_rerank(spark, sf_dir).collect()
+    hits_adc = sum(1 for r in adc10 if r.neighbor_id in gt[r.query_id])
+    hits_rr = sum(1 for r in rr10 if r.neighbor_id in gt[r.query_id])
+    assert hits_rr >= hits_adc
+
+    # per-query: the reranked list is exact-distance-sorted
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in sorted(rr10, key=lambda r: (r.query_id, r.rank)):
+        per[r.query_id].append(r)
+    for qid, rows in per.items():
+        ds = [r.exact_sq_dist for r in rows]
+        assert ds == sorted(ds)
+        qs = vecs[qid]
+        for r in rows:
+            want = sum(
+                (a - b) * (a - b)
+                for a, b in zip(qs, vecs[r.neighbor_id])
+            )
+            assert r.exact_sq_dist == want
