@@ -1119,13 +1119,18 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_adc(
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+) -> DataFrame:
     """(query_id, neighbor_id, adc_sq_dist): the pre-cut IVF-PQ ADC
     frame — probe selection, candidate generation from the probed
-    lists, LUT-summed distances. Shared by the top-10 serving entry
-    and the exact reranker (which keeps a deeper candidate cut)."""
+    lists, LUT-summed distances. Shared by the top-10 serving entry,
+    the exact reranker (deeper candidate cut), and the
+    recall-by-nprobe operating curve (varying ``nprobe``)."""
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 
+    if nprobe is None:
+        nprobe = _IVFPQ_NPROBE
     coarse_cents = kmeans_train(spark, sf_dir)
     lists = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
     pq_cents, w = pq_train(spark, sf_dir)
@@ -1147,7 +1152,7 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 f"slice(array_sort(array({', '.join(cand_structs)})),"
-                f" 1, {_IVFPQ_NPROBE})"
+                f" 1, {nprobe})"
             )
         ).alias("p"),
     ).select("query_id", F.col("p.c").alias("cluster"))
@@ -1175,6 +1180,173 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pd").cast("long").alias("adc_sq_dist"))
     )
+
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def _ivfpq_nprobe_oracle() -> str:
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    ivfpq = _ivfpq_oracle()
+    # chain through lut (probe@2 rides along unused); per-nprobe
+    # probe/cand/adc/top CTEs are appended fresh
+    cut = ", cand AS ("
+    assert ivfpq.count(cut) == 1
+    parts = [ivfpq[: ivfpq.index(cut)]]
+    parts.append(f"""
+    , gtd AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+        FROM pqex a JOIN pqex b ON a.m = b.m AND a.i = b.i
+        WHERE a.vec_id % {TOPK_QUERY_MOD} = 0 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2
+    ), gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM gtd
+        ) WHERE rnk <= 10
+    ), nq AS (
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS gt_pairs
+        FROM gt
+    )""")
+    for p in _NPROBE_SWEEP:
+        parts.append(f"""
+    , prb{p} AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM afin WHERE vec_id % {TOPK_QUERY_MOD} = 0
+        ) WHERE rn <= {p}
+    ), cnd{p} AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM asg a JOIN prb{p} p ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id
+    ), adcp{p} AS (
+        SELECT c.query_id, c.neighbor_id, CAST(SUM(l.pd) AS BIGINT) AS d
+        FROM cnd{p} c
+        JOIN pqasg pa ON pa.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.m = pa.m AND l.cid = pa.cid
+        GROUP BY 1, 2
+    ), top{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM adcp{p}
+        ) WHERE rnk <= 10
+    ), row{p} AS (
+        SELECT CAST({p} AS BIGINT) AS nprobe, nq.n_queries, nq.gt_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cnd{p})
+                   AS cand_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM gt JOIN top{p} USING (query_id, neighbor_id))
+                   AS hits
+        FROM nq
+    )""")
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM row{p}" for p in _NPROBE_SWEEP
+    )
+    parts.append(f"""
+    SELECT nprobe, n_queries, gt_pairs, cand_pairs, hits,
+           round(CAST(hits AS DOUBLE) / gt_pairs, 6) AS recall
+    FROM ({unions})
+    """)
+    return "".join(parts)
+
+
+@register("ivfpq_recall_by_nprobe", oracle=_ivfpq_nprobe_oracle())
+def ivfpq_recall_by_nprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF-PQ OPERATING CURVE: recall@10 and scanned candidate
+    pairs at nprobe = 1, 2, 4 against the exact quantized-L2 ground
+    truth — the recall-vs-cost table that picks nprobe before a
+    codebook ships (cand_pairs is exactly the number of ADC
+    evaluations a serving node pays per sweep point). One row per
+    sweep point. NOTE the curve is honestly non-monotone in recall
+    under a coarse codebook: candidate sets are supersets, but ADC
+    ranks approximately, so an added candidate with an erroneously
+    small code distance can evict a true neighbor from the top-10 —
+    measure, don't assume; `similarity_topk_ivfpq_rerank` is the fix
+    (exact rerank over a superset pool is provably monotone).
+
+    Scale shape: the ground-truth scan is the recall-measurement
+    frame (query-sample × corpus, by design — the pq_recall_at_10
+    exclusion rationale applies to exponent tables); each sweep
+    point reuses the certified pruned-ADC plan at its nprobe."""
+    from pyspark.sql import Window
+
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    q = _pq_quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qc")
+    )
+    gtd = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qq, qc, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    gt = (
+        gtd.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    nq = gt.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("gt_pairs"),
+    )
+    out = None
+    for p in _NPROBE_SWEEP:
+        adc = _ivfpq_adc(spark, sf_dir, nprobe=p)
+        top = (
+            adc.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        "adc_sq_dist", "neighbor_id"
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "neighbor_id")
+        )
+        cp = adc.agg(
+            F.count(F.lit(1)).cast("long").alias("cand_pairs")
+        )
+        hits = gt.join(
+            top, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        row = (
+            nq.crossJoin(cp)
+            .crossJoin(hits)
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "n_queries",
+                "gt_pairs",
+                "cand_pairs",
+                "hits",
+                F.round(
+                    F.col("hits").cast("double") / F.col("gt_pairs"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 _RERANK_N = 50

@@ -764,3 +764,28 @@ def test_ivfpq_rerank_never_below_adc_recall(spark, sf_dir):
                 for a, b in zip(qs, vecs[r.neighbor_id])
             )
             assert r.exact_sq_dist == want
+
+
+def test_ivfpq_nprobe_curve_is_monotone(spark, sf_dir):
+    """More probed lists always scan more candidates (supersets by
+    construction). ADC recall, however, is NOT guaranteed monotone:
+    a new candidate with a smaller (erroneous) approximate distance
+    can push a true neighbor out of the ADC top-10 — the
+    quantization-noise effect the curve exists to expose, and the
+    reason the exact reranker exists (rerank hits over a superset
+    pool ARE monotone: anything exactly closer than a ground-truth
+    member is itself a ground-truth member)."""
+    from datapipelinedemo_spark.plans.ml_ops import (
+        ivfpq_recall_by_nprobe,
+    )
+
+    rows = sorted(
+        ivfpq_recall_by_nprobe(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b.cand_pairs > a.cand_pairs
+    assert all(r.n_queries > 0 and r.gt_pairs > 0 for r in rows)
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    assert all(r.hits <= r.gt_pairs for r in rows)
