@@ -1183,6 +1183,7 @@ def _ivfpq_adc(
 
 
 _NPROBE_SWEEP = (1, 2, 4)
+_RERANK_N = 50
 
 
 def _ivfpq_nprobe_oracle() -> str:
@@ -1211,6 +1212,7 @@ def _ivfpq_nprobe_oracle() -> str:
                CAST(COUNT(*) AS BIGINT) AS gt_pairs
         FROM gt
     )""")
+    rrn = _RERANK_N
     for p in _NPROBE_SWEEP:
         parts.append(f"""
     , prb{p} AS (
@@ -1236,13 +1238,30 @@ def _ivfpq_nprobe_oracle() -> str:
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY d, neighbor_id) AS rnk FROM adcp{p}
         ) WHERE rnk <= 10
+    ), rrp{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM adcp{p}
+        ) WHERE rnk <= {rrn}
+    ), rrx{p} AS (
+        SELECT r.query_id, r.neighbor_id FROM (
+            SELECT g.query_id, g.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY g.query_id
+                        ORDER BY g.d, g.neighbor_id) AS rnk
+            FROM gtd g JOIN rrp{p} c
+              ON c.query_id = g.query_id
+             AND c.neighbor_id = g.neighbor_id
+        ) r WHERE r.rnk <= 10
     ), row{p} AS (
         SELECT CAST({p} AS BIGINT) AS nprobe, nq.n_queries, nq.gt_pairs,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM cnd{p})
                    AS cand_pairs,
                (SELECT CAST(COUNT(*) AS BIGINT)
                 FROM gt JOIN top{p} USING (query_id, neighbor_id))
-                   AS hits
+                   AS hits,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM gt JOIN rrx{p} USING (query_id, neighbor_id))
+                   AS rerank_hits
         FROM nq
     )""")
     unions = "\n    UNION ALL\n    ".join(
@@ -1250,7 +1269,10 @@ def _ivfpq_nprobe_oracle() -> str:
     )
     parts.append(f"""
     SELECT nprobe, n_queries, gt_pairs, cand_pairs, hits,
-           round(CAST(hits AS DOUBLE) / gt_pairs, 6) AS recall
+           round(CAST(hits AS DOUBLE) / gt_pairs, 6) AS recall,
+           rerank_hits,
+           round(CAST(rerank_hits AS DOUBLE) / gt_pairs, 6)
+               AS rerank_recall
     FROM ({unions})
     """)
     return "".join(parts)
@@ -1324,15 +1346,44 @@ def ivfpq_recall_by_nprobe(
             .filter(F.col("rnk") <= 10)
             .select("query_id", "neighbor_id")
         )
+        pool = (
+            adc.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        "adc_sq_dist", "neighbor_id"
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _RERANK_N)
+            .select("query_id", "neighbor_id")
+        )
+        rrtop = (
+            pool.join(gtd, ["query_id", "neighbor_id"])
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        "d", "neighbor_id"
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "neighbor_id")
+        )
         cp = adc.agg(
             F.count(F.lit(1)).cast("long").alias("cand_pairs")
         )
         hits = gt.join(
             top, ["query_id", "neighbor_id"], "left_semi"
         ).agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        rrhits = gt.join(
+            rrtop, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("rerank_hits"))
         row = (
             nq.crossJoin(cp)
             .crossJoin(hits)
+            .crossJoin(rrhits)
             .select(
                 F.lit(p).cast("long").alias("nprobe"),
                 "n_queries",
@@ -1343,13 +1394,17 @@ def ivfpq_recall_by_nprobe(
                     F.col("hits").cast("double") / F.col("gt_pairs"),
                     6,
                 ).alias("recall"),
+                "rerank_hits",
+                F.round(
+                    F.col("rerank_hits").cast("double")
+                    / F.col("gt_pairs"),
+                    6,
+                ).alias("rerank_recall"),
             )
         )
         out = row if out is None else out.unionByName(row)
     return out
 
-
-_RERANK_N = 50
 
 
 def _ivfpq_rerank_oracle() -> str:

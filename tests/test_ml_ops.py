@@ -786,6 +786,10 @@ def test_ivfpq_nprobe_curve_is_monotone(spark, sf_dir):
     assert [r.nprobe for r in rows] == [1, 2, 4]
     for a, b in zip(rows, rows[1:]):
         assert b.cand_pairs > a.cand_pairs
+        # exact rerank over a superset pool IS monotone (see banner)
+        assert b.rerank_hits >= a.rerank_hits
     assert all(r.n_queries > 0 and r.gt_pairs > 0 for r in rows)
     assert all(0.0 <= r.recall <= 1.0 for r in rows)
     assert all(r.hits <= r.gt_pairs for r in rows)
+    # reranking never loses to plain ADC at the same nprobe
+    assert all(r.rerank_hits >= r.hits for r in rows)
