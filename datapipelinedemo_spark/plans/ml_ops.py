@@ -821,6 +821,235 @@ def embedding_pq_codes_packed(
     )
 
 
+# --------------------------------------------------------------------------
+# Variance-balanced PQ (the standard OPQ-lite dimension allocation,
+# Ge et al. 2013 §"OPQ-P" — a PERMUTATION instead of the full learned
+# rotation): rank dimensions by corpus variance and deal them
+# round-robin across subspaces, so no single sub-quantizer eats all
+# the high-variance coordinates while others idle. The permutation is
+# a plan constant derived from exact integer moments (n·Σx² − (Σx)²,
+# HUGEINT/decimal grade — no float in the ranking), so both engines
+# agree on it bit-for-bit and the whole balanced chain stays exact.
+# --------------------------------------------------------------------------
+def pq_dim_permutation(
+    spark: SparkSession, sf_dir: str, m_sub: int = _PQ_M
+) -> list[int]:
+    """1-based OLD positions ordered by NEW position: new position
+    m·w + slot holds the dim ranked (slot·M + m + 1)-th by
+    (variance DESC, dim ASC) — the round-robin deal. Dim-sized
+    driver work (one dim-row aggregate collect)."""
+    rows = (
+        _pq_quantized(spark, sf_dir)
+        .select(F.posexplode("qv").alias("j", "x"))
+        .groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x")
+            ).alias("sx2"),
+        )
+        .collect()
+    )
+    v = {
+        int(r.j): int(r.n) * int(r.sx2) - int(r.sx) * int(r.sx)
+        for r in rows
+    }
+    dim = len(v)
+    assert dim % m_sub == 0, (dim, m_sub)
+    w = dim // m_sub
+    ranked = sorted(v, key=lambda j: (-v[j], j))
+    perm = [0] * dim
+    for ridx, j in enumerate(ranked):
+        m, slot = ridx % m_sub, ridx // m_sub
+        perm[m * w + slot] = j + 1  # element_at is 1-based
+    return perm
+
+
+def _pq_balanced_quantized(
+    spark: SparkSession, sf_dir: str, m_sub: int = _PQ_M
+) -> DataFrame:
+    """(vec_id, qv): the embedding table with dimensions permuted by
+    the variance-balanced allocation — one in-row transform over the
+    permutation literal."""
+    perm = pq_dim_permutation(spark, sf_dir, m_sub)
+    lits = ", ".join(str(p) for p in perm)
+    return _pq_quantized(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(array({lits}), p -> element_at(qv, p))"
+        ).alias("qv"),
+    )
+
+
+_BPQ_MEMO: dict[tuple, tuple[dict, int]] = {}
+
+
+def balanced_pq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+) -> tuple[dict, int]:
+    """PQ codebooks trained on the variance-balanced permutation —
+    same Lloyd arithmetic, memoized separately."""
+    from datapipelinedemo_spark.memo import table_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(sf_dir, "embeddings"),
+        "balanced",
+        m_sub,
+        k,
+        iters,
+    )
+    hit = _BPQ_MEMO.get(key)
+    if hit is None:
+        hit = _pq_train_on(
+            spark,
+            _pq_balanced_quantized(spark, sf_dir, m_sub),
+            m_sub,
+            k,
+            iters,
+        )
+        _BPQ_MEMO[key] = hit
+    return hit
+
+
+def _bpq_chain(
+    m_sub: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS
+) -> str:
+    """Variance-balanced Lloyd chain as a continuation of ``_pq_cte``
+    (consumes its ``exj``): exact-integer variance ranking →
+    round-robin permutation → the same per-subspace chain on the
+    permuted (m, i) keys. Ends in ``basg``."""
+    parts = [
+        f"""
+    , bstat AS (
+        SELECT j, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(qv) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS sx2
+        FROM exj GROUP BY j
+    ), bperm AS (
+        SELECT j, (r - 1) % {m_sub} AS m, (r - 1) // {m_sub} AS i
+        FROM (
+            SELECT j, ROW_NUMBER() OVER (
+                       ORDER BY n * sx2 - sx * sx DESC, j) AS r
+            FROM bstat
+        )
+    ), bex AS (
+        SELECT e.vec_id, p.m, p.i, e.qv
+        FROM exj e JOIN bperm p ON p.j = e.j
+    ),
+    bc0 AS (
+        SELECT vec_id AS cid, m, i, qv AS cv FROM bex WHERE vec_id < {k}
+    )"""
+    ]
+    for t in range(iters):
+        parts.append(f"""
+    , ba{t} AS (
+        SELECT bex.vec_id, bex.m, bc{t}.cid,
+               CAST(SUM((bex.qv - bc{t}.cv) * (bex.qv - bc{t}.cv))
+                    AS BIGINT) AS d
+        FROM bex JOIN bc{t} ON bc{t}.m = bex.m AND bc{t}.i = bex.i
+        GROUP BY 1, 2, 3
+    ),
+    bs{t} AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, cid) AS rn
+            FROM ba{t}
+        ) WHERE rn = 1
+    ),
+    bu{t + 1} AS (
+        SELECT bs{t}.m, bs{t}.cid, bex.i,
+               CAST(FLOOR(CAST(SUM(bex.qv) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cv
+        FROM bex JOIN bs{t}
+          ON bs{t}.vec_id = bex.vec_id AND bs{t}.m = bex.m
+        GROUP BY 1, 2, 3
+    ),
+    bc{t + 1} AS (
+        SELECT bc{t}.cid, bc{t}.m, bc{t}.i,
+               COALESCE(bu{t + 1}.cv, bc{t}.cv) AS cv
+        FROM bc{t} LEFT JOIN bu{t + 1}
+          ON bu{t + 1}.cid = bc{t}.cid AND bu{t + 1}.m = bc{t}.m
+         AND bu{t + 1}.i = bc{t}.i
+    )""")
+    t = iters
+    parts.append(f"""
+    , bafin AS (
+        SELECT bex.vec_id, bex.m, bc{t}.cid,
+               CAST(SUM((bex.qv - bc{t}.cv) * (bex.qv - bc{t}.cv))
+                    AS BIGINT) AS d
+        FROM bex JOIN bc{t} ON bc{t}.m = bex.m AND bc{t}.i = bex.i
+        GROUP BY 1, 2, 3
+    ),
+    basg AS (
+        SELECT vec_id, m, cid, d FROM (
+            SELECT vec_id, m, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, cid) AS rn
+            FROM bafin
+        ) WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "pq_balanced_subspace_error",
+    oracle=_pq_cte()
+    + _bpq_chain()
+    + """
+    , rerr AS (
+        SELECT m, CAST(SUM(d) AS BIGINT) AS e FROM asg GROUP BY m
+    ), berr AS (
+        SELECT m, CAST(SUM(d) AS BIGINT) AS e FROM basg GROUP BY m
+    )
+    SELECT rerr.m AS m, rerr.e AS raw_sq_err,
+           berr.e AS balanced_sq_err
+    FROM rerr JOIN berr ON berr.m = rerr.m
+    """,
+)
+def pq_balanced_subspace_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-subspace total squared reconstruction error, RAW dimension
+    layout vs the VARIANCE-BALANCED permutation, at the same (M, K,
+    iters) — the codebook-quality lever OPQ's allocation step buys,
+    measured exactly. On isotropic data the two columns are close (a
+    permutation can't help what's already balanced — recorded
+    honestly); tests/test_ml_ops.py plants anisotropic embeddings and
+    pins that balancing evens the per-subspace load.
+
+    Scale shape: the permutation is a dim-sized plan constant from
+    ONE exact-integer moment aggregate; the balanced chain is the
+    certified PQ chain over an in-row permuted view — same jobs, same
+    shuffles, nothing new at scale."""
+    raw = (
+        pq_assign(spark, sf_dir)
+        .groupBy("m")
+        .agg(F.sum("sq_dist").cast("long").alias("raw_sq_err"))
+    )
+    bcents, w = balanced_pq_train(spark, sf_dir)
+    bal = (
+        _pq_assign_frame(
+            spark,
+            _pq_balanced_quantized(spark, sf_dir),
+            bcents,
+            _PQ_M,
+            _PQ_K,
+            w,
+        )
+        .groupBy("m")
+        .agg(F.sum("sq_dist").cast("long").alias("balanced_sq_err"))
+    )
+    return raw.join(bal, "m")
+
+
 def _pq_lut_expr(cents: dict, m_sub: int, k: int, w: int) -> str:
     """Per-query ADC lookup table, in-row: every (m, cid) partial
     squared distance from this vector's subspace slices to the trained

@@ -793,3 +793,58 @@ def test_ivfpq_nprobe_curve_is_monotone(spark, sf_dir):
     assert all(r.hits <= r.gt_pairs for r in rows)
     # reranking never loses to plain ADC at the same nprobe
     assert all(r.rerank_hits >= r.hits for r in rows)
+
+
+def test_balanced_pq_evens_subspace_load_on_anisotropic_data(
+    spark, tmp_path
+):
+    """Plant embeddings whose variance is concentrated in the FIRST
+    raw subspace (dims 0..15 hot, the rest near-constant). The
+    variance-balanced permutation deals hot dims round-robin, so the
+    max/total per-subspace error ratio must drop vs the raw layout,
+    and the permutation itself must interleave hot dims one per
+    subspace."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.ml_ops import (
+        _PQ_M,
+        pq_balanced_subspace_error,
+        pq_dim_permutation,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 64
+    emb = np.zeros((n, d))
+    emb[:, :16] = rng.normal(0, 1.0, (n, 16))  # hot block
+    emb[:, 16:] = rng.normal(0, 0.01, (n, d - 16))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in emb],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    perm = pq_dim_permutation(spark, str(tmp_path))
+    w = d // _PQ_M
+    # each subspace's FIRST slot holds one of the 4 highest-variance
+    # dims (round-robin deal): old positions 1..16 are the hot dims
+    hot = {perm[m * w] for m in range(_PQ_M)}
+    assert all(p <= 16 for p in hot) and len(hot) == _PQ_M
+
+    rows = pq_balanced_subspace_error(spark, str(tmp_path)).collect()
+    raw = [r.raw_sq_err for r in rows]
+    bal = [r.balanced_sq_err for r in rows]
+    raw_imb = max(raw) / max(1, sum(raw) / len(raw))
+    bal_imb = max(bal) / max(1, sum(bal) / len(bal))
+    assert bal_imb < raw_imb
+    # raw layout: essentially ALL error in subspace 0
+    assert max(raw) > 0.9 * sum(raw)
+    # balanced: no subspace holds more than half
+    assert max(bal) < 0.5 * sum(bal)
