@@ -289,6 +289,26 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign_cached(spark, sf_dir)
 
 
+@register(
+    "kmeans_clusters_k64",
+    oracle=_kmeans_cte(k=64)
+    + "\n    SELECT vec_id, cid AS cluster, d AS sq_dist FROM asg",
+)
+def kmeans_clusters_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coarse quantizer at PRODUCTION list count: k = 64 (>
+    ``_LITERAL_K_MAX``), so training and assignment run entirely
+    through the broadcast-centroid-frame strategy — the path a real
+    IVF deployment (nlist in the thousands) uses, previously only
+    pytest-pinned. Same milli-grid BIGINT arithmetic and (d, cid)
+    tie-break as the k=8 entry; the oracle is the same unrolled
+    chain at k=64.
+
+    Scale shape: per iteration ONE broadcast join (k×dim centroid
+    frame) + one (vec_id) min-struct partial agg + one (cid, i)
+    update agg — no k literals anywhere near codegen."""
+    return kmeans_assign(spark, sf_dir, k=64)
+
+
 # ---------------------------------------------------------------------------
 # Per-group closed-form OLS: value ~ hour-of-day, per event type.
 # ---------------------------------------------------------------------------
