@@ -234,3 +234,98 @@ def test_concurrent_builders_one_valid_winner(tmp_path):
     # no stale claim/tmp litter left behind
     siblings = os.listdir(tmp_path)
     assert [d for d in siblings if ".tmp-" in d or ".stale-" in d] == []
+
+
+def _mk_frame(spark, vals):
+    return spark.createDataFrame([(int(v),) for v in vals], "x long")
+
+
+def test_append_frame_commits_manifest_pinned_generation(
+    spark, tmp_path
+):
+    """append_frame adds a new frame dir with its own manifest beside
+    the base; the whole index stays valid and both generations read
+    back pinned."""
+    dest = str(tmp_path / "idx")
+    WO.ensure_dir(
+        dest,
+        lambda tmp: _mk_frame(spark, [1, 2]).write.parquet(
+            os.path.join(tmp, "base")
+        ),
+    )
+    frame = WO.append_frame(
+        dest,
+        "batch_0",
+        lambda tmp: _mk_frame(spark, [3]).write.parquet(tmp),
+    )
+    assert os.path.exists(os.path.join(frame, WO.MANIFEST_NAME))
+    assert WO.dir_is_valid(dest)
+    got = sorted(
+        r.x
+        for d in ("base", "batch_0")
+        for r in WO.read_frame(spark, os.path.join(dest, d)).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_append_frame_is_idempotent_per_batch_name(spark, tmp_path):
+    """A second append under the same name keeps the committed frame
+    (batch content is deterministic per batch id) — no duplication,
+    no rewrite."""
+    dest = str(tmp_path / "idx")
+    WO.ensure_dir(
+        dest,
+        lambda tmp: _mk_frame(spark, [1]).write.parquet(
+            os.path.join(tmp, "base")
+        ),
+    )
+    WO.append_frame(
+        dest,
+        "batch_0",
+        lambda tmp: _mk_frame(spark, [7, 8]).write.parquet(tmp),
+    )
+    m1 = json.load(
+        open(os.path.join(dest, "batch_0", WO.MANIFEST_NAME))
+    )
+    calls = []
+    WO.append_frame(
+        dest,
+        "batch_0",
+        lambda tmp: calls.append(tmp),  # must never run
+    )
+    assert calls == []
+    m2 = json.load(
+        open(os.path.join(dest, "batch_0", WO.MANIFEST_NAME))
+    )
+    assert m1 == m2
+
+
+def test_append_frame_replaces_corrupt_half_written_batch(
+    spark, tmp_path
+):
+    """A manifest-less (half-written) batch dir is torn down and
+    rebuilt instead of trusted."""
+    dest = str(tmp_path / "idx")
+    WO.ensure_dir(
+        dest,
+        lambda tmp: _mk_frame(spark, [1]).write.parquet(
+            os.path.join(tmp, "base")
+        ),
+    )
+    half = os.path.join(dest, "batch_0")
+    os.makedirs(half)
+    with open(os.path.join(half, "part-junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    WO.append_frame(
+        dest,
+        "batch_0",
+        lambda tmp: _mk_frame(spark, [9]).write.parquet(tmp),
+    )
+    assert WO.dir_is_valid(dest)
+    got = [
+        r.x
+        for r in WO.read_frame(
+            spark, os.path.join(dest, "batch_0")
+        ).collect()
+    ]
+    assert got == [9]
