@@ -601,17 +601,36 @@ def _pq_train_on(
         for m in range(m_sub)
     }
     for _ in range(iters):
-        upd = (
-            _pq_assign_frame(spark, q, cents, m_sub, k, w)
-            .join(q, "vec_id")
-            .select(
-                "m",
-                F.col("code").alias("cid"),
+        # literal path: assignment + subvector values in ONE pass over
+        # q (no per-iteration corpus-grain self-join); broadcast path:
+        # the assignment frame joins the subvector frame on
+        # (vec_id, m) — unavoidable there, since the argmin is a
+        # groupBy away from the values
+        if k <= _LITERAL_K_MAX:
+            upd_src = q.select(
+                "vec_id",
+                "qv",
+                F.explode(
+                    F.expr(_pq_assign_expr(cents, m_sub, k, w))
+                ).alias("r"),
+            ).select(
+                F.col("r.m").alias("m"),
+                F.col("r.best.c").alias("cid"),
                 F.posexplode(
-                    F.expr(f"slice(qv, cast(m as int) * {w} + 1, {w})")
+                    F.expr(f"slice(qv, cast(r.m as int) * {w} + 1, {w})")
                 ).alias("i", "v"),
             )
-            .groupBy("m", "cid", "i")
+        else:
+            upd_src = (
+                _pq_assign_frame(
+                    spark, q, cents, m_sub, k, w, strategy="broadcast"
+                )
+                .select("vec_id", "m", F.col("code").alias("cid"))
+                .join(_pq_subvectors(q, m_sub, w), ["vec_id", "m"])
+                .select("m", "cid", F.posexplode("sub").alias("i", "v"))
+            )
+        upd = (
+            upd_src.groupBy("m", "cid", "i")
             .agg(
                 F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
                 .cast("long")
