@@ -1387,6 +1387,68 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_frame(
+    spark: SparkSession,
+    queries: DataFrame,
+    coarse_cents: dict,
+    nprobe: int,
+    strategy: str | None = None,
+) -> DataFrame:
+    """(query_id, cluster): each query's ``nprobe`` nearest inverted
+    lists, with the ``_km_assign_frame`` strategy switch — in-row
+    literal argsort for small nlist (whole-stage codegen, zero extra
+    rows), broadcast centroid-frame join + per-query rank above
+    ``_LITERAL_K_MAX`` (production nlist would blow the codegen
+    budget as literals). Same BIGINT distances and (d, cid)
+    tie-break; the rank window partitions by query over exactly
+    nlist rows each. ``strategy`` forces a path for the equivalence
+    pytest."""
+    if strategy is None:
+        strategy = (
+            "literal"
+            if len(coarse_cents) <= _LITERAL_K_MAX
+            else "broadcast"
+        )
+    if strategy == "literal":
+        cand_structs = []
+        for cid in sorted(coarse_cents):
+            lits = ", ".join(f"{v}L" for v in coarse_cents[cid])
+            cand_structs.append(
+                f"named_struct('d', aggregate(zip_with(qv,"
+                f" array({lits}), (a, b) -> (a - b) * (a - b)), 0L,"
+                f" (acc, x) -> acc + x), 'c', {cid}L)"
+            )
+        return queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(
+                    f"slice(array_sort("
+                    f"array({', '.join(cand_structs)})), 1, {nprobe})"
+                )
+            ).alias("p"),
+        ).select("query_id", F.col("p.c").alias("cluster"))
+    assert strategy == "broadcast", strategy
+    from pyspark.sql import Window
+
+    cdf = spark.createDataFrame(
+        [(cid, list(coarse_cents[cid])) for cid in sorted(coarse_cents)],
+        "cluster long, cv array<bigint>",
+    )
+    d = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    wnd = Window.partitionBy("query_id").orderBy("d", "cluster")
+    return (
+        queries.select(F.col("vec_id").alias("query_id"), "qv")
+        .crossJoin(F.broadcast(cdf))
+        .select("query_id", "cluster", d.alias("d"))
+        .withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+
+
 def _ivfpq_adc(
     spark: SparkSession, sf_dir: str, nprobe: int | None = None
 ) -> DataFrame:
@@ -1406,24 +1468,7 @@ def _ivfpq_adc(
     queries = _pq_quantized(spark, sf_dir).filter(
         F.col("vec_id") % TOPK_QUERY_MOD == 0
     )
-
-    cand_structs = []
-    for cid in sorted(coarse_cents):
-        lits = ", ".join(f"{v}L" for v in coarse_cents[cid])
-        cand_structs.append(
-            f"named_struct('d', aggregate(zip_with(qv, array({lits}),"
-            f" (a, b) -> (a - b) * (a - b)), 0L,"
-            f" (acc, x) -> acc + x), 'c', {cid}L)"
-        )
-    probe = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.expr(
-                f"slice(array_sort(array({', '.join(cand_structs)})),"
-                f" 1, {nprobe})"
-            )
-        ).alias("p"),
-    ).select("query_id", F.col("p.c").alias("cluster"))
+    probe = _probe_frame(spark, queries, coarse_cents, nprobe)
 
     lut = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -2468,23 +2513,9 @@ def similarity_topk_ivfpq_residual(
         F.col("vec_id") % TOPK_QUERY_MOD == 0
     )
 
-    cand_structs = []
-    for cid in sorted(coarse_cents):
-        lits = ", ".join(f"{v}L" for v in coarse_cents[cid])
-        cand_structs.append(
-            f"named_struct('d', aggregate(zip_with(qv, array({lits}),"
-            f" (a, b) -> (a - b) * (a - b)), 0L,"
-            f" (acc, x) -> acc + x), 'c', {cid}L)"
-        )
-    probe = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.expr(
-                f"slice(array_sort(array({', '.join(cand_structs)})),"
-                f" 1, {_IVFPQ_NPROBE})"
-            )
-        ).alias("p"),
-    ).select("query_id", F.col("p.c").alias("cluster"))
+    probe = _probe_frame(
+        spark, queries, coarse_cents, _IVFPQ_NPROBE
+    )
 
     ccdf = _coarse_centroid_frame(spark, coarse_cents)
     qres = (

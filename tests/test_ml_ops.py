@@ -848,3 +848,29 @@ def test_balanced_pq_evens_subspace_load_on_anisotropic_data(
     assert max(raw) > 0.9 * sum(raw)
     # balanced: no subspace holds more than half
     assert max(bal) < 0.5 * sum(bal)
+
+
+def test_probe_frame_strategies_equivalent(spark, sf_dir):
+    """Probe selection (the coarse stage of IVF-PQ serving) must be
+    bit-identical between the literal in-row argsort and the
+    broadcast centroid-frame rank — the production-nlist path."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.ml_ops import (
+        _pq_quantized,
+        _probe_frame,
+        kmeans_train,
+    )
+
+    cents = kmeans_train(spark, sf_dir)
+    queries = _pq_quantized(spark, sf_dir).filter(
+        F.col("vec_id") % 5 == 0
+    )
+    for nprobe in (1, 2, 4):
+        lit = _probe_frame(
+            spark, queries, cents, nprobe, strategy="literal"
+        ).orderBy("query_id", "cluster").collect()
+        brd = _probe_frame(
+            spark, queries, cents, nprobe, strategy="broadcast"
+        ).orderBy("query_id", "cluster").collect()
+        assert lit == brd and len(lit) > 0
