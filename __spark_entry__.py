@@ -72,17 +72,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # 37 r9 / 50 r8 / 48 r7 / 12 r6 — the r10 comment mislabeled the 12
 # r6 rows as r7 (VERDICT r10 "What's wrong #2"); this list and its
 # bookkeeping are now generated from the artifacts, not hand-tracked.
-# Round-11 window = the 15 new entries (residual IVFADC + its recall
+# Round-11 window = the 16 new entries (residual IVFADC + its recall
 # comparison, the packed-codes index pair, the composed
 # streaming-admission serving entry, the capped-batch embedding
 # stream, unigram byte fallback, the IVFADC admission twin, DoReMi
 # domain reweighting, exact reranking over the deep ADC cut, the
 # IVF list-balance report, the persisted trained vocab, the
 # recall-by-nprobe operating curve, variance-balanced PQ, the
-# production-k coarse quantizer) plus
+# production-k coarse quantizer, the nlist=64 IVF-PQ composition)
+# plus
 # the re-planned
 # intra_doc_block_dedup FIRST, then ALL 12 r6-vintage rows, then the
-# 22 alphabetically-first r7 rows. The 26 remaining r7 rows lead the
+# 21 alphabetically-first r7 rows. The 27 remaining r7 rows lead the
 # r12 rotation; after r11 no entry's latest green row is older
 # than r7.
 PRIORITY = [
@@ -102,6 +103,7 @@ PRIORITY = [
     "ivfpq_recall_by_nprobe",
     "pq_balanced_subspace_error",
     "kmeans_clusters_k64",
+    "similarity_topk_ivfpq_nlist64",
     "intra_doc_block_dedup",
     # --- r6-vintage (mislabeled r7 in the r10 comment; VERDICT r10
     # "What's wrong #2") — all 12, certified here ---
@@ -139,9 +141,9 @@ PRIORITY = [
     "hard_negative_mining",
     "hybrid_retrieval_rrf",
     "lang_id_confusion",
-    "lexicon_sentiment_documents",
-    # --- past the 50-query window -> the remaining 26 r7 rows lead
+    # --- past the 50-query window -> the remaining 27 r7 rows lead
     # the r12 rotation ---
+    "lexicon_sentiment_documents",
     "moving_avg_daily_revenue",
     "neardup_canonical_quality",
     "neardup_clusters",

@@ -1314,11 +1314,11 @@ def _pq_cte_prefixed(p: str) -> str:
     return sql.replace("WITH ", ", ", 1)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(nlist: int = _K) -> str:
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 
     return (
-        _kmeans_cte()  # coarse lists: afin (all query-centroid dists), asg
+        _kmeans_cte(k=nlist)  # coarse: afin (query-centroid dists), asg
         + _pq_cte_prefixed("pq")  # codes: pqasg; centroids: pqc{iters}
         + f"""
     , probe AS (
@@ -1450,7 +1450,10 @@ def _probe_frame(
 
 
 def _ivfpq_adc(
-    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    nlist: int = _K,
 ) -> DataFrame:
     """(query_id, neighbor_id, adc_sq_dist): the pre-cut IVF-PQ ADC
     frame — probe selection, candidate generation from the probed
@@ -1461,8 +1464,10 @@ def _ivfpq_adc(
 
     if nprobe is None:
         nprobe = _IVFPQ_NPROBE
-    coarse_cents = kmeans_train(spark, sf_dir)
-    lists = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    coarse_cents = kmeans_train(spark, sf_dir, k=nlist)
+    lists = kmeans_assign(spark, sf_dir, k=nlist).select(
+        "vec_id", "cluster"
+    )
     pq_cents, w = pq_train(spark, sf_dir)
     codes = pq_assign(spark, sf_dir).select("vec_id", "m", "code")
     queries = _pq_quantized(spark, sf_dir).filter(
@@ -1718,6 +1723,33 @@ def ivfpq_recall_by_nprobe(
         out = row if out is None else out.unionByName(row)
     return out
 
+
+@register(
+    "similarity_topk_ivfpq_nlist64", oracle=_ivfpq_oracle(nlist=64)
+)
+def similarity_topk_ivfpq_nlist64(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF-PQ serving composition at PRODUCTION list count:
+    nlist = 64 (> ``_LITERAL_K_MAX``), so coarse training, list
+    assignment, AND per-query probe selection all run the
+    broadcast-centroid-frame strategies end to end under the oracle
+    gate — the full large-nlist geometry, not just its pytest pins.
+    Same ADC tail, BIGINT math, and tie-breaks as the certified
+    nlist=8 entry; with 64 lists and nprobe=2 the scan share per
+    query drops to ~1/32 of the corpus, which is exactly the point
+    of growing nlist."""
+    from pyspark.sql import Window
+
+    adc = _ivfpq_adc(spark, sf_dir, nlist=64)
+    wnd = Window.partitionBy("query_id").orderBy(
+        "adc_sq_dist", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )
 
 
 def _ivfpq_rerank_oracle() -> str:
