@@ -72,7 +72,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # 37 r9 / 50 r8 / 48 r7 / 12 r6 — the r10 comment mislabeled the 12
 # r6 rows as r7 (VERDICT r10 "What's wrong #2"); this list and its
 # bookkeeping are now generated from the artifacts, not hand-tracked.
-# Round-11 window = the 16 new entries (residual IVFADC + its recall
+# Round-11 window = the 17 new entries (residual IVFADC + its recall
 # comparison, the packed-codes index pair, the composed
 # streaming-admission serving entry, the capped-batch embedding
 # stream, unigram byte fallback, the IVFADC admission twin, DoReMi
@@ -83,7 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus
 # the re-planned
 # intra_doc_block_dedup FIRST, then ALL 12 r6-vintage rows, then the
-# 21 alphabetically-first r7 rows. The 27 remaining r7 rows lead the
+# 20 alphabetically-first r7 rows. The 28 remaining r7 rows lead the
 # r12 rotation; after r11 no entry's latest green row is older
 # than r7.
 PRIORITY = [
@@ -104,6 +104,7 @@ PRIORITY = [
     "pq_balanced_subspace_error",
     "kmeans_clusters_k64",
     "similarity_topk_ivfpq_nlist64",
+    "similarity_topk_ivfpq_residual_stored",
     "intra_doc_block_dedup",
     # --- r6-vintage (mislabeled r7 in the r10 comment; VERDICT r10
     # "What's wrong #2") — all 12, certified here ---
@@ -140,9 +141,9 @@ PRIORITY = [
     "exact_k_per_language",
     "hard_negative_mining",
     "hybrid_retrieval_rrf",
-    "lang_id_confusion",
-    # --- past the 50-query window -> the remaining 27 r7 rows lead
+    # --- past the 50-query window -> the remaining 28 r7 rows lead
     # the r12 rotation ---
+    "lang_id_confusion",
     "lexicon_sentiment_documents",
     "moving_avg_daily_revenue",
     "neardup_canonical_quality",

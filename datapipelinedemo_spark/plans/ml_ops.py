@@ -2599,6 +2599,151 @@ def similarity_topk_ivfpq_residual(
     )
 
 
+def rpq_serving_index_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+) -> str:
+    """The RESIDUAL (IVFADC) serving index root: base generation =
+    the already-ingested corpus's (vec_id, cluster, packed residual
+    codes) — the inverted-list layout a production IVFADC index
+    persists (list id + M code bytes per vector, no raw vectors);
+    admitted batches append as manifest-pinned generations."""
+    import os
+
+    from datapipelinedemo_spark.operators.neardup_index import (
+        _index_root,
+    )
+    from datapipelinedemo_spark.operators.write_once import ensure_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = (
+        f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}"
+        f"-rpqserve{m_sub}_{k}_{iters}"
+    )
+    dest = os.path.join(_index_root(), tag)
+
+    def _build(tmp: str) -> None:
+        import os as _os
+
+        rcents, w = residual_pq_train(spark, sf_dir, m_sub, k, iters)
+        base = _residual_quantized(spark, sf_dir).filter(
+            F.col("vec_id") % 10 != 0
+        )
+        asg = _pq_assign_frame(
+            spark, base.select("vec_id", "qv"), rcents, m_sub, k, w
+        ).select("vec_id", "m", "code")
+        (
+            _pq_pack(asg)
+            .join(base.select("vec_id", "cluster"), "vec_id")
+            .write.mode("overwrite")
+            .parquet(_os.path.join(tmp, "base"))
+        )
+
+    ensure_dir(dest, _build)
+    return dest
+
+
+@register(
+    "similarity_topk_ivfpq_residual_stored",
+    oracle=_ivfpq_residual_oracle(),
+)
+def similarity_topk_ivfpq_residual_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPLETE IVFADC production loop in one certified entry:
+    the base corpus sits in the residual serving index as
+    (list id, packed residual codes); a fresh micro-batch goes
+    through the map-only admission step (`streaming_ivfpq_admission`)
+    and its packed (list, codes) rows append as a new manifest-pinned
+    generation; the query answers over base + batch by per-list
+    residual ADC — reading ONLY the stored index (no raw corpus
+    vectors, no re-coding). Base + batch covers every vector under
+    the frozen codebooks, so the answer is bit-identical to the
+    inline `similarity_topk_ivfpq_residual` — the shared oracle
+    certifies that ingest-then-serve loses nothing.
+
+    Scale shape: ingest is batch-sized and map-only; the serve scan
+    reads (cluster, M code BIGINTs) per vector across generations,
+    prunes to probed lists via a broadcast join, and pays one
+    (query, neighbor) partial agg — the IVFADC serving read path,
+    end to end."""
+    from pyspark.sql import Window
+
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    coarse_cents = kmeans_train(spark, sf_dir)
+    rcents, w = residual_pq_train(spark, sf_dir)
+    idx = rpq_serving_index_dir(spark, sf_dir)
+    batch = streaming_ivfpq_admission(spark, sf_dir)
+    pq_index_append_batch(
+        idx,
+        _pq_pack(batch.select("vec_id", "m", "code")).join(
+            batch.select("vec_id", "cluster").distinct(), "vec_id"
+        ),
+    )
+    stored = pq_index_read_codes(spark, idx)
+    rcodes = stored.select(
+        "vec_id",
+        "cluster",
+        F.posexplode("codes").alias("mm", "code"),
+    ).select(
+        "vec_id",
+        "cluster",
+        F.col("mm").cast("long").alias("m"),
+        "code",
+    )
+    queries = _pq_quantized(spark, sf_dir).filter(
+        F.col("vec_id") % TOPK_QUERY_MOD == 0
+    )
+    probe = _probe_frame(spark, queries, coarse_cents, _IVFPQ_NPROBE)
+    ccdf = _coarse_centroid_frame(spark, coarse_cents)
+    qres = (
+        probe.join(
+            queries.select(F.col("vec_id").alias("query_id"), "qv"),
+            "query_id",
+        )
+        .join(F.broadcast(ccdf), "cluster")
+        .select(
+            "query_id",
+            "cluster",
+            F.expr("zip_with(qv, ccv, (a, b) -> a - b)").alias("qv"),
+        )
+    )
+    lut = qres.select(
+        "query_id",
+        "cluster",
+        F.explode(
+            F.expr(_pq_lut_expr(rcents, _PQ_M, _PQ_K, w))
+        ).alias("l"),
+    ).select(
+        "query_id",
+        "cluster",
+        F.col("l.m").alias("m"),
+        F.col("l.c").alias("code"),
+        F.col("l.pd").alias("pd"),
+    )
+    adc = (
+        rcodes.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "cluster", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").cast("long").alias("adc_sq_dist"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        "adc_sq_dist", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )
+
+
 def _ivfpq_recall_cmp_oracle() -> str:
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 

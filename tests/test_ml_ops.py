@@ -874,3 +874,36 @@ def test_probe_frame_strategies_equivalent(spark, sf_dir):
             spark, queries, cents, nprobe, strategy="broadcast"
         ).orderBy("query_id", "cluster").collect()
         assert lit == brd and len(lit) > 0
+
+
+def test_residual_stored_serve_matches_inline(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The full IVFADC loop (base index -> admission append -> serve
+    from stored codes) answers bit-identically to the inline residual
+    plan, and the index really holds two manifest-pinned
+    generations."""
+    import os
+
+    from datapipelinedemo_spark.operators.neardup_index import (
+        INDEX_DIR_ENV,
+    )
+    from datapipelinedemo_spark.plans.ml_ops import (
+        similarity_topk_ivfpq_residual,
+        similarity_topk_ivfpq_residual_stored,
+        rpq_serving_index_dir,
+    )
+
+    monkeypatch.setenv(INDEX_DIR_ENV, str(tmp_path / "idx"))
+    a = similarity_topk_ivfpq_residual(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).collect()
+    b = similarity_topk_ivfpq_residual_stored(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert a == b and len(a) > 0
+    idx = rpq_serving_index_dir(spark, sf_dir)
+    gens = sorted(
+        d for d in os.listdir(idx) if not d.startswith(".")
+    )
+    assert gens == ["base", "batch_0"]
