@@ -220,3 +220,41 @@ Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
         "Arguments: hashpartitioning(pb, 32), ENSURE_REQUIREMENTS",
     )
     assert single_partition_sorts(ok) == []
+
+
+def test_ivfpq_admission_plan_is_map_only(spark, sf_dir):
+    """The IVFADC admission entry's whole claim is 'zero shuffles per
+    ingest trigger' — pin it: only broadcast exchanges in the plan
+    (coarse-centroid frame + any AQE artifacts), no shuffle exchange,
+    no cartesian, no Python row-UDF."""
+    from datapipelinedemo_spark.plans.ml_ops import (
+        streaming_ivfpq_admission,
+    )
+
+    flags = audit_flags(
+        plan_string(streaming_ivfpq_admission(spark, sf_dir))
+    )
+    assert flags["shuffles"] == 0, flags
+    assert not flags["python_row_udf"] and not flags["cartesian"]
+
+
+def test_stored_index_reads_are_scan_only(spark, sf_dir):
+    """The persisted-artifact entries must serve from parquet scans:
+    the packed-codes read plans with zero shuffles, and the stored
+    trained vocab with zero shuffles and zero joins — a regression
+    here means an index consumer silently recomputes."""
+    from datapipelinedemo_spark.plans.ml_ops import (
+        pq_codes_packed_cached,
+    )
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        trained_unigram_vocab_stored,
+    )
+
+    f1 = audit_flags(
+        plan_string(pq_codes_packed_cached(spark, sf_dir))
+    )
+    assert f1["shuffles"] == 0 and f1["broadcasts"] == 0, f1
+    f2 = audit_flags(
+        plan_string(trained_unigram_vocab_stored(spark, sf_dir))
+    )
+    assert f2["shuffles"] == 0 and f2["broadcasts"] == 0, f2
