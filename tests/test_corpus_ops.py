@@ -373,3 +373,42 @@ def test_intra_doc_block_dedup_book_length_doc_is_linear(spark):
     # generous wall bound: linear shape runs ~2s locally; the r10
     # quadratic would burn minutes-to-hours on this input
     assert elapsed < 60, f"book-length doc took {elapsed:.1f}s"
+
+
+def test_c4_line_dedup_book_length_doc_is_linear(spark):
+    """VERDICT r11 #2 regression twin for the cross-doc half: before
+    r12, ``c4_line_dedup_frame`` referenced ``split(text)`` inside the
+    per-block ``transform`` lambda, so one book-length document (50k
+    blocks = 200k words) re-split its full text once per block —
+    O(words x blocks) = 1e10 char-ops in a single task. The staged
+    word-array column makes block expansion linear."""
+    import time
+
+    from datapipelinedemo_spark.plans.llm_ops import c4_line_dedup_frame
+
+    n_blocks = 50_000
+    vocab = 1_000
+    blocks = [
+        f"w{(i * 7919) % vocab}a w{i % vocab}b w3 w4"
+        for i in range(n_blocks)
+    ]
+    big = " ".join(blocks)
+    boiler = "b1 b2 b3 b4"  # one 4-word block shared by 3 short docs
+    docs = spark.createDataFrame(
+        [(1, big), (2, boiler), (3, boiler), (4, boiler)],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    got = {
+        r.doc_id: (r.n_blocks, r.removed_blocks, r.cleaned_text)
+        for r in c4_line_dedup_frame(docs, min_docs=3).collect()
+    }
+    elapsed = time.monotonic() - t0
+
+    # the big doc's blocks each appear in exactly ONE document, so
+    # nothing is removed from it; the boilerplate block spans 3 docs
+    # and is removed everywhere
+    assert got[1] == (n_blocks, 0, big)
+    for d in (2, 3, 4):
+        assert got[d] == (1, 1, "")
+    assert elapsed < 60, f"book-length doc took {elapsed:.1f}s"
