@@ -60,11 +60,22 @@ def _is_frame_dir(path: str) -> bool:
     return any(n.endswith(".parquet") for n in names)
 
 
+def _is_transient_name(name: str) -> bool:
+    """In-flight build (`<name>.tmp-xxxx`) and claimed-for-teardown
+    (`<name>.stale-xxxx`) directories from this module's own commit
+    protocol. They hold parquet files without (or with a not-yet-final)
+    manifest during their window, so treating them as frames would make
+    a concurrent ``dir_is_valid`` judge a valid index invalid and tear
+    down the base plus the in-flight append (ADVICE r11)."""
+    return ".tmp-" in name or ".stale-" in name
+
+
 def _frame_dirs(root: str) -> list[str]:
     """The parquet frame directories under ``root``: ``root`` itself if
     it holds part files directly, else its immediate subdirectories
     that do (the shingles/banded layout). An empty result means the
-    build wrote nothing — treated as invalid."""
+    build wrote nothing — treated as invalid. Transient tmp/stale dirs
+    from in-flight commits are never frames."""
     if _is_frame_dir(root):
         return [root]
     try:
@@ -74,7 +85,8 @@ def _frame_dirs(root: str) -> list[str]:
     return [
         os.path.join(root, s)
         for s in subs
-        if _is_frame_dir(os.path.join(root, s))
+        if not _is_transient_name(s)
+        and _is_frame_dir(os.path.join(root, s))
     ]
 
 

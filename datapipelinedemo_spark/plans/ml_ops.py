@@ -1605,12 +1605,15 @@ def ivfpq_recall_by_nprobe(
     truth — the recall-vs-cost table that picks nprobe before a
     codebook ships (cand_pairs is exactly the number of ADC
     evaluations a serving node pays per sweep point). One row per
-    sweep point. NOTE the curve is honestly non-monotone in recall
-    under a coarse codebook: candidate sets are supersets, but ADC
-    ranks approximately, so an added candidate with an erroneously
-    small code distance can evict a true neighbor from the top-10 —
-    measure, don't assume; `similarity_topk_ivfpq_rerank` is the fix
-    (exact rerank over a superset pool is provably monotone).
+    sweep point. NOTE neither recall column is monotone-by-
+    construction in nprobe: ADC recall because an added candidate
+    with an erroneously small code distance can evict a true
+    neighbor from the top-10, and rerank recall because the rerank
+    pool is cut to the ADC top-``_RERANK_N`` — a superset candidate
+    set can push a true neighbor past that rank before the exact
+    rerank sees it (ADVICE r11). Measure, don't assume. What IS
+    provable: at a FIXED nprobe, rerank_hits >= hits (exact rerank
+    of a pool containing the ADC top-10 only promotes).
 
     Scale shape: the ground-truth scan is the recall-measurement
     frame (query-sample × corpus, by design — the pq_recall_at_10
@@ -2141,15 +2144,20 @@ def pq_index_read_codes(
     serving index — base plus all admitted batches, each scan pinned
     to its own manifest."""
     import os
+    import re
 
     from datapipelinedemo_spark.operators.write_once import read_frame
 
+    # committed generation names ONLY: a bare prefix test also matches
+    # append_frame's transient dirs (batch_0.tmp-xxxx / .stale-xxxx
+    # from a concurrent or interrupted commit), and read_frame would
+    # then raise IndexIntegrityError on the manifest-less litter,
+    # failing every serve from an otherwise-valid index (ADVICE r11)
     frames = sorted(
         d
         for d in os.listdir(index_dir)
         if os.path.isdir(os.path.join(index_dir, d))
-        and not d.startswith(".")
-        and (d == "base" or d.startswith("batch_"))
+        and re.fullmatch(r"base|batch_[A-Za-z0-9_\-]+", d)
     )
     out = None
     for d in frames:

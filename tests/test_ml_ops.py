@@ -768,13 +768,16 @@ def test_ivfpq_rerank_never_below_adc_recall(spark, sf_dir):
 
 def test_ivfpq_nprobe_curve_is_monotone(spark, sf_dir):
     """More probed lists always scan more candidates (supersets by
-    construction). ADC recall, however, is NOT guaranteed monotone:
-    a new candidate with a smaller (erroneous) approximate distance
-    can push a true neighbor out of the ADC top-10 — the
-    quantization-noise effect the curve exists to expose, and the
-    reason the exact reranker exists (rerank hits over a superset
-    pool ARE monotone: anything exactly closer than a ground-truth
-    member is itself a ground-truth member)."""
+    construction). Neither recall column is GUARANTEED monotone in
+    nprobe, though (ADVICE r11): ADC recall because approximate
+    ranking noise can evict a true neighbor from the top-10, and
+    rerank recall because the rerank POOL is cut to the ADC top-50 —
+    at higher nprobe a superset candidate set can push a true
+    neighbor past rank 50 and out of the pool before the exact
+    rerank sees it. The per-row invariant that IS provable:
+    rerank_hits >= hits at the SAME nprobe (the exact rerank of a
+    pool that contains the ADC top-10 can only promote true
+    neighbors into the top-10, never demote one out)."""
     from datapipelinedemo_spark.plans.ml_ops import (
         ivfpq_recall_by_nprobe,
     )
@@ -786,8 +789,6 @@ def test_ivfpq_nprobe_curve_is_monotone(spark, sf_dir):
     assert [r.nprobe for r in rows] == [1, 2, 4]
     for a, b in zip(rows, rows[1:]):
         assert b.cand_pairs > a.cand_pairs
-        # exact rerank over a superset pool IS monotone (see banner)
-        assert b.rerank_hits >= a.rerank_hits
     assert all(r.n_queries > 0 and r.gt_pairs > 0 for r in rows)
     assert all(0.0 <= r.recall <= 1.0 for r in rows)
     assert all(r.hits <= r.gt_pairs for r in rows)

@@ -329,3 +329,74 @@ def test_append_frame_replaces_corrupt_half_written_batch(
         ).collect()
     ]
     assert got == [9]
+
+
+def test_transient_append_litter_does_not_invalidate_index(
+    spark, tmp_path
+):
+    """ADVICE r11: an in-flight (or interrupted) append's tmp dir lives
+    INSIDE dest and holds parquet files without a manifest during its
+    build window. ``dir_is_valid`` / ``ensure_dir`` must not judge the
+    whole index invalid because of it — that would tear down the valid
+    base plus the in-flight append."""
+    dest = str(tmp_path / "idx")
+    WO.ensure_dir(
+        dest,
+        lambda tmp: _mk_frame(spark, [1, 2]).write.parquet(
+            os.path.join(tmp, "base")
+        ),
+    )
+    # simulate the mid-append window: parquet files, no manifest yet
+    litter = os.path.join(dest, "batch_0.tmp-deadbeef")
+    _mk_frame(spark, [9]).write.parquet(litter)
+    assert WO.MANIFEST_NAME not in os.listdir(litter)
+    stale = os.path.join(dest, "batch_1.stale-cafef00d")
+    _mk_frame(spark, [8]).write.parquet(stale)
+
+    assert WO.dir_is_valid(dest)
+    base_manifest = json.load(
+        open(os.path.join(dest, "base", WO.MANIFEST_NAME))
+    )
+    calls = []
+    WO.ensure_dir(dest, lambda tmp: calls.append(tmp))  # must not rebuild
+    assert calls == []
+    assert base_manifest == json.load(
+        open(os.path.join(dest, "base", WO.MANIFEST_NAME))
+    )
+    # the litter is invisible to frame enumeration but still on disk
+    assert os.path.isdir(litter)
+    assert all(
+        ".tmp-" not in os.path.basename(f) and ".stale-" not in os.path.basename(f)
+        for f in WO._frame_dirs(dest)
+    )
+
+
+def test_pq_index_read_codes_skips_transient_litter(spark, tmp_path):
+    """ADVICE r11: pq_index_read_codes selected subdirs by
+    startswith('batch_'), which also matched transient litter
+    (batch_0.tmp-xxxx) and made read_frame raise IndexIntegrityError
+    on the manifest-less dir — crashing every serve from an
+    otherwise-valid index."""
+    from datapipelinedemo_spark.plans.ml_ops import (
+        pq_index_append_batch,
+        pq_index_read_codes,
+    )
+
+    def _codes(vals):
+        return spark.createDataFrame(
+            [(v, [v % 7, v % 5]) for v in vals],
+            "vec_id long, codes array<int>",
+        )
+
+    dest = str(tmp_path / "pqidx")
+    WO.ensure_dir(
+        dest,
+        lambda tmp: _codes([1, 2]).write.parquet(os.path.join(tmp, "base")),
+    )
+    pq_index_append_batch(dest, _codes([3]), name="batch_0")
+    # interrupted second append: parquet litter, no manifest
+    _codes([99]).write.parquet(os.path.join(dest, "batch_1.tmp-1234abcd"))
+    _codes([98]).write.parquet(os.path.join(dest, "batch_0.stale-87654321"))
+
+    got = sorted(r.vec_id for r in pq_index_read_codes(spark, dest).collect())
+    assert got == [1, 2, 3]
