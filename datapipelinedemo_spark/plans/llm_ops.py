@@ -1372,11 +1372,19 @@ def _stateful_source_dir(spark: SparkSession, sf_dir: str) -> str:
     # session reuses ONE stable dir per corpus version instead of
     # accreting a /tmp copy per application (ADVICE r9). md5, not
     # hash(): PYTHONHASHSEED randomizes str hashing per process.
-    # ADVICE r10: the uid is in the path (no cross-user tmp-squatting
-    # on a shared host), ownership is verified before trusting a
-    # pre-existing dir, and the write goes to a unique temp dir that
-    # is atomically renamed into place — two concurrent processes race
-    # benignly (one rename wins, the loser reuses the winner's dir).
+    # ADVICE r10 / VERDICT r11 #4: the uid is in the path, the write
+    # goes to a private (0700) staged dir atomically renamed into
+    # place, and a pre-existing dir is trusted ONLY if lstat says it
+    # is a real directory (NOT a symlink — os.stat follows links, so
+    # a same-named symlink planted by another /tmp user pointing at
+    # any _SUCCESS-bearing dir we own would pass a stat-based check
+    # and silently redirect the streaming input) owned by us AND it
+    # carries our content stamp. Two concurrent processes of the same
+    # user race benignly: one rename wins, the loser reuses the
+    # winner's dir (same key => same content) or falls back to its
+    # own private staged copy.
+    import stat as stat_mod
+
     key = (sf_dir, table_stamp(sf_dir, "events"))
     d = _STATEFUL_SRC.get(key)
     if d is None:
@@ -1388,17 +1396,20 @@ def _stateful_source_dir(spark: SparkSession, sf_dir: str) -> str:
 
         def _owned_complete(path: str) -> bool:
             try:
-                return (
-                    os.stat(path).st_uid == uid
-                    and os.path.exists(os.path.join(path, "_SUCCESS"))
-                )
+                st = os.lstat(path)
+                if not stat_mod.S_ISDIR(st.st_mode) or st.st_uid != uid:
+                    return False  # symlink or foreign dir: never trust
+                with open(os.path.join(path, "_GRAFT_STAMP")) as fh:
+                    if fh.read() != repr(key):
+                        return False
+                return os.path.exists(os.path.join(path, "_SUCCESS"))
             except OSError:
                 return False
 
         if not _owned_complete(d):
             stage = tempfile.mkdtemp(
                 prefix=f"spark_graft_stateful_{uid}_{tag}_stage_"
-            )
+            )  # mkdtemp => mode 0700: nobody else can write into it
             out = os.path.join(stage, "data")
             (
                 table(spark, sf_dir, "events")
@@ -1407,12 +1418,15 @@ def _stateful_source_dir(spark: SparkSession, sf_dir: str) -> str:
                 .write.mode("overwrite")
                 .parquet(out)
             )
+            with open(os.path.join(out, "_GRAFT_STAMP"), "w") as fh:
+                fh.write(repr(key))
+            os.chmod(out, 0o700)
             try:
                 os.rename(out, d)  # atomic publish (same tmpfs)
             except OSError:
-                # lost the race (or a stale non-owned dir squats the
-                # name): reuse the existing dir only if it is ours and
-                # complete, else fall back to the private staged copy
+                # lost the race (or a stale non-owned entry squats the
+                # name): reuse the existing dir only if it is ours,
+                # link-free and stamped, else keep the private copy
                 if _owned_complete(d):
                     import shutil
 

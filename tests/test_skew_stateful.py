@@ -3,6 +3,9 @@ streaming operator (applyInPandasWithState) snapshots."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from datapipelinedemo_spark.operators.skew import salted_join, salted_sum_count
@@ -246,3 +249,81 @@ def test_stateful_timeout_evicts_on_rocksdb(spark, tmp_path):
         if r.user_id == 2 and not r.closed
     )
     assert u2_final == (3, 210000), u2_final
+
+
+@pytest.fixture()
+def _private_tmp(tmp_path, monkeypatch):
+    """Redirect the stateful-source cache into a fresh tmp dir and
+    clear the in-process memo on both sides of the test."""
+    import tempfile
+
+    from datapipelinedemo_spark.plans import llm_ops
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    llm_ops._STATEFUL_SRC.clear()
+    yield tmp_path
+    llm_ops._STATEFUL_SRC.clear()
+
+
+def test_stateful_source_rejects_symlink_squat(
+    spark, sf_dir, _private_tmp
+):
+    """VERDICT r11 #4: a same-named SYMLINK planted at the predictable
+    /tmp path, pointing at a _SUCCESS-bearing dir the current user
+    owns, must not redirect the streaming input (os.stat would have
+    followed it and passed the ownership check; lstat + the content
+    stamp reject it)."""
+    import hashlib
+
+    from datapipelinedemo_spark.memo import table_stamp
+    from datapipelinedemo_spark.plans import llm_ops
+    from datapipelinedemo_spark.tables import table
+
+    key = (sf_dir, table_stamp(sf_dir, "events"))
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    predicted = _private_tmp / f"spark_graft_stateful_{os.getuid()}_{tag}"
+    decoy = _private_tmp / "decoy"
+    decoy.mkdir()
+    (decoy / "_SUCCESS").touch()  # poisoned input: wrong/empty data
+    os.symlink(decoy, predicted)
+
+    src = llm_ops._stateful_source_dir(spark, sf_dir)
+    assert os.path.realpath(src) != os.path.realpath(str(decoy))
+    assert not os.path.islink(src)
+    got = spark.read.parquet(src).count()
+    assert got == table(spark, sf_dir, "events").count()
+
+
+def test_stateful_source_stamped_reuse_and_concurrent_builders(
+    spark, sf_dir, _private_tmp
+):
+    """Concurrent cold builders race benignly (one atomic rename wins,
+    the loser adopts the winner's stamped dir or keeps its private
+    copy); a later process reuses the published dir without
+    rebuilding."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from datapipelinedemo_spark.plans import llm_ops
+    from datapipelinedemo_spark.tables import table
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(llm_ops._stateful_source_dir, spark, sf_dir)
+            for _ in range(2)
+        ]
+        res = [f.result() for f in futs]
+    want = table(spark, sf_dir, "events").count()
+    for r in res:
+        assert os.path.exists(os.path.join(r, "_GRAFT_STAMP"))
+        assert os.path.exists(os.path.join(r, "_SUCCESS"))
+        assert spark.read.parquet(r).count() == want
+
+    # new process simulation: memo cold, published dir present -> the
+    # SAME dir comes back with no rebuild (mtime unchanged)
+    llm_ops._STATEFUL_SRC.clear()
+    published = [r for r in res if ".tmp" not in r and "stage" not in r]
+    assert published
+    m0 = os.lstat(published[0]).st_mtime_ns
+    again = llm_ops._stateful_source_dir(spark, sf_dir)
+    assert again == published[0]
+    assert os.lstat(again).st_mtime_ns == m0
