@@ -230,14 +230,19 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c_xy")
     )
+    # ntot as a broadcast 1-row scalar, NOT an empty-partition window:
+    # the observed-bigram frame grows ~linearly with corpus tokens, so
+    # sum().over(Window.partitionBy()) would funnel the whole frame
+    # through one task (VERDICT r11 #3's partitionless-window class;
+    # explain-audit asserts none survive on unbounded grains)
+    ntot = c.agg(F.sum("c_xy").cast("long").alias("ntot"))
     m = c.select(
         "w1",
         "w2",
         "c_xy",
         F.sum("c_xy").over(Window.partitionBy("w1")).alias("cl"),
         F.sum("c_xy").over(Window.partitionBy("w2")).alias("cr"),
-        F.sum("c_xy").over(Window.partitionBy()).alias("ntot"),
-    )
+    ).crossJoin(F.broadcast(ntot))
     return m.filter(F.col("c_xy") >= 5).select(
         "w1",
         "w2",

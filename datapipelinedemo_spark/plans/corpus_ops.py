@@ -794,31 +794,16 @@ def fixed_window_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of ``pack_documents_bins`` (which keeps documents
     intact).
 
-    Scale shape: the prefix-sum runs on the DOCUMENT-grain frame (one
-    row per doc — the same small-grain global-window justification as
-    the daily rollups; two-pass partition offsets replace it at
-    extreme doc counts). Tokens explode once with in-array positions;
-    the only corpus-scale shuffle is the groupBy on window_id. The
-    per-window hash folds tokens in global order via a sorted
-    in-row array, so the result is order-exact in both engines.
+    Since r12 this entry shares ``fixed_window_repack_offsets``'s
+    two-pass partition-offset plan: the document grain is UNBOUNDED
+    (grows with the corpus), so the original
+    ``sum().over(Window.orderBy("doc_id"))`` prefix sum — one task
+    holding every document row — was exactly the partitionless-window
+    class VERDICT r11 #3 bans; the catalog-wide explain-audit
+    assertion now keeps it out. Same result, same oracle, both
+    entries stay certified.
     """
-    from datapipelinedemo_spark.functions.text import tokenize
-
-    docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.concat(tokenize("text"), F.array(F.lit("<eos>"))).alias("t"),
-    )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = tok.withColumn(
-        "off", F.coalesce(F.sum(F.size("t")).over(w), F.lit(0))
-    )
-    flat = offs.select(
-        F.posexplode("t").alias("i", "tok"), F.col("off")
-    ).select((F.col("off") + F.col("i")).alias("gidx"), "tok")
-    return _repack_cut(flat)
+    return fixed_window_repack_offsets(spark, sf_dir)
 
 
 def _repack_cut(flat: DataFrame) -> DataFrame:

@@ -621,44 +621,17 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration KPI, via the rank formulation
     G = 2*sum(i*y_i)/(n*sum(y)) - (n+1)/n over ascending revenue.
 
-    Prices snap to exact cent BIGINTs before any sum, so rank weights
-    and totals are exact integers; ties in revenue can rank either
-    way without changing sum(i*y_i) (equal y under permutation), so
-    the unique-key tie-break is belt-and-braces, not load-bearing.
-    The ranking window runs over the CUSTOMER grain (already
-    aggregated, |customers| rows), not raw orders — the repo's
-    standard rule for unpartitioned windows.
-    """
-    o = table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
-        )
-        .cast("long")
-        .alias("r2")
-    )
-    ranked = rev.select(
-        "r2",
-        F.row_number()
-        .over(Window.orderBy("r2", "o_custkey"))
-        .cast("long")
-        .alias("i"),
-    )
-    agg = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("r2").cast("long").alias("s"),
-        F.sum(F.col("i") * F.col("r2")).cast("long").alias("w"),
-    )
-    nd = F.col("n").cast("double")
-    sd = F.col("s").cast("double")
-    wd = F.col("w").cast("double")
-    return agg.select(
-        F.col("n").alias("n_customers"),
-        F.round(sd / 100.0, 6).alias("total_revenue"),
-        F.round(
-            2.0 * wd / (nd * sd) - (nd + 1.0) / nd, 6
-        ).alias("gini"),
-    )
+    VERDICT r11 #3: the original form ranked with
+    ``row_number().over(Window.orderBy(...))`` — a partitionless
+    window that funnels the full CUSTOMER grain (unbounded: grows
+    with the corpus) through ONE task. Σ i·y_i only needs rank
+    ALGEBRA, not materialized ranks, so both gini entries now share
+    the histogram + bucketed two-pass prefix-sum plan (see
+    ``_gini_histogram_frame`` — no SinglePartition window/sort
+    anywhere; explain-audit asserts this for the whole catalog).
+    Hash-identical answer: equal revenues share a rank-sum
+    independent of tie order."""
+    return _gini_histogram_frame(spark, sf_dir)
 
 
 @register(
@@ -693,13 +666,20 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_revenue_gini_histogram(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """``customer_revenue_gini`` without the |customers|-row
-    unpartitioned row_number — the form that survives 10^9 customers.
-    Same oracle (hash-equal twin, pinned in tests).
+    """The histogram/prefix-sum gini under its original catalog name;
+    since r12 ``customer_revenue_gini`` shares this exact plan (the
+    window form it was the scale-safe twin of is gone — VERDICT r11
+    #3), so the pair is plan-identical and both stay certified."""
+    return _gini_histogram_frame(spark, sf_dir)
 
-    Rank algebra on the VALUE histogram: group revenues to distinct
-    cent values (count c per value v — one ordinary shuffle), then the
-    exclusive prefix count m_v via the bucketed two-pass prefix sum
+
+def _gini_histogram_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini via rank algebra on the VALUE histogram — the form that
+    survives 10^9 customers: group revenues to distinct cent values
+    (count c per value v — one ordinary shuffle), then the exclusive
+    prefix count m_v via the bucketed two-pass prefix sum
     (operators/prefix.py — no SinglePartition stage, explain-audit
     asserted). The ranks a value occupies are m_v+1 .. m_v+c_v, whose
     sum is c_v·m_v + c_v(c_v+1)/2, so

@@ -291,8 +291,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The revenue totals are fixed-point-exact, so 'equals the max' is
     a deterministic comparison in both engines (raw double sums would
-    make this query engine-dependent). Max via an empty-window
-    max-over-all, not a driver collect."""
+    make this query engine-dependent). Max via a broadcast 1-row
+    scalar aggregate, not a driver collect — and not an empty-window
+    max-over-all, which would funnel the unbounded supplier grain
+    through one task (VERDICT r11 #3's partitionless-window class)."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1997-04-01"))
@@ -300,10 +302,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dec_sum(_rev_col(), "total_revenue")
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn(
-        "__mx", F.max("total_revenue").over(w)
-    ).filter(F.col("total_revenue") == F.col("__mx"))
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
     supp = table(spark, sf_dir, "supplier")
     return top.join(
         F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey")

@@ -338,26 +338,40 @@ def test_hll_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
 
 
 def test_gini_histogram_form_equals_ranked_twin(spark, sf_dir):
-    # r9: the histogram-rank Gini must be value-identical to the
-    # row_number form, with NO single-partition stage in its plan
+    # r9 (updated r12): both gini entries now share the histogram +
+    # prefix-sum plan (VERDICT r11 #3 killed the row_number form);
+    # they must stay value-identical, with NO single-partition sort
+    # or partitionless window in either plan. The detector-detects
+    # proof runs on an inline row_number().over(orderBy) frame.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from datapipelinedemo_spark.plans.relational_ext import (
         customer_revenue_gini,
         customer_revenue_gini_histogram,
     )
-    from tools.explain_audit import plan_string
+    from tools.explain_audit import (
+        plan_string,
+        single_partition_sorts,
+        single_partition_windows,
+    )
 
     a = customer_revenue_gini(spark, sf_dir).collect()
     b = customer_revenue_gini_histogram(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
-    # the scale invariant: no single-partition SORT anywhere (the
-    # scalar agg's 1-row merge exchange is fine and expected)
-    from tools.explain_audit import single_partition_sorts
+    # the scale invariant: no single-partition SORT or WINDOW anywhere
+    # (the scalar agg's 1-row merge exchange is fine and expected)
+    for fn in (customer_revenue_gini, customer_revenue_gini_histogram):
+        plan = plan_string(fn(spark, sf_dir))
+        assert single_partition_sorts(plan) == [], plan
+        assert single_partition_windows(plan) == [], plan
+        assert "hashpartitioning(__pb" in plan  # bucketed prefix window
 
-    plan_b = plan_string(customer_revenue_gini_histogram(spark, sf_dir))
-    assert single_partition_sorts(plan_b) == [], plan_b
-    assert "hashpartitioning(__pb" in plan_b  # bucketed prefix window
-    # and the ranked twin HAS one, proving the detector detects
-    assert single_partition_sorts(
-        plan_string(customer_revenue_gini(spark, sf_dir))
+    # detector proof: the anti-pattern this test bans IS detected
+    bad = spark.range(100).select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("i")
     )
+    bad_plan = plan_string(bad)
+    assert single_partition_sorts(bad_plan)
+    assert single_partition_windows(bad_plan)

@@ -127,9 +127,12 @@ def test_fixed_window_repack_invariants(spark, sf_dir):
 
 
 def test_repack_offsets_form_equals_windowed_twin(spark, sf_dir):
-    # r9: the partition-offset form must be value-identical to the
-    # global-window form, and its plan must contain NO single-partition
-    # stage (the whole point of the variant)
+    # r9 (updated r12): both repack entries now share the two-pass
+    # partition-offset plan (the global-window form went the way of
+    # the gini pair — VERDICT r11 #3); they must stay value-identical
+    # and neither plan may contain a single-partition stage. The
+    # detector-detects proof lives in
+    # test_gini_histogram_form_equals_ranked_twin.
     from datapipelinedemo_spark.plans.corpus_ops import (
         fixed_window_repack,
         fixed_window_repack_offsets,
@@ -142,11 +145,9 @@ def test_repack_offsets_form_equals_windowed_twin(spark, sf_dir):
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
 
-    plan_b = plan_string(b)
-    assert "SinglePartition" not in plan_b, plan_b
-    # and the twin we kept as the semantics oracle DOES have one,
-    # proving the assertion detects what it claims to detect
-    assert "SinglePartition" in plan_string(a)
+    for df in (a, b):
+        plan = plan_string(df)
+        assert "SinglePartition" not in plan, plan
 
 
 def test_c4_line_dedup_planted_boilerplate(spark):

@@ -27,6 +27,23 @@ CARTESIAN_OK = {
     "embedding_pair_cosine_stats",
 }
 
+# Partitionless windows allowed ONLY on capacity-bounded grains: the
+# windowed frame's row count is bounded by a constant / calendar /
+# geometry independent of corpus size, so the single task holds a
+# dashboard-sized frame at any scale. Unbounded grains (documents,
+# customers, suppliers, vocabulary) must use the two-pass prefix-sum
+# or a broadcast scalar instead (VERDICT r11 #3; the gini/repack/
+# bigram/q15 migrations).
+SINGLE_PARTITION_WINDOW_OK = {
+    "moving_avg_daily_revenue",  # day grain (calendar-bounded)
+    "trailing_7d_revenue",  # day grain
+    "priority_share_of_year",  # year x priority grain
+    "top_event_trigram_paths",  # |event_types|^3 grain (enum-bounded)
+    "ivf_list_balance_report",  # nlist grain (index geometry, <= ~sqrt n)
+    "unimax_epoch_allocation",  # |sources| grain (domain catalog)
+    "training_corpus_pipeline_v3",  # inherits unimax's |sources| window
+}
+
 
 @pytest.fixture(scope="module")
 def catalog_plans(spark, sf_dir):
@@ -44,6 +61,22 @@ def test_no_python_row_udfs_anywhere(catalog_plans):
     # row-at-a-time Python in any catalog plan
     offenders = [
         n for n, p in catalog_plans.items() if audit_flags(p)["python_row_udf"]
+    ]
+    assert not offenders, offenders
+
+
+def test_no_single_partition_windows_on_unbounded_grains(catalog_plans):
+    """No catalog plan may funnel an unbounded grain through a
+    partitionless WindowExec (one task holds every row — the
+    straggler class of VERDICT r11 #3). Bounded-grain exceptions are
+    enumerated with their bound in SINGLE_PARTITION_WINDOW_OK."""
+    from tools.explain_audit import single_partition_windows
+
+    offenders = [
+        n
+        for n, p in catalog_plans.items()
+        if single_partition_windows(p)
+        and n not in SINGLE_PARTITION_WINDOW_OK
     ]
     assert not offenders, offenders
 

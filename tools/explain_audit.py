@@ -87,6 +87,54 @@ def single_partition_sorts(plan: str) -> list[int]:
     return flagged
 
 
+def single_partition_windows(plan: str) -> list[int]:
+    """Node ids of ``Exchange SinglePartition`` operators feeding a
+    Window — a PARTITIONLESS window function (``over(orderBy(...))``
+    with no partitionBy): every input row lands in one task
+    (WindowExec warns about exactly this). On an unbounded grain
+    (customers, documents) that one task is the whole corpus — the
+    straggler class VERDICT r11 #3 flags; calendar-bounded grains
+    (days, months) are capacity-bounded and allowlisted at the test
+    layer, not here."""
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    wrapper = re.compile(
+        r"\b(AQEShuffleRead|ShuffleQueryStage|TableCacheQueryStage"
+        r"|InMemoryTableScan|InputAdapter|Sort|WholeStageCodegen"
+        r"|RunningWindowFunction) \(\d+\)"
+    )
+    window_children: list[int] = []
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow(?:GroupLimit)? \(\d+\)", line):
+            continue
+        j = i + 1
+        while j < len(lines) and wrapper.search(lines[j]):
+            j += 1
+        if j >= len(lines):
+            continue
+        m = re.search(r"\bExchange \((\d+)\)", lines[j])
+        if m:
+            window_children.append(int(m.group(1)))
+            continue
+        m = re.search(r"\bReusedExchange \((\d+)\)", lines[j])
+        if m:
+            reuse = re.search(
+                rf"\({m.group(1)}\) ReusedExchange"
+                rf"(?:.*\n)*?Reuses operator id: (\d+)",
+                plan,
+            )
+            if reuse:
+                window_children.append(int(reuse.group(1)))
+    flagged = []
+    for nid in window_children:
+        detail = re.search(
+            rf"\({nid}\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan
+        )
+        if detail and "SinglePartition" in detail.group(1):
+            flagged.append(nid)
+    return flagged
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "-v"]
     verbose = "-v" in sys.argv
@@ -107,6 +155,8 @@ def main() -> None:
             flags.append("PYTHON-ROW-UDF")
         if single_partition_sorts(plan):
             flags.append("SINGLE-PARTITION-SORT")
+        if single_partition_windows(plan):
+            flags.append("SINGLE-PARTITION-WINDOW")
         if a["cartesian"] and "cosine" not in name:
             flags.append("CARTESIAN")
         flags.append(f"shuffles={a['shuffles']}")
