@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from datapipelinedemo_spark.pin import pin
 
 from datapipelinedemo_spark.functions.stable import round6
+from datapipelinedemo_spark.memo import FrameMemo, table_stamp
 from datapipelinedemo_spark.operators.decontamination import (
     contamination_counts,
 )
@@ -863,6 +864,39 @@ def fixed_window_repack_offsets(
 
 
 # --------------------------------------------------------------------------
+# The tokenize-once corpus frame, shared by every LM chain
+# --------------------------------------------------------------------------
+_TOK_MEMO = FrameMemo()
+
+
+def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, t): the corpus tokenized ONCE per (session,
+    corpus version), persisted — the frame the unigram and bigram LM
+    chains (and their composers: CCNet buckets, DSIR, DoReMi,
+    training_corpus_pipeline_v3) all scan from. Without it each chain
+    re-derives scan+tokenize per consumer branch — Catalyst has no
+    cross-branch subtree sharing, and doremi_domain_weights alone paid
+    ~20 corpus scans / 42 shuffles (r11 residual; the shingle-frame
+    memo precedent). Persist is best-effort: evicted blocks recompute
+    from lineage, so at 100 TB this degrades to the old plan, never
+    fails."""
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    def _build() -> DataFrame:
+        return (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "source", tokenize("text").alias("t"))
+            .persist()
+        )
+
+    return _TOK_MEMO.get_or_build(
+        spark,
+        ("tokenized_documents", sf_dir, table_stamp(sf_dir, "documents")),
+        _build,
+    )
+
+
+# --------------------------------------------------------------------------
 # Unigram-LM perplexity scoring (the classic corpus-quality filter)
 # --------------------------------------------------------------------------
 @register(
@@ -904,12 +938,12 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring join (no broadcast hint — the vocabulary grows ~sqrt of
     corpus size by Heaps' law, so AQE broadcasts while it fits and
     degrades to a shuffle join on `term` past the threshold), one
-    partial-agg groupBy.
+    partial-agg groupBy. Tokens come from the shared
+    ``tokenized_documents`` memo (tokenize once per session/corpus).
     """
-    from datapipelinedemo_spark.functions.text import tokenize
-
-    docs = table(spark, sf_dir, "documents")
-    tc = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tc = tokenized_documents(spark, sf_dir).select(
+        "doc_id", F.explode("t").alias("term")
+    )
     vocab = tc.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -1128,12 +1162,10 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale from its runtime size estimate and degrades to a shuffle
     join keyed on (w1, w2) when it outgrows the threshold; the context
     totals and N are partial-agg rollups of the type table, never a
-    second corpus pass.
+    second corpus pass. Tokens come from the shared
+    ``tokenized_documents`` memo (tokenize once per session/corpus).
     """
-    from datapipelinedemo_spark.functions.text import tokenize
-
-    docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", tokenize("text").alias("t"))
+    tok = tokenized_documents(spark, sf_dir).select("doc_id", "t")
     occ = (
         tok.filter(F.size("t") >= 2)
         .select(
