@@ -2347,3 +2347,241 @@ def tokenizer_family_comparison_trained(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Byte-level BPE (the modern GPT-2-style alphabet; VERDICT r11 missing
+# #2): words decompose to their UTF-8 BYTES before any merge, so the
+# base alphabet is closed (<=256 symbols + </w>) and NO input — any
+# script, any emoji, any mojibake — is ever out-of-alphabet. Byte
+# symbols are represented as uppercase hex pairs ('C3', 'A9'), which
+# both engines produce identically (Spark hex(binary) / DuckDB
+# hex(blob)); merged symbols are hex-pair concatenations, so the
+# \x1f-guard replace machinery applies unchanged. Mirrors the r11
+# unigram byte-fallback work on the BPE family.
+# --------------------------------------------------------------------------
+
+_BYTE_WORDS_CTE = f"""
+    WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+        FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)
+        WHERE length(word) <= {MAX_WORD_CHARS} AND NOT contains(word, chr(31))
+        GROUP BY word
+    ), wh AS (
+        SELECT word, wcnt, hex(encode(word)) AS h FROM words
+    ), cur0 AS (
+        SELECT word, wcnt,
+               [substring(h, 2 * i - 1, 2)
+                for i in generate_series(1, length(h) // 2)]
+                   || ['</w>'] AS syms
+        FROM wh
+    )
+"""
+
+
+def _byte_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wcnt, syms) with syms = UTF-8 byte hex pairs + '</w>'.
+    The hex string is staged as a COLUMN before the per-byte lambda
+    references it (the higher-order re-evaluation trap — embedding
+    hex(encode(word)) in the transform body would re-hex the whole
+    word once per byte)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(
+            (F.length("word") <= MAX_WORD_CHARS)
+            & ~F.col("word").contains("\x1f")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .withColumn("h", F.hex(F.encode(F.col("word"), "UTF-8")))
+        .withColumn(
+            "syms",
+            F.expr(
+                "concat(transform(sequence(1, length(h) div 2),"
+                " i -> substring(h, 2 * i - 1, 2)), array('</w>'))"
+            ),
+        )
+        .drop("h")
+    )
+
+
+_BYTE_MERGES_MEMO: dict[tuple, list] = {}
+
+
+def trained_byte_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    from datapipelinedemo_spark.memo import table_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_stamp(sf_dir, "documents"),
+        n_merges,
+    )
+    m = _BYTE_MERGES_MEMO.get(key)
+    if m is None:
+        m = train_bpe(
+            spark, _byte_word_histogram(spark, sf_dir), n_merges, probe_k=64
+        )
+        _BYTE_MERGES_MEMO[key] = m
+    return m
+
+
+def _byte_merges_oracle() -> str:
+    parts = [_BYTE_WORDS_CTE]
+    for s in range(1, N_MERGES + 1):
+        parts.append(_pair_cte(s))
+        if s < N_MERGES:
+            parts.append(_apply_cte(s))
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({s} AS INTEGER) AS step, lhs, rhs,"
+        f" lhs || rhs AS merged, pair_count FROM top{s}"
+        for s in range(1, N_MERGES + 1)
+    )
+    return "".join(parts) + finals
+
+
+@register("bpe_byte_level_train_merges", oracle=_byte_merges_oracle())
+def bpe_byte_level_train_merges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-level BPE training (banner above): the learned merge table
+    over the UTF-8 byte alphabet, (step, lhs, rhs, merged,
+    pair_count) in order. Identical training machinery to
+    ``bpe_train_merges`` — only cur0's decomposition differs, so the
+    one corpus pass builds the byte histogram and every iteration is
+    vocab-sized."""
+    merges = trained_byte_merges(spark, sf_dir, N_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def _byte_encode_oracle() -> str:
+    parts = [_BYTE_WORDS_CTE]
+    for s in range(1, N_MERGES + 1):
+        parts.append(_pair_cte(s))
+        parts.append(_apply_cte(s))
+    return (
+        "".join(parts)
+        + f"""
+    , wl AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM cur{N_MERGES}
+    ), dt AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents
+        ) WHERE length(word) <= {MAX_WORD_CHARS}
+    )
+    SELECT dt.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(strlen(dt.word)) AS BIGINT) AS n_utf8_bytes,
+           CAST(SUM(wl.n_tok) AS BIGINT) AS n_byte_bpe_tokens
+    FROM dt JOIN wl ON wl.word = dt.word
+    GROUP BY dt.doc_id
+    """
+    )
+
+
+@register("bpe_byte_level_token_counts", oracle=_byte_encode_oracle())
+def bpe_byte_level_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apply the trained BYTE-LEVEL merge table to the corpus: per
+    document, word count, raw UTF-8 byte volume, and
+    ``Σ_words |byte_bpe(word)|`` (post-merge symbols incl. ``</w>``)
+    — the token-budget number under a byte-alphabet tokenizer, where
+    nothing is ever OOV. Same scale shape as
+    ``bpe_encode_token_counts``: merges apply on the vocab-sized
+    histogram, the corpus side is one explode + one shuffle join on
+    word + one partial-agg groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    cur = apply_merges_batch(
+        _byte_word_histogram(spark, sf_dir),
+        trained_byte_merges(spark, sf_dir),
+    )
+    wl = cur.select("word", F.size("syms").cast("long").alias("n_tok"))
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.octet_length("word"))
+            .cast("long")
+            .alias("n_utf8_bytes"),
+            F.sum("n_tok").cast("long").alias("n_byte_bpe_tokens"),
+        )
+    )
+
+
+def _byte_vs_char_oracle() -> str:
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    b = ORACLES["bpe_encode_token_counts"]
+    y = ORACLES["bpe_byte_level_token_counts"]
+    return f"""
+    SELECT d.lang,
+           round(CAST(SUM(b.n_bpe_tokens) AS DOUBLE)
+                 / CAST(SUM(b.n_words) AS DOUBLE), 6)
+               AS char_bpe_fertility,
+           round(CAST(SUM(y.n_byte_bpe_tokens) AS DOUBLE)
+                 / CAST(SUM(y.n_words) AS DOUBLE), 6)
+               AS byte_bpe_fertility,
+           round(CAST(SUM(y.n_utf8_bytes) AS DOUBLE)
+                 / CAST(SUM(y.n_words) AS DOUBLE), 6)
+               AS bytes_per_word,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({b}) b
+    JOIN ({y}) y ON y.doc_id = b.doc_id
+    JOIN documents d ON d.doc_id = b.doc_id
+    GROUP BY d.lang
+    """
+
+
+@register("bpe_byte_vs_char_fertility", oracle=_byte_vs_char_oracle())
+def bpe_byte_vs_char_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The alphabet-selection row for the BPE family: per language,
+    fertility under the char alphabet vs the byte alphabet, plus raw
+    bytes per word (the byte tokenizer's ceiling). On ASCII-heavy
+    text the two track each other (1 char = 1 byte); on multi-byte
+    scripts byte fertility rises toward bytes_per_word until merges
+    recover it — the table that says whether the byte alphabet's
+    no-OOV guarantee is free or costs tokens on THIS corpus.
+    Composition: two doc-grain certified frames joined on doc_id +
+    one |langs|-row agg."""
+    docs = table(spark, sf_dir, "documents")
+    b = bpe_encode_token_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("bw"),
+        F.col("n_bpe_tokens").alias("bt"),
+    )
+    y = bpe_byte_level_token_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("yw"),
+        F.col("n_utf8_bytes").alias("yb"),
+        F.col("n_byte_bpe_tokens").alias("yt"),
+    )
+    return (
+        b.join(y, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum("bt").cast("double") / F.sum("bw").cast("double"), 6
+            ).alias("char_bpe_fertility"),
+            F.round(
+                F.sum("yt").cast("double") / F.sum("yw").cast("double"), 6
+            ).alias("byte_bpe_fertility"),
+            F.round(
+                F.sum("yb").cast("double") / F.sum("yw").cast("double"), 6
+            ).alias("bytes_per_word"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )

@@ -1067,3 +1067,64 @@ def test_byte_fallback_matches_pure_python_dp(spark, sf_dir):
         assert py_dp(w) == (c, n, f), w
         total_fb += f
     assert total_fb > 0  # fallback genuinely fires on this corpus
+
+
+def test_byte_level_bpe_on_multibyte_text(spark, tmp_path):
+    """Byte alphabet semantics on planted non-ASCII: multi-byte chars
+    decompose to their UTF-8 bytes (hex pairs), merges recover
+    frequent byte sequences, and NOTHING is out-of-alphabet — the
+    emoji-bearing word still encodes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.tokenizer_ops import (
+        _byte_word_histogram,
+        bpe_byte_level_token_counts,
+        trained_byte_merges,
+    )
+
+    texts = [
+        "café café café naïve",  # é = C3A9, ï = C3AF
+        "café über über",
+        "ascii only words here",
+        "emoji 🚀 test",  # 🚀 = F09F9A80 (4 bytes)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["fr", "de", "en", "en"],
+                "source": ["s"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    syms = {
+        r.word: list(r.syms)
+        for r in _byte_word_histogram(spark, sf).collect()
+    }
+    assert syms["café"] == ["63", "61", "66", "C3", "A9", "</w>"]
+    assert syms["🚀"] == ["F0", "9F", "9A", "80", "</w>"]
+
+    merges = trained_byte_merges(spark, sf)
+    assert len(merges) == 4
+    # every merged symbol is a concatenation of hex pairs
+    assert all(len(m[3].replace("</w>", "")) % 2 == 0 for m in merges)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_utf8_bytes, r.n_byte_bpe_tokens)
+        for r in bpe_byte_level_token_counts(spark, sf).collect()
+    }
+    # every word of every doc encodes (no OOV under a byte alphabet)
+    assert {d for d in got} == {0, 1, 2, 3}
+    assert got[0][0] == 4
+    # café = 5 bytes x 3 + naïve = 6 bytes -> 21 bytes > 19 chars
+    assert got[0][1] == 21
+    # token count is bounded by bytes + one </w> per word, and merges
+    # only shrink it
+    for d, (nw, nb, nt) in got.items():
+        assert nt <= nb + nw
+        assert nt >= nw  # at least one token per word
