@@ -908,3 +908,48 @@ def test_residual_stored_serve_matches_inline(
         d for d in os.listdir(idx) if not d.startswith(".")
     )
     assert gens == ["base", "batch_0"]
+
+
+def test_filtered_ann_prefilter_dominates_postfilter(spark, sf_dir):
+    """Attribute-constrained ANN (r12): pre-filtering (constraint
+    below the probe join) must dominate post-filtering on BOTH
+    returned rows and ground-truth hits. Hits dominance is provable:
+    an admissible neighbor in the unfiltered ADC top-10 keeps an
+    equal-or-better rank among the filtered candidate subset (same
+    distances, fewer competitors), so every post-filter hit is a
+    pre-filter hit."""
+    from datapipelinedemo_spark.plans.ml_ops import (
+        ivfpq_filtered_recall_vs_postfilter,
+        similarity_topk_ivfpq_filtered,
+    )
+
+    rows = {
+        r.strategy: r
+        for r in ivfpq_filtered_recall_vs_postfilter(
+            spark, sf_dir
+        ).collect()
+    }
+    pre, post = rows["prefilter"], rows["postfilter"]
+    assert pre.n_queries == post.n_queries > 0
+    assert pre.gt_pairs == post.gt_pairs > 0
+    assert pre.returned_pairs == 10 * pre.n_queries
+    assert post.returned_pairs <= pre.returned_pairs
+    assert pre.hits >= post.hits
+    assert pre.recall >= post.recall
+
+    # every returned neighbor satisfies the constraint
+    from datapipelinedemo_spark.tables import table
+    from pyspark.sql import functions as F
+
+    bad = (
+        similarity_topk_ivfpq_filtered(spark, sf_dir)
+        .join(
+            table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("neighbor_id"), "label"
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("label") % 3 != 0)
+        .count()
+    )
+    assert bad == 0
