@@ -953,3 +953,70 @@ def test_filtered_ann_prefilter_dominates_postfilter(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_rotated_pq_wins_on_pairwise_correlated_data(spark, tmp_path):
+    """The channel a rotation actually helps through: L2 k-means is
+    rotation-invariant WITHIN a subspace, so the Givens sweep pays
+    off by concentrating a correlated pair's joint variance into ONE
+    coordinate that the balanced permutation can then re-allocate
+    ACROSS subspaces. Plant all variance in raw subspace 0 (dims 0-3;
+    pairs (0,1) and (2,3) near-perfectly correlated, the rest tiny
+    noise): the raw layout quantizes a 2-D manifold of the full joint
+    variance with one subspace's 8 codes, while rotate+balance splits
+    the two hot rotated coordinates across two subspaces — two 1-D
+    quantizers, 8 codes each. Error must drop sharply. Also pins the
+    rotation's grid-orthonormality (c3^2 + s3^2 within rounding of
+    1e6) so the scaled columns stay comparable."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.ml_ops import (
+        _givens_cs,
+        pq_rotated_subspace_error,
+    )
+
+    rng = random.Random(321)
+    n, dim = 300, 16
+    vecs = []
+    for _ in range(n):
+        v = []
+        for p in range(dim // 2):
+            if p < 2:  # hot correlated pairs, both in raw subspace 0
+                a = rng.uniform(-1, 1)
+                v.extend(
+                    [round(a, 3), round(a + rng.uniform(-0.02, 0.02), 3)]
+                )
+            else:  # near-dead dims
+                v.extend(
+                    [
+                        round(rng.uniform(-0.01, 0.01), 3),
+                        round(rng.uniform(-0.01, 0.01), 3),
+                    ]
+                )
+        vecs.append(v)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(n)),
+                "embedding": [[float(x) for x in v] for v in vecs],
+                "label": [i % 3 for i in range(n)],
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+
+    cs = _givens_cs(spark, sf)
+    assert len(cs) == dim // 2
+    for i, (c3, s3) in enumerate(cs):
+        assert abs(c3 * c3 + s3 * s3 - 1_000_000) < 3000
+        if i < 2:  # correlated pairs rotate toward +-45 degrees
+            assert abs(s3) > 500, (i, c3, s3)
+
+    rows = pq_rotated_subspace_error(spark, sf).collect()
+    raw = sum(r.raw_sq_err for r in rows)
+    rot = sum(r.rotated_sq_err for r in rows)
+    assert rot < raw * 0.6, (raw, rot)
