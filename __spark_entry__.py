@@ -67,82 +67,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness snapshot certifies queries() entries in
 # iteration order with a bounded budget (observed: exactly the first 50
-# every round). Freshness entering r11, computed from
-# CORRECTNESS_r01..r10 (latest GREEN driver row per entry): 50 r10 /
-# 37 r9 / 50 r8 / 48 r7 / 12 r6 — the r10 comment mislabeled the 12
-# r6 rows as r7 (VERDICT r10 "What's wrong #2"); this list and its
-# bookkeeping are now generated from the artifacts, not hand-tracked.
-# Round-11 window = the 17 new entries (residual IVFADC + its recall
-# comparison, the packed-codes index pair, the composed
-# streaming-admission serving entry, the capped-batch embedding
-# stream, unigram byte fallback, the IVFADC admission twin, DoReMi
-# domain reweighting, exact reranking over the deep ADC cut, the
-# IVF list-balance report, the persisted trained vocab, the
-# recall-by-nprobe operating curve, variance-balanced PQ, the
-# production-k coarse quantizer, the nlist=64 IVF-PQ composition)
-# plus
-# the re-planned
-# intra_doc_block_dedup FIRST, then ALL 12 r6-vintage rows, then the
-# 20 alphabetically-first r7 rows. The 28 remaining r7 rows lead the
-# r12 rotation; after r11 no entry's latest green row is older
-# than r7.
+# every round). Freshness entering r12, computed from
+# CORRECTNESS_r01..r11 (latest GREEN driver row per entry): 50 r11 /
+# 49 r10 / 37 r9 / 50 r8 / 28 r7; zero non-green latest rows.
+# Round-12 window (50) = the 6 NEW entries (byte-level BPE train /
+# encode / byte-vs-char fertility, filtered IVF-PQ top-k, the
+# pre-vs-post-filter recall table, the learned OPQ-lite rotation
+# error table), then the 9 entries whose PLANS CHANGED this round
+# and are not already in the r7 block (the c4 staging fix, the two
+# gini prefix-sum migrations, the repack delegation, the q15 /
+# bigram partitionless-window fixes, and the tokenize-once memo
+# consumers doremi / bigram-perplexity / ccnet-thresholds / v3),
+# then ALL 28 remaining r7-vintage rows (plus the changed-plan
+# bigram_collocations), then the 6 alphabetically first r8 rows that
+# fit. The other 44 r8 rows lead the r13 rotation; after r12 no
+# entry's latest green row is older than r8.
 PRIORITY = [
-    # --- new this round (r11) + the re-planned linear rewrite ---
-    "similarity_topk_ivfpq_residual",
-    "ivfpq_recall_residual_vs_raw",
-    "embedding_pq_codes_packed",
-    "similarity_topk_pq_stored",
-    "similarity_topk_pq_after_ingest",
-    "streaming_embedding_vs_corpus_capped",
-    "unigram_byte_fallback_token_counts",
-    "streaming_ivfpq_admission",
+    # --- new this round (r12) ---
+    "bpe_byte_level_train_merges",
+    "bpe_byte_level_token_counts",
+    "bpe_byte_vs_char_fertility",
+    "similarity_topk_ivfpq_filtered",
+    "ivfpq_filtered_recall_vs_postfilter",
+    "pq_rotated_subspace_error",
+    # --- plans changed this round (re-certify) ---
+    "c4_line_dedup",
+    "customer_revenue_gini",
+    "customer_revenue_gini_histogram",
+    "fixed_window_repack",
+    "q15_top_supplier",
     "doremi_domain_weights",
-    "similarity_topk_ivfpq_rerank",
-    "ivf_list_balance_report",
-    "trained_unigram_vocab_stored",
-    "ivfpq_recall_by_nprobe",
-    "pq_balanced_subspace_error",
-    "kmeans_clusters_k64",
-    "similarity_topk_ivfpq_nlist64",
-    "similarity_topk_ivfpq_residual_stored",
-    "intra_doc_block_dedup",
-    # --- r6-vintage (mislabeled r7 in the r10 comment; VERDICT r10
-    # "What's wrong #2") — all 12, certified here ---
-    "q6_forecast_revenue_sql",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "range_join_purchase_attribution",
-    "rollup_orders_year_priority",
-    "running_total_per_customer",
-    "semi_join_urgent_customers",
-    "setops_customer_segments",
-    "suppliers_per_nation_list",
-    "two_level_time_rollup",
-    "value_percentiles_per_type",
-    "window_top3_orders_per_customer",
-    # --- oldest r7-vintage rows, alphabetical: 30 of 48 fit ---
-    "a4_pair_frequency",
-    "bigram_collocations",
-    "bm25_topk_docs",
-    "brand_revenue",
-    "ccnet_perplexity_buckets",
-    "char_entropy_scores",
-    "clean_corpus_after_decontamination",
-    "decontamination_overlap",
-    "distinct_parts_per_flag",
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "domain_mix_sample",
-    "dsir_importance_weights",
-    "dsir_resample_topk",
-    "embedding_neardup_pairs",
-    "events_value_stats",
-    "exact_dedup_documents",
-    "exact_k_per_language",
-    "hard_negative_mining",
-    "hybrid_retrieval_rrf",
-    # --- past the 50-query window -> the remaining 28 r7 rows lead
-    # the r12 rotation ---
+    "bigram_perplexity_scores",
+    "ccnet_buckets_by_threshold",
+    "training_corpus_pipeline_v3",
+    # --- the 28 remaining r7-vintage rows (several also carry r12
+    # plan changes: bigram_collocations, unigram_perplexity_scores,
+    # ccnet_perplexity_buckets, the pipeline v1/v2 compositions) ---
     "lang_id_confusion",
     "lexicon_sentiment_documents",
     "moving_avg_daily_revenue",
@@ -171,6 +131,14 @@ PRIORITY = [
     "winnowed_substring_matches",
     "winnowed_substring_spans",
     "winnowing_fingerprints",
+    "bigram_collocations",
+    # --- oldest r8 rows, alphabetical: 6 of 50 fit ---
+    "a3_pair_smoothed_sentiment",
+    "approx_distinct_users_per_type",
+    "approx_value_percentiles",
+    "basket_part_pairs_lift",
+    "bpe_encode_token_counts",
+    "bpe_pair_counts",
 ]
 
 
