@@ -1145,6 +1145,25 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
     )
+    seg = _wp_word_seg(words)
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_wp_tokens"),
+        )
+    )
+
+
+def _wp_word_seg(words: DataFrame) -> DataFrame:
+    """(word, n_tok): greedy longest-match-first piece counts per
+    DISTINCT word under the frequency-derived top-``WP_VOCAB``
+    vocabulary — the per-word half of ``wordpiece_token_counts``
+    (docstring above), shared with the UNK-vs-bytes comparison."""
     sub_expr = (
         f"flatten(transform(sequence(1, length(word)), s ->"
         f" transform(sequence(2, least({WP_MAX_PIECE},"
@@ -1189,7 +1208,7 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       end,
       acc -> acc.cnt)
     """
-    seg = (
+    return (
         words.join(spans, "word", "left")
         .withColumn(
             "spans",
@@ -1201,17 +1220,6 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("word", F.expr(fold).alias("n_tok"))
-    )
-    dt = docs.select(
-        "doc_id", F.explode(tokenize("text")).alias("word")
-    ).filter(F.length("word") <= MAX_WORD_CHARS)
-    return (
-        dt.join(seg, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("n_tok").cast("long").alias("n_wp_tokens"),
-        )
     )
 
 
@@ -2583,5 +2591,151 @@ def bpe_byte_vs_char_fertility(
                 F.sum("yb").cast("double") / F.sum("yw").cast("double"), 6
             ).alias("bytes_per_word"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# WordPiece OOV policy: [UNK] vs byte fallback (VERDICT r11 missing
+# #2's second half). BERT's WordPiece emits ONE [UNK] token for any
+# word it cannot fully segment — which both loses the word's content
+# and under-counts its cost; the modern alternative falls back to
+# UTF-8 bytes. Here OOV is induced by a CHARACTER COVERAGE budget
+# (the SentencePiece knob, same device as the r11 unigram byte
+# fallback): only the top-WP_CHAR_KEEP corpus characters stay in the
+# alphabet, a word containing any dropped character is OOV, and the
+# entry reports the token bill under both policies side by side.
+# --------------------------------------------------------------------------
+WP_CHAR_KEEP = 22  # the sf corpora have 24 distinct chars -> OOV fires
+
+
+def _wp_unk_oracle() -> str:
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    base = ORACLES["wordpiece_token_counts"]
+    cut = "), dt AS ("
+    assert base.count(cut) == 1
+    head = base[: base.index(cut)] + ")"
+    return (
+        head
+        + f"""
+    , wch AS (
+        SELECT wcnt, word,
+               unnest([substring(word, i, 1)
+                       for i in generate_series(1, length(word))]) AS ch
+        FROM words
+    ), ckeep AS (
+        SELECT ch FROM (
+            SELECT ch, CAST(SUM(wcnt) AS BIGINT) AS c
+            FROM wch GROUP BY ch
+        ) ORDER BY c DESC, ch LIMIT {WP_CHAR_KEEP}
+    ), oov AS (
+        SELECT DISTINCT w.word FROM wch w
+        LEFT JOIN ckeep k ON k.ch = w.ch
+        WHERE k.ch IS NULL
+    ), segx AS (
+        SELECT s.word, s.n_tok, (o.word IS NOT NULL) AS is_oov
+        FROM seg s LEFT JOIN oov o ON o.word = s.word
+    ), dt AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents
+        ) WHERE length(word) <= {MAX_WORD_CHARS}
+    )
+    SELECT dt.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN sx.is_oov THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk_words,
+           CAST(SUM(CASE WHEN sx.is_oov THEN 1 ELSE sx.n_tok END)
+                AS BIGINT) AS n_unk_policy_tokens,
+           CAST(SUM(CASE WHEN sx.is_oov THEN strlen(dt.word)
+                         ELSE sx.n_tok END) AS BIGINT)
+               AS n_bytefb_tokens
+    FROM dt JOIN segx sx ON sx.word = dt.word
+    GROUP BY dt.doc_id
+    """
+    )
+
+
+@register("wordpiece_unk_vs_bytes", oracle=_wp_unk_oracle())
+def wordpiece_unk_vs_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document, the WordPiece token bill under both OOV policies
+    (banner above): word count, OOV word occurrences under the
+    WP_CHAR_KEEP character-coverage budget, total tokens when each
+    OOV word costs ONE [UNK], and total tokens when each OOV word
+    falls back to its UTF-8 bytes. In-vocab words keep the certified
+    greedy segmentation count either way.
+
+    Scale shape: the character histogram and keep-set are
+    alphabet-sized (one vocab-frame aggregate); OOV flagging is one
+    anti-join on the distinct-word frame; everything corpus-scale is
+    unchanged from ``wordpiece_token_counts`` (one explode + one
+    shuffle join + one partial-agg groupBy)."""
+    from datapipelinedemo_spark.pin import pin
+
+    docs = table(spark, sf_dir, "documents")
+    words = pin(
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.length("word") <= MAX_WORD_CHARS)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    wch = words.select(
+        "wcnt",
+        "word",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    ckeep = (
+        wch.groupBy("ch")
+        .agg(F.sum("wcnt").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "ch")
+        .limit(WP_CHAR_KEEP)
+        .select("ch")
+    )
+    oov = (
+        wch.join(ckeep, "ch", "left_anti")
+        .select("word")
+        .distinct()
+        .withColumn("is_oov", F.lit(True))
+    )
+    segx = (
+        _wp_word_seg(words)
+        .join(oov, "word", "left")
+        .select(
+            "word",
+            "n_tok",
+            F.coalesce(F.col("is_oov"), F.lit(False)).alias("is_oov"),
+        )
+    )
+    dt = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    ).filter(F.length("word") <= MAX_WORD_CHARS)
+    return (
+        dt.join(segx, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.when(F.col("is_oov"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unk_words"),
+            F.sum(
+                F.when(F.col("is_oov"), F.lit(1).cast("long")).otherwise(
+                    F.col("n_tok")
+                )
+            )
+            .cast("long")
+            .alias("n_unk_policy_tokens"),
+            F.sum(
+                F.when(
+                    F.col("is_oov"),
+                    F.octet_length("word").cast("long"),
+                ).otherwise(F.col("n_tok"))
+            )
+            .cast("long")
+            .alias("n_bytefb_tokens"),
         )
     )

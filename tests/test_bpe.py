@@ -1128,3 +1128,75 @@ def test_byte_level_bpe_on_multibyte_text(spark, tmp_path):
     for d, (nw, nb, nt) in got.items():
         assert nt <= nb + nw
         assert nt >= nw  # at least one token per word
+
+
+def test_wordpiece_unk_vs_bytes_policies(spark, tmp_path, monkeypatch):
+    """OOV policy semantics on planted rare characters: with the
+    coverage budget squeezed, a word containing a dropped char costs
+    1 ([UNK] policy) vs its UTF-8 byte count (byte-fallback policy);
+    in-vocab words cost the same greedy count under both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import datapipelinedemo_spark.plans.tokenizer_ops as T
+
+    texts = [
+        "the cat sat on the mat",
+        "the qat zag",          # q and z are corpus-rare
+        "naïve café words",     # multi-byte chars, also rare
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    # squeeze coverage so the rare chars (q, z, accents, ...) drop
+    monkeypatch.setattr(T, "WP_CHAR_KEEP", 12)
+
+    # python mirror of the coverage budget + both policies
+    from collections import Counter
+
+    wcnt = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= T.MAX_WORD_CHARS:
+                wcnt[w] += 1
+    chist = Counter()
+    for w, c in wcnt.items():
+        for ch in w:
+            chist[ch] += c
+    keep = {
+        ch
+        for ch, _ in sorted(chist.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :12
+        ]
+    }
+    oov = {w for w in wcnt if any(ch not in keep for ch in w)}
+    # the planted rare-char words must actually be OOV
+    assert {"qat", "zag", "naïve", "café"} <= oov
+
+    got = {
+        r.doc_id: r
+        for r in T.wordpiece_unk_vs_bytes(spark, str(tmp_path)).collect()
+    }
+    for d, text in enumerate(texts):
+        ws = [w for w in text.lower().split() if w]
+        n_oov = sum(1 for w in ws if w in oov)
+        assert got[d].n_words == len(ws)
+        assert got[d].n_unk_words == n_oov, (d, oov)
+        # byte policy charges len(utf8 bytes) per OOV word vs 1 [UNK];
+        # in-vocab words cost the same greedy count under both
+        want_delta = sum(
+            len(w.encode("utf-8")) - 1 for w in ws if w in oov
+        )
+        assert (
+            got[d].n_bytefb_tokens - got[d].n_unk_policy_tokens
+            == want_delta
+        )
+        assert got[d].n_unk_policy_tokens >= len(ws)
