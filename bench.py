@@ -378,6 +378,9 @@ def main() -> None:
         "calib": calib,
         "calib_ref": calib_ref,
         "drift": drift,
+        "prev": prev_path,
+        "n_ratios": len(normalized_vs_prev),
+        "flagged_pre_rerun": pre_rerun_flagged,
         "flagged_over_1p5x": flagged,
         "full": "BENCH_LOCAL.json",
         "queries": {},
