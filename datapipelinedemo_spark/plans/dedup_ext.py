@@ -937,3 +937,264 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.round(F.lit(1.0) / F.col("n_members"), 6).alias("sample_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): find every >=
+# _ES_L-token substring that occurs >= 2 times ANYWHERE in the corpus
+# (cross- or intra-document) and remove all but the globally first
+# occurrence — the production method the near-dup family (MinHash /
+# SimHash / winnowing) approximates. Spark-first replacement for the
+# paper's suffix array: every L-gram start position carries the
+# md5-parity hash of its gram (one in-row pass over the token array —
+# the gram string itself never shuffles), one groupBy finds hashes
+# with >= 2 occurrences and their global (doc_id, pos) minimum,
+# per-document windows merge duplicated starts into maximal spans
+# (gap <= L <=> the covered intervals overlap, since all intervals
+# have length exactly L), and keep-first removal drops the tokens
+# covered by redundant starts. Doc-grain windows only — never a
+# partitionless stage; the corpus-scale costs are one posexplode and
+# one hash shuffle. Production note: the md5-parity hash stands in
+# for exact gram verification by the standing near-dup convention
+# (both engines group identically, collisions included); a 100 TB
+# deployment verifies candidate groups against the real gram before
+# removal, or swaps in xxhash64 + verification.
+# --------------------------------------------------------------------------
+_ES_L = 50  # Lee et al.'s span threshold, in tokens
+
+_ES_CTE = f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    pp AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(toks) - {_ES_L - 1})) AS pos,
+               toks
+        FROM tk WHERE len(toks) >= {_ES_L}
+    ),
+    hs AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substring(md5(
+                   array_to_string(toks[pos : pos + {_ES_L - 1}], ' ')),
+                   1, 15) AS BIGINT) AS h
+        FROM pp
+    ),
+    dups AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS occ,
+               COUNT(*) OVER (PARTITION BY h) AS c
+        FROM hs
+    ),
+    dpos AS (
+        SELECT doc_id, pos, occ FROM dups WHERE c >= 2
+    )
+"""
+
+_ES_ISLANDS = f"""
+    , flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos)
+                         <= {_ES_L} THEN 0 ELSE 1 END AS new_span
+        FROM starts
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {_ES_L - 1} AS BIGINT) AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_positions
+        FROM isl GROUP BY doc_id, g
+    )
+"""
+
+
+def _es_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, occ): every L-gram start whose gram hash occurs
+    >= 2 times in the corpus, with its 1-based global occurrence rank
+    (ordered by (doc_id, pos) — occ = 1 is the kept occurrence)."""
+    from datapipelinedemo_spark.functions.stable import md5_long
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        tokenized_documents,
+    )
+
+    t = tokenized_documents(spark, sf_dir).select("doc_id", "t")
+    grams = (
+        t.filter(F.size("t") >= _ES_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_ES_L - 1}),"
+                    f" i -> array_join(slice(t, cast(i as int),"
+                    f" {_ES_L}), ' '))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("pos"),  # 1-based
+            md5_long(F.col("gram")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    return (
+        grams.withColumn("occ", F.row_number().over(w).cast("long"))
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos", "occ")
+    )
+
+
+def _es_spans(starts: DataFrame) -> DataFrame:
+    """Merge duplicated start positions into maximal spans per doc:
+    starts p1 < p2 belong to one span iff p2 - p1 <= L (their
+    L-token intervals overlap or touch). Doc-grain windows only."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = starts.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(wd) <= _ES_L, 0
+        )
+        .otherwise(1)
+        .alias("new_span"),
+    )
+    isl = flagged.withColumn(
+        "g",
+        F.sum("new_span").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return isl.groupBy("doc_id", "g").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(_ES_L - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_positions"),
+    )
+
+
+@register(
+    "exact_substring_duplicate_spans",
+    oracle=_ES_CTE
+    + ", starts AS (SELECT doc_id, pos FROM dpos)"
+    + _ES_ISLANDS
+    + """
+    SELECT doc_id, span_start, span_end, n_dup_positions,
+           span_end - span_start + 1 AS span_tokens
+    FROM spans
+    """,
+)
+def exact_substring_duplicate_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal duplicated regions per document (banner above): every
+    token interval covered by >= 2-occurrence L-gram starts, merged.
+    The detection table a dedup run reads before deciding removal
+    policy — includes the FIRST occurrence of each duplicate (the one
+    keep-first retains)."""
+    spans = _es_spans(
+        _es_positions(spark, sf_dir).select("doc_id", "pos")
+    )
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_dup_positions",
+        (F.col("span_end") - F.col("span_start") + 1).alias(
+            "span_tokens"
+        ),
+    )
+
+
+@register(
+    "exact_substring_dedup",
+    oracle=_ES_CTE
+    + ", starts AS (SELECT doc_id, pos FROM dpos WHERE occ >= 2)"
+    + _ES_ISLANDS
+    + f"""
+    , sp AS (
+        SELECT doc_id,
+               list_sort(list(struct_pack(s := span_start,
+                                          e := span_end))) AS rm
+        FROM spans GROUP BY doc_id
+    )
+    SELECT tk.doc_id AS doc_id,
+           CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           CAST(len(tk.toks) - len([tk.toks[i]
+                for i in generate_series(1, len(tk.toks))
+                if len(list_filter(COALESCE(sp.rm, []),
+                       x -> i >= x.s AND i <= x.e)) = 0]) AS BIGINT)
+               AS removed_tokens,
+           -- DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join(empty) is '' — coalesce the full-removal case
+           COALESCE(array_to_string([tk.toks[i]
+                for i in generate_series(1, len(tk.toks))
+                if len(list_filter(COALESCE(sp.rm, []),
+                       x -> i >= x.s AND i <= x.e)) = 0], ' '), '')
+               AS cleaned_text
+    FROM tk LEFT JOIN sp ON sp.doc_id = tk.doc_id
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact-substring removal (banner above): a start is
+    REDUNDANT iff an equal gram occurs at a strictly smaller
+    (doc_id, pos); redundant starts merge into spans and every token
+    they cover is dropped. The globally first occurrence of every
+    duplicated substring survives — corpus content is preserved
+    exactly once, the Lee et al. policy.
+
+    Scale shape: redundant-start detection is the one hash shuffle;
+    span merge is doc-grain windows; removal is one in-row filter per
+    document (tokens x spans, both doc-bounded)."""
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        tokenized_documents,
+    )
+
+    spans = _es_spans(
+        _es_positions(spark, sf_dir)
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    sp = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            )
+        ).alias("rm")
+    )
+    t = tokenized_documents(spark, sf_dir).select("doc_id", "t")
+    j = t.join(sp, "doc_id", "left").withColumn(
+        "rm",
+        F.coalesce(
+            F.col("rm"),
+            F.expr("cast(array() as array<struct<s: bigint, e: bigint>>)"),
+        ),
+    )
+    kept = (
+        "filter(sequence(1, size(t)),"
+        " i -> size(filter(rm, x -> i >= x.s and i <= x.e)) = 0)"
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(F.expr(kept)))
+        .cast("long")
+        .alias("removed_tokens"),
+        F.expr(
+            f"array_join(transform({kept},"
+            f" i -> element_at(t, cast(i as int))), ' ')"
+        ).alias("cleaned_text"),
+    )

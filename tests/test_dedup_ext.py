@@ -438,3 +438,81 @@ class TestSubstringSpans:
         assert abs(s.a_start - 12) <= slack
         assert s.a_end >= 41 - slack
         assert s.n_fingerprints >= 2
+
+
+def test_exact_substring_dedup_keep_first(spark, tmp_path):
+    """Lee et al. keep-first semantics on planted duplicates: a
+    50-token run shared by two documents survives only in the
+    earlier one; an intra-document repeat keeps its first copy;
+    documents shorter than L are untouched. Verified against a
+    pure-Python mirror of the whole pipeline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.dedup_ext import (
+        _ES_L,
+        exact_substring_dedup,
+        exact_substring_duplicate_spans,
+    )
+
+    L = _ES_L
+    run = " ".join(f"dup{i}" for i in range(L))  # the shared 50 tokens
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    texts = [
+        f"{uniq('a', 7)} {run} {uniq('b', 5)}",   # first occurrence
+        uniq("c", 30),                            # < L tokens: untouched
+        f"{uniq('d', 3)} {run}",                  # cross-doc copy
+        f"{run} {uniq('e', 4)} {run}",            # intra-doc repeat
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    # python mirror: gram -> ordered occurrences
+    toks = [t.lower().split() for t in texts]
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for d, ts in enumerate(toks):
+        for p in range(len(ts) - L + 1):
+            occs.setdefault(" ".join(ts[p : p + L]), []).append((d, p + 1))
+    removed = {d: set() for d in range(len(texts))}
+    for g, where in occs.items():
+        if len(where) >= 2:
+            for d, p in sorted(where)[1:]:
+                removed[d].update(range(p, p + L))
+    want = {}
+    for d, ts in enumerate(toks):
+        kept = [t for i, t in enumerate(ts, start=1) if i not in removed[d]]
+        want[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.cleaned_text)
+        for r in exact_substring_dedup(spark, sf).collect()
+    }
+    assert got == want
+    # the planted structure actually exercised all three cases
+    assert got[0][1] == 0          # first occurrence survives intact
+    assert got[1][1] == 0          # short doc untouched
+    assert got[2][1] == L          # cross-doc copy removed
+    # doc 3: BOTH copies duplicate doc 0's earlier run, so both go —
+    # only the unique middle survives (keep-first is global, not
+    # per-document)
+    assert got[3][1] == 2 * L
+    assert got[3][2] == "e0 e1 e2 e3"
+
+    # spans table includes FIRST occurrences too (detection view)
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substring_duplicate_spans(spark, sf).collect()
+    }
+    assert (0, 8, 7 + L) in spans            # doc 0's kept run flagged
+    assert (2, 4, 3 + L) in spans
+    assert any(d == 3 for d, *_ in spans)
