@@ -3474,3 +3474,69 @@ def pq_rotated_subspace_error(
         )
     )
     return raw.join(rot, "m")
+
+
+def _pq_topk_filtered_oracle() -> str:
+    base = _pq_topk_oracle()
+    cut = "FROM asg a JOIN lut l ON l.m = a.m AND l.cid = a.cid"
+    assert base.count(cut) == 1
+    return base.replace(
+        cut,
+        f"""FROM asg a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+             AND e.{_ANN_FILTER_SQL}
+        JOIN lut l ON l.m = a.m AND l.cid = a.cid""",
+    )
+
+
+@register(
+    "similarity_topk_pq_stored_filtered",
+    oracle=_pq_topk_filtered_oracle(),
+)
+def similarity_topk_pq_stored_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The constrained query path END TO END on the persisted index:
+    ``similarity_topk_pq_stored``'s manifest-pinned packed-codes scan
+    with the metadata predicate semijoined on vec_id BEFORE the codes
+    unpack — at selectivity s the serving read, the LUT join, and the
+    (query, neighbor) agg all shrink by ~s, and no raw vectors or
+    re-coding appear anywhere (composes the r12 filtered-ANN semantics
+    with the r11 write-once serving index). Same frozen codebook,
+    BIGINT LUT sums, and (d, id) tie-break as the unfiltered stored
+    entry."""
+    from pyspark.sql import Window
+
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    cents, w = pq_train(spark, sf_dir)
+    keep = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(_ann_filter_col())
+        .select("vec_id")
+    )
+    packed = pq_codes_packed_cached(spark, sf_dir).join(keep, "vec_id")
+    codes = packed.select(
+        "vec_id", F.posexplode("codes").alias("mm", "code")
+    ).select("vec_id", F.col("mm").cast("long").alias("m"), "code")
+    queries = (
+        _pq_quantized(spark, sf_dir)
+        .filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "qv")
+    )
+    lut = _pq_lut_frame(spark, queries, cents, _PQ_M, _PQ_K, w)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").cast("long").alias("adc_sq_dist"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        "adc_sq_dist", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
+    )

