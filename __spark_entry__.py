@@ -70,20 +70,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # every round). Freshness entering r12, computed from
 # CORRECTNESS_r01..r11 (latest GREEN driver row per entry): 50 r11 /
 # 49 r10 / 37 r9 / 50 r8 / 28 r7; zero non-green latest rows.
-# Round-12 window (50) = the 10 NEW entries (byte-level BPE train /
+# Round-12 window (50) = the 11 NEW entries (byte-level BPE train /
 # encode / byte-vs-char fertility, filtered IVF-PQ top-k, the
 # pre-vs-post-filter recall table, the learned OPQ-lite rotation
 # error table, the WordPiece UNK-vs-bytes OOV-policy table, the
-# Lee-et-al exact-substring span/dedup pair, the filtered
-# stored-index serve), then the 9 entries
+# Lee-et-al exact-substring span/dedup pair + its admission screen,
+# the filtered stored-index serve), then the 9 entries
 # whose PLANS CHANGED this round
 # and are not already in the r7 block (the c4 staging fix, the two
 # gini prefix-sum migrations, the repack delegation, the q15 /
 # bigram partitionless-window fixes, and the tokenize-once memo
 # consumers doremi / bigram-perplexity / ccnet-thresholds / v3),
 # then ALL 28 remaining r7-vintage rows (plus the changed-plan
-# bigram_collocations), then the 2 alphabetically first r8 rows that
-# fit. The other 48 r8 rows lead the r13 rotation; after r12 no
+# bigram_collocations), then the alphabetically first r8 row that
+# fits. The other 49 r8 rows lead the r13 rotation; after r12 no
 # entry's latest green row is older than r8.
 PRIORITY = [
     # --- new this round (r12) ---
@@ -97,6 +97,7 @@ PRIORITY = [
     "exact_substring_duplicate_spans",
     "exact_substring_dedup",
     "similarity_topk_pq_stored_filtered",
+    "exact_substring_batch_screen",
     # --- plans changed this round (re-certify) ---
     "c4_line_dedup",
     "customer_revenue_gini",
@@ -139,9 +140,8 @@ PRIORITY = [
     "winnowed_substring_spans",
     "winnowing_fingerprints",
     "bigram_collocations",
-    # --- oldest r8 rows, alphabetical: 2 of 50 fit ---
+    # --- oldest r8 rows, alphabetical: 1 of 50 fits ---
     "a3_pair_smoothed_sentiment",
-    "approx_distinct_users_per_type",
 ]
 
 

@@ -560,3 +560,36 @@ def winnow(
         )
         .distinct()
     )
+
+
+ES_L = 50  # exact-substring span threshold (Lee et al. 2022), tokens
+
+
+def exact_substring_grams(docs: DataFrame, L: int = ES_L) -> DataFrame:
+    """(doc_id, pos, h): the md5-parity hash of every L-token gram of
+    every document (1-based token position) — the corpus pass of the
+    exact-substring dedup family (plans/dedup_ext.py banner). One
+    in-row transform over the token array; the gram string never
+    leaves the row."""
+    from datapipelinedemo_spark.functions import text as TX
+    from datapipelinedemo_spark.functions.stable import md5_long
+
+    return (
+        docs.withColumn("t", TX.tokenize("text"))
+        .filter(F.size("t") >= L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {L - 1}),"
+                    f" i -> array_join(slice(t, cast(i as int),"
+                    f" {L}), ' '))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            md5_long(F.col("gram")).alias("h"),
+        )
+    )

@@ -166,3 +166,31 @@ def winnow_index(
 
     ensure_dir(dest, _build)
     return read_frame(spark, dest)
+
+
+def es_gram_index(
+    spark: SparkSession, sf_dir: str, L: int | None = None
+) -> DataFrame:
+    """Exact-substring gram hashes ``(doc_id, pos, h)`` for the
+    documents table at ``sf_dir``, served from the write-once parquet
+    index. The L-token gram md5 pass is the dominant cost of the
+    exact-substring family (O(L) per position); like the winnowing
+    and shingle passes it runs once per corpus generation and every
+    consumer (duplicate spans, keep-first removal, the batch
+    admission screen) reads the stored frame. Bit-identical to
+    computing ``dedup.exact_substring_grams`` inline."""
+    L = DD.ES_L if L is None else L
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}-esg{L}"
+    dest = os.path.join(_index_root(), tag)
+
+    def _build(tmp: str) -> None:
+        docs = spark.read.parquet(src)
+        DD.exact_substring_grams(docs, L=L).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    ensure_dir(dest, _build)
+    return read_frame(spark, dest)

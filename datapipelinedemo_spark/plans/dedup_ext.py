@@ -1022,31 +1022,15 @@ _ES_ISLANDS = f"""
 def _es_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, occ): every L-gram start whose gram hash occurs
     >= 2 times in the corpus, with its 1-based global occurrence rank
-    (ordered by (doc_id, pos) — occ = 1 is the kept occurrence)."""
-    from datapipelinedemo_spark.functions.stable import md5_long
-    from datapipelinedemo_spark.plans.corpus_ops import (
-        tokenized_documents,
+    (ordered by (doc_id, pos) — occ = 1 is the kept occurrence).
+    Gram hashes come from the write-once index (the O(L)-per-position
+    md5 pass runs once per corpus generation —
+    ``neardup_index.es_gram_index``)."""
+    from datapipelinedemo_spark.operators.neardup_index import (
+        es_gram_index,
     )
 
-    t = tokenized_documents(spark, sf_dir).select("doc_id", "t")
-    grams = (
-        t.filter(F.size("t") >= _ES_L)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {_ES_L - 1}),"
-                    f" i -> array_join(slice(t, cast(i as int),"
-                    f" {_ES_L}), ' '))"
-                )
-            ).alias("p0", "gram"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).cast("long").alias("pos"),  # 1-based
-            md5_long(F.col("gram")).alias("h"),
-        )
-    )
+    grams = es_gram_index(spark, sf_dir, _ES_L)
     w = Window.partitionBy("h").orderBy("doc_id", "pos")
     return (
         grams.withColumn("occ", F.row_number().over(w).cast("long"))
@@ -1197,4 +1181,59 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"array_join(transform({kept},"
             f" i -> element_at(t, cast(i as int))), ' ')"
         ).alias("cleaned_text"),
+    )
+
+
+@register(
+    "exact_substring_batch_screen",
+    oracle=_ES_CTE
+    + """
+    , bs AS (SELECT doc_id, pos, h FROM hs WHERE doc_id % 10 = 0),
+    cs AS (SELECT DISTINCT h FROM hs WHERE doc_id % 10 <> 0),
+    starts AS (
+        SELECT b.doc_id, b.pos FROM bs b JOIN cs USING (h)
+    )"""
+    + _ES_ISLANDS
+    + """
+    SELECT doc_id, span_start, span_end, n_dup_positions,
+           span_end - span_start + 1 AS span_tokens
+    FROM spans
+    """,
+)
+def exact_substring_batch_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ADMISSION-TIME exact-substring screen: an arriving batch
+    (the ``doc_id % 10 == 0`` slice, the streaming family's
+    convention) is checked against the CORPUS gram index — every
+    batch span whose L-gram already exists in the corpus comes back
+    as a maximal duplicated region, before the batch is admitted.
+    The cross-doc contamination analogue of the MinHash
+    ``incremental_dedup_candidates`` screen.
+
+    Scale shape: the corpus side is ONE distinct-hash projection of
+    the stored gram index (never re-hashed — the write-once pass);
+    per batch the cost is batch-grams hashed + one semijoin against
+    that index + doc-grain island windows. At a fixed admission rate
+    the per-trigger cost is O(batch x hit-rate), corpus-scale
+    independent."""
+    from datapipelinedemo_spark.operators.neardup_index import (
+        es_gram_index,
+    )
+
+    grams = es_gram_index(spark, sf_dir, _ES_L)
+    batch = grams.filter(F.col("doc_id") % 10 == 0)
+    corpus_h = (
+        grams.filter(F.col("doc_id") % 10 != 0).select("h").distinct()
+    )
+    starts = batch.join(corpus_h, "h").select("doc_id", "pos")
+    spans = _es_spans(starts)
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_dup_positions",
+        (F.col("span_end") - F.col("span_start") + 1).alias(
+            "span_tokens"
+        ),
     )

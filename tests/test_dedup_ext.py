@@ -516,3 +516,49 @@ def test_exact_substring_dedup_keep_first(spark, tmp_path):
     assert (0, 8, 7 + L) in spans            # doc 0's kept run flagged
     assert (2, 4, 3 + L) in spans
     assert any(d == 3 for d, *_ in spans)
+
+
+def test_exact_substring_batch_screen_planted(spark, tmp_path):
+    """Admission screen semantics: only batch docs (doc_id % 10 == 0)
+    are screened, and a batch span is flagged iff its gram already
+    exists in the CORPUS slice (in-batch-only duplicates don't
+    fire)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.dedup_ext import (
+        _ES_L,
+        exact_substring_batch_screen,
+    )
+
+    L = _ES_L
+    run = " ".join(f"dup{i}" for i in range(L))
+    batch_only = " ".join(f"bo{i}" for i in range(L))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    texts = {
+        0: f"{uniq('a', 7)} {run} {uniq('b', 5)}",   # batch: dup vs corpus
+        10: f"{batch_only} {uniq('c', 3)}",          # batch: no corpus twin
+        20: batch_only,                               # batch: dup IN BATCH only
+        1: f"{uniq('d', 3)} {run}",                  # corpus
+        2: uniq("e", 60),                            # corpus, unique
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ids,
+                "text": [texts[i] for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substring_batch_screen(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc 0's run duplicates corpus doc 1 -> flagged at tokens 8..57
+    assert got == {(0, 8, 7 + L)}
