@@ -70,21 +70,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # every round). Freshness entering r12, computed from
 # CORRECTNESS_r01..r11 (latest GREEN driver row per entry): 50 r11 /
 # 49 r10 / 37 r9 / 50 r8 / 28 r7; zero non-green latest rows.
-# Round-12 window (50) = the 11 NEW entries (byte-level BPE train /
-# encode / byte-vs-char fertility, filtered IVF-PQ top-k, the
-# pre-vs-post-filter recall table, the learned OPQ-lite rotation
+# Round-12 window (50) = the 14 NEW entries (byte-level BPE
+# train / encode / byte-vs-char fertility, filtered IVF-PQ top-k,
+# the pre-vs-post-filter recall table, the learned OPQ-lite rotation
 # error table, the WordPiece UNK-vs-bytes OOV-policy table, the
 # Lee-et-al exact-substring span/dedup pair + its admission screen,
-# the filtered stored-index serve), then the 9 entries
-# whose PLANS CHANGED this round
-# and are not already in the r7 block (the c4 staging fix, the two
-# gini prefix-sum migrations, the repack delegation, the q15 /
-# bigram partitionless-window fixes, and the tokenize-once memo
-# consumers doremi / bigram-perplexity / ccnet-thresholds / v3),
-# then ALL 28 remaining r7-vintage rows (plus the changed-plan
-# bigram_collocations), then the alphabetically first r8 row that
-# fits. The other 49 r8 rows lead the r13 rotation; after r12 no
-# entry's latest green row is older than r8.
+# the filtered stored-index serve, the in-engine trained linear
+# classifier triple), then 7 of the 9 changed-plan entries not
+# already in the r7 block (the c4 staging fix, the gini prefix-sum
+# migration, the repack delegation, the bigram partitionless-window
+# fix via the r7 block, and the tokenize-once memo consumers
+# doremi / bigram-perplexity / ccnet-thresholds / v3), then ALL 28
+# remaining r7-vintage rows plus the changed-plan
+# bigram_collocations. Deferred to r13 for window room (both locally
+# hash-certified this round): q15_top_supplier and
+# customer_revenue_gini_histogram. The 50 r8 rows and those two lead
+# the r13 rotation; after r12 no entry's latest green row is older
+# than r8.
 PRIORITY = [
     # --- new this round (r12) ---
     "bpe_byte_level_train_merges",
@@ -98,12 +100,13 @@ PRIORITY = [
     "exact_substring_dedup",
     "similarity_topk_pq_stored_filtered",
     "exact_substring_batch_screen",
+    "linear_classifier_weights",
+    "linear_classifier_scores",
+    "linear_classifier_eval",
     # --- plans changed this round (re-certify) ---
     "c4_line_dedup",
     "customer_revenue_gini",
-    "customer_revenue_gini_histogram",
     "fixed_window_repack",
-    "q15_top_supplier",
     "doremi_domain_weights",
     "bigram_perplexity_scores",
     "ccnet_buckets_by_threshold",
@@ -140,8 +143,6 @@ PRIORITY = [
     "winnowed_substring_spans",
     "winnowing_fingerprints",
     "bigram_collocations",
-    # --- oldest r8 rows, alphabetical: 1 of 50 fits ---
-    "a3_pair_smoothed_sentiment",
 ]
 
 

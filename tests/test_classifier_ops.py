@@ -1,0 +1,64 @@
+"""In-engine linear classifier (plans/classifier_ops.py): the
+distilled CCNet-head filter must actually LEARN — accuracy clears the
+majority-class base rate by a real margin — and the trained weights
+must be reproducible per session (memoized, deterministic)."""
+
+from __future__ import annotations
+
+
+def test_classifier_beats_majority_base_rate(spark, sf_dir):
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        linear_classifier_eval,
+    )
+
+    row = linear_classifier_eval(spark, sf_dir).collect()[0]
+    assert row.n_docs > 0
+    majority = max(row.head_rate, 1.0 - row.head_rate)
+    # measured 0.756-0.784 vs 0.662 majority across corpora; demand a
+    # real margin
+    assert row.accuracy >= majority + 0.08, (row.accuracy, majority)
+    assert row.n_correct == round(row.accuracy * row.n_docs)
+
+
+def test_classifier_weights_deterministic_and_learned(spark, sf_dir):
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        _QC_B,
+        trained_qc_weights,
+    )
+
+    w1 = trained_qc_weights(spark, sf_dir)
+    w2 = trained_qc_weights(spark, sf_dir)
+    assert w1 is w2  # memo hit
+    assert len(w1) == _QC_B + 1
+    nonzero = [w6 for _, w6 in w1 if w6 != 0]
+    # at the stability lr many small-count buckets floor-round to 0 —
+    # demand a meaningful populated fraction, not a majority
+    assert len(nonzero) > _QC_B // 6
+    # bias learned negative (head is the minority class)
+    assert w1[-1][1] < 0
+
+
+def test_classifier_scores_consistent_with_eval(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        linear_classifier_eval,
+        linear_classifier_scores,
+    )
+
+    sc = linear_classifier_scores(spark, sf_dir)
+    agg = sc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("label_head") == F.col("predicted_head"), 1
+            ).otherwise(0)
+        ).alias("ok"),
+    ).collect()[0]
+    row = linear_classifier_eval(spark, sf_dir).collect()[0]
+    assert agg.n == row.n_docs and agg.ok == row.n_correct
+    # predictions follow the 0.5 cut exactly
+    bad = sc.filter(
+        (F.col("p6") >= 500_000) != (F.col("predicted_head") == 1)
+    ).count()
+    assert bad == 0
