@@ -165,8 +165,11 @@ _ZNUM_EXPR = (
 )
 
 
+_QC_HOLDOUT_MOD = 5  # doc_id % 5 == 0 is the held-out fifth
+
+
 def trained_qc_weights(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, holdout: bool = False
 ) -> list[tuple[int, int]]:
     """[(bucket, w6)] after ``_QC_ITERS`` full-batch GD steps — the
     kmeans/BPE training shape: each iteration is ONE single-stage
@@ -186,12 +189,18 @@ def trained_qc_weights(
         _QC_B,
         _QC_ITERS,
         _QC_LR6,
+        holdout,
     )
     hit = _QC_W_MEMO.get(key)
     if hit is not None:
         return hit
 
     base, n = _qc_shared_frames(spark, sf_dir)
+    if holdout:
+        base = base.filter(F.col("doc_id") % _QC_HOLDOUT_MOD != 0)
+        n = _QC_N_MEMO.setdefault(
+            ("train",) + key[1:3], base.count()
+        )
     w6 = [0] * (_QC_B + 1)
     gcols = [
         F.sum(
@@ -232,7 +241,7 @@ def _qc_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qc_sql_chain() -> str:
+def _qc_sql_chain(train_where: str = "TRUE") -> str:
     """The unrolled training chain as DuckDB CTEs ending in
     ``w{_QC_ITERS}`` — labels from the composed certified CCNet
     oracle, same integer grids and mirrored sigmoid/floor."""
@@ -258,7 +267,10 @@ def _qc_sql_chain() -> str:
                CAST(1 AS BIGINT) AS c
         FROM documents
     ),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+    trn AS MATERIALIZED (
+        SELECT * FROM lab WHERE {train_where}
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM trn),
     w0 AS (
         SELECT unnest(generate_series(0, {_QC_B})) AS b,
                CAST(0 AS BIGINT) AS w6
@@ -276,7 +288,7 @@ def _qc_sql_chain() -> str:
                CAST(FLOOR(1e6 / (1.0 + exp(
                    -(CAST(COALESCE(z.znum, 0) AS DOUBLE) / 1e6)))
                    + 0.5) AS BIGINT) AS p6
-        FROM lab l LEFT JOIN z{t} z ON z.doc_id = l.doc_id
+        FROM trn l LEFT JOIN z{t} z ON z.doc_id = l.doc_id
     ),
     g{t} AS (
         SELECT f.b, CAST(SUM((p.p6 - p.y6) * f.c) AS BIGINT) AS g6
@@ -417,4 +429,82 @@ def linear_classifier_eval(
         F.round(
             F.sum("label_head").cast("double") / F.count(F.lit(1)), 6
         ).alias("head_rate"),
+    )
+
+
+@register(
+    "linear_classifier_holdout_eval",
+    oracle=_qc_sql_chain(f"doc_id % {_QC_HOLDOUT_MOD} <> 0")
+    + f"""
+    , hv AS (SELECT * FROM lab WHERE doc_id % {_QC_HOLDOUT_MOD} = 0),
+    zf AS (
+        SELECT f.doc_id, CAST(SUM(w.w6 * f.c) AS BIGINT) AS znum
+        FROM feat f JOIN w{_QC_ITERS} w ON w.b = f.b
+        GROUP BY 1
+    ),
+    sc AS (
+        SELECT l.y6 / 1000000 AS y,
+               CASE WHEN FLOOR(1e6 / (1.0 + exp(
+                   -(CAST(COALESCE(z.znum, 0) AS DOUBLE) / 1e6)))
+                   + 0.5) >= 500000 THEN 1 ELSE 0 END AS yhat
+        FROM hv l LEFT JOIN zf z ON z.doc_id = l.doc_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM trn) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS head_rate
+    FROM sc
+    """,
+)
+def linear_classifier_holdout_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERALIZATION eval for the distilled filter: train on the
+    ``doc_id % 5 != 0`` 80%, score the held-out 20% — the number that
+    says whether the cheap scorer transfers beyond its fit, vs the
+    training-set accuracy ``linear_classifier_eval`` reports. Same
+    exact-integer training, same mirrored scoring."""
+    w = [
+        w6
+        for _, w6 in trained_qc_weights(spark, sf_dir, holdout=True)
+    ]
+    base, _ = _qc_shared_frames(spark, sf_dir)
+    held = base.filter(F.col("doc_id") % _QC_HOLDOUT_MOD == 0)
+    trainn = base.filter(
+        F.col("doc_id") % _QC_HOLDOUT_MOD != 0
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    wrow = spark.createDataFrame([(w,)], "W array<bigint>")
+    sc = held.crossJoin(F.broadcast(wrow)).select(
+        (F.col("y6") / 1_000_000).cast("long").alias("y"),
+        F.when(F.expr(_ZNUM_EXPR).isNotNull(), F.expr(_ZNUM_EXPR))
+        .otherwise(F.lit(0))
+        .alias("znum"),
+    ).select(
+        "y",
+        F.when(F.expr(_P6_EXPR) >= 500_000, 1).otherwise(0).alias("yhat"),
+    )
+    return (
+        sc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("y") == F.col("yhat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("y") == F.col("yhat"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("head_rate"),
+        )
+        .crossJoin(F.broadcast(trainn))
+        .select(
+            "n_train", "n_eval", "n_correct", "accuracy", "head_rate"
+        )
     )

