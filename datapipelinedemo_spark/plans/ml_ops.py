@@ -1320,9 +1320,11 @@ def _pq_cte_prefixed(p: str) -> str:
     return sql.replace("WITH ", ", ", 1)
 
 
-def _ivfpq_oracle(nlist: int = _K) -> str:
+def _ivfpq_oracle(nlist: int = _K, nprobe: int | None = None) -> str:
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 
+    if nprobe is None:
+        nprobe = _IVFPQ_NPROBE
     return (
         _kmeans_cte(k=nlist)  # coarse: afin (query-centroid dists), asg
         + _pq_cte_prefixed("pq")  # codes: pqasg; centroids: pqc{iters}
@@ -1333,7 +1335,7 @@ def _ivfpq_oracle(nlist: int = _K) -> str:
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY d, cid) AS rn
             FROM afin WHERE vec_id % {TOPK_QUERY_MOD} = 0
-        ) WHERE rn <= {_IVFPQ_NPROBE}
+        ) WHERE rn <= {nprobe}
     ), lut AS (
         SELECT pe.vec_id AS query_id, cf.m, cf.cid,
                CAST(SUM((pe.qv - cf.cv) * (pe.qv - cf.cv)) AS BIGINT)
@@ -3540,3 +3542,173 @@ def similarity_topk_pq_stored_filtered(
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "adc_sq_dist", "rank")
     )
+
+
+def _filtered_nprobe_oracle(probes=(2, 4)) -> str:
+    """Per-nprobe pre-filter recall rows: the head CTEs (coarse
+    k-means + PQ codes + query LUT) are shared; each sweep point gets
+    its own probe/candidate/ADC/top-10 chain over the ADMISSIBLE
+    corpus, scored against the filtered exact ground truth."""
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    base = _ivfpq_oracle()
+    cutp = ", probe AS ("
+    assert base.count(cutp) == 1
+    head = base[: base.index(cutp)]
+    lut_cut = ", lut AS ("
+    cand_cut = ", cand AS ("
+    lut_sql = base[base.index(lut_cut): base.index(cand_cut)]
+    parts = [head, lut_sql]
+    parts.append(f"""
+    , gtd AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+        FROM pqex a JOIN pqex b ON a.m = b.m AND a.i = b.i
+        JOIN embeddings e ON e.vec_id = b.vec_id AND e.{_ANN_FILTER_SQL}
+        WHERE a.vec_id % {TOPK_QUERY_MOD} = 0 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2
+    ), gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM gtd
+        ) WHERE rnk <= 10
+    ), nq AS (
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS gt_pairs
+        FROM gt
+    )""")
+    for p in probes:
+        parts.append(f"""
+    , prb{p} AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM afin WHERE vec_id % {TOPK_QUERY_MOD} = 0
+        ) WHERE rn <= {p}
+    ), cnd{p} AS (
+        SELECT pr.query_id, a.vec_id AS neighbor_id
+        FROM asg a
+        JOIN embeddings e ON e.vec_id = a.vec_id AND e.{_ANN_FILTER_SQL}
+        JOIN prb{p} pr ON pr.cid = a.cid
+        WHERE a.vec_id <> pr.query_id
+    ), adcd{p} AS (
+        SELECT c.query_id, c.neighbor_id, CAST(SUM(l.pd) AS BIGINT) AS d
+        FROM cnd{p} c
+        JOIN pqasg pa ON pa.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.m = pa.m AND l.cid = pa.cid
+        GROUP BY 1, 2
+    ), top{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM adcd{p}
+        ) WHERE rnk <= 10
+    ), row{p} AS (
+        SELECT CAST({p} AS BIGINT) AS nprobe, nq.n_queries, nq.gt_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM top{p})
+                   AS returned_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM gt JOIN top{p} USING (query_id, neighbor_id))
+                   AS hits,
+               round(CAST((SELECT COUNT(*)
+                           FROM gt JOIN top{p}
+                           USING (query_id, neighbor_id)) AS DOUBLE)
+                     / nq.gt_pairs, 6) AS recall
+        FROM nq
+    )""")
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM row{p}" for p in probes
+    )
+    return "".join(parts) + f"\n    {unions}\n    "
+
+
+@register(
+    "ivfpq_filtered_recall_by_nprobe",
+    oracle=_filtered_nprobe_oracle(),
+)
+def ivfpq_filtered_recall_by_nprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The constrained-search tuning table: pre-filter recall@10 at
+    nprobe = 2 and 4 against the exact filtered ground truth. This is
+    the knob a serving system turns when a selective predicate bites:
+    the admissible candidates per probed list shrink by the
+    selectivity, so recovering recall means probing MORE lists — and
+    because the constraint already cut the ADC work by ~s, the extra
+    probes cost a fraction of what they would unfiltered. One row per
+    sweep point; both serving chains are the certified
+    filtered-pruned-ADC plan at their nprobe."""
+    from pyspark.sql import Window
+
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    pred = _ann_filter_col()
+    wnd = Window.partitionBy("query_id").orderBy(
+        "adc_sq_dist", "neighbor_id"
+    )
+    q = _pq_quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    corpus = q.join(
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(pred)
+        .select("vec_id"),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qc"))
+    gtd = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qq, qc, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+    )
+    gwnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    gt = (
+        gtd.withColumn("rnk", F.row_number().over(gwnd))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    nq = gt.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("gt_pairs"),
+    )
+    out = None
+    for p in (2, 4):
+        top = (
+            _ivfpq_adc(spark, sf_dir, nprobe=p, corpus_pred=pred)
+            .withColumn("rnk", F.row_number().over(wnd))
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "neighbor_id")
+        )
+        returned = top.agg(
+            F.count(F.lit(1)).cast("long").alias("returned_pairs")
+        )
+        hits = gt.join(top, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("hits")
+        )
+        row = (
+            nq.crossJoin(F.broadcast(returned))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "n_queries",
+                "gt_pairs",
+                "returned_pairs",
+                "hits",
+                F.round(
+                    F.col("hits").cast("double")
+                    / F.col("gt_pairs").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

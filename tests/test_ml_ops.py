@@ -1046,3 +1046,23 @@ def test_filtered_stored_serving_respects_constraint(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, 11)), q
+
+
+def test_filtered_nprobe_curve_shape(spark, sf_dir):
+    """The constrained-search tuning table: both sweep points return
+    the full k per query over the admissible corpus; candidate
+    supersets mean hits can only be compared through the exact
+    ground truth (recall column), which stays in [0, 1]."""
+    from datapipelinedemo_spark.plans.ml_ops import (
+        ivfpq_filtered_recall_by_nprobe,
+    )
+
+    rows = sorted(
+        ivfpq_filtered_recall_by_nprobe(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [2, 4]
+    for r in rows:
+        assert r.returned_pairs == 10 * r.n_queries
+        assert 0.0 <= r.recall <= 1.0
+        assert r.hits <= r.gt_pairs
