@@ -68,7 +68,9 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import tweets_catalog  # noqa: F401
     from datapipelinedemo_spark.plans import analytics_ops  # noqa: F401
     from datapipelinedemo_spark.plans import ml_ops  # noqa: F401
+    # classifier_ops must register before dedup_ext: the v4 pipeline's
+    # oracle composes the classifier-scores oracle at import time
+    from datapipelinedemo_spark.plans import classifier_ops  # noqa: F401
     from datapipelinedemo_spark.plans import dedup_ext  # noqa: F401
     from datapipelinedemo_spark.plans import selection_ops  # noqa: F401
     from datapipelinedemo_spark.plans import tokenizer_ops  # noqa: F401
-    from datapipelinedemo_spark.plans import classifier_ops  # noqa: F401

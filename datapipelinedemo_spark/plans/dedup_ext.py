@@ -1237,3 +1237,122 @@ def exact_substring_batch_screen(
             "span_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# v4: the distillation swap. v3's quality stage is the CCNet LM
+# filter (two corpus-wide LM chains per run); production pipelines
+# train a cheap classifier ON that filter once and ship the classifier
+# (GPT-3's quality classifier, DCLM's fasttext filter). v4 is v3 with
+# exactly that swap: the kept set is `linear_classifier_scores`'
+# predicted_head = 1 (the distilled scorer's 0.5 cut — one broadcast
+# join + one in-row logit per doc at serve time, vs the LM chains),
+# everything else identical. Note the POLICY differs from v3 by
+# design: v3 keeps head+middle (~2/3), v4 keeps classifier-predicted
+# head (~1/3, the classifier's operating point) — the entry certifies
+# the composition, the accuracy entries certify the fidelity.
+# --------------------------------------------------------------------------
+
+
+def _v4_oracle() -> str:
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+
+    base = _v3_oracle()
+    old = "bk AS (SELECT doc_id, bucket FROM ({0}))".format
+    # locate the bk CTE textually (built from _CCNET_NTILE_SQL)
+    start = base.index("bk AS (SELECT doc_id, bucket FROM (")
+    end = base.index("surv AS (")
+    qc = ORACLES["linear_classifier_scores"]
+    return (
+        base[:start]
+        + f"""qk AS (
+        SELECT doc_id FROM ({qc}) s WHERE s.predicted_head = 1
+    ),
+    """
+        + base[end:].replace(
+            "JOIN bk ON bk.doc_id = d.doc_id AND bk.bucket <> 'tail'",
+            "JOIN qk ON qk.doc_id = d.doc_id",
+        )
+    )
+
+
+@register("training_corpus_pipeline_v4", oracle=_v4_oracle())
+def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``training_corpus_pipeline_v3`` with the distilled quality
+    filter in place of the CCNet LM stage (banner above): near-dup
+    canonicals and Bloom decontamination unchanged, the kept set is
+    the in-engine-trained linear classifier's predicted-head docs,
+    then the UniMax/temperature mixing and shard assignment run over
+    the new survivor corpus. Output: the same per (source, shard)
+    manifest row shape as v3.
+
+    Scale shape: the quality stage is now one broadcast of 65
+    weights + one in-row logit per doc (vs two corpus-wide LM
+    chains); every other stage keeps its certified plan."""
+    from datapipelinedemo_spark.functions import text as TX
+    from datapipelinedemo_spark.functions.stable import md5_long
+    from datapipelinedemo_spark.pin import pin
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        linear_classifier_scores,
+    )
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        bloom_decontamination,
+    )
+    from datapipelinedemo_spark.plans.llm_ops import neardup_clusters
+    from datapipelinedemo_spark.plans.selection_ops import (
+        temperature_weights,
+        unimax_allocate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    canon = (
+        neardup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("comp"))
+        .select("doc_id")
+    )
+    bloom = (
+        bloom_decontamination(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("__contam", F.lit(True))
+    )
+    kept = (
+        linear_classifier_scores(spark, sf_dir)
+        .filter(F.col("predicted_head") == 1)
+        .select("doc_id")
+    )
+    surv = (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(TX.tokenize("text")).cast("long").alias("ntok"),
+        )
+        .join(canon, "doc_id")
+        .join(kept, "doc_id")
+        .join(bloom, "doc_id", "left")
+        .filter(F.col("__contam").isNull())
+    )
+    per = pin(
+        surv.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    alloc = unimax_allocate(per.select("source", "n_tokens")).select(
+        "source", "allocated_tokens"
+    )
+    mix = temperature_weights(per).select("source", "mix_weight")
+    shard_id = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#shard")))
+        % _V3_N_SHARDS
+    ).alias("shard_id")
+    return (
+        surv.select("source", "ntok", shard_id)
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("ntok").cast("long").alias("tokens"),
+        )
+        .join(F.broadcast(alloc), "source")
+        .join(F.broadcast(mix), "source")
+    )

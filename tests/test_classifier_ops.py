@@ -80,3 +80,55 @@ def test_classifier_generalizes_to_holdout(spark, sf_dir):
     majority = max(row.head_rate, 1.0 - row.head_rate)
     assert row.accuracy > majority, (row.accuracy, majority)
     assert row.n_correct == round(row.accuracy * row.n_eval)
+
+
+def test_v4_pipeline_composes_distilled_filter(spark, sf_dir):
+    """training_corpus_pipeline_v4's manifest must account for exactly
+    the docs that survive ALL its stages, with the distilled
+    classifier as the quality gate (strictly fewer survivors than
+    v3's head+middle policy by construction on these corpora)."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        linear_classifier_scores,
+    )
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        bloom_decontamination,
+    )
+    from datapipelinedemo_spark.plans.dedup_ext import (
+        training_corpus_pipeline_v3,
+        training_corpus_pipeline_v4,
+    )
+    from datapipelinedemo_spark.plans.llm_ops import neardup_clusters
+
+    v4 = training_corpus_pipeline_v4(spark, sf_dir)
+    total_docs = v4.agg(F.sum("docs")).collect()[0][0]
+
+    kept = set(
+        r.doc_id
+        for r in linear_classifier_scores(spark, sf_dir)
+        .filter(F.col("predicted_head") == 1)
+        .collect()
+    )
+    canon = set(
+        r.doc_id
+        for r in neardup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("comp"))
+        .collect()
+    )
+    contam = set(
+        r.doc_id for r in bloom_decontamination(spark, sf_dir).collect()
+    )
+    want = {
+        d
+        for d in kept & canon
+        if d % 50 != 0 and d not in contam
+    }
+    assert total_docs == len(want)
+
+    v3_docs = (
+        training_corpus_pipeline_v3(spark, sf_dir)
+        .agg(F.sum("docs"))
+        .collect()[0][0]
+    )
+    assert total_docs < v3_docs  # head-only is the stricter gate
