@@ -85,9 +85,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # bigram_collocations. Deferred to r13 for window room (both locally
 # hash-certified this round): q15_top_supplier and
 # customer_revenue_gini_histogram. The 50 r8 rows, those two, and
-# the late-added linear_classifier_holdout_eval (locally + vanilla
-# certified) lead the r13 rotation; after r12 no entry's latest
-# green row is older than r8.
+# the late-added entries (linear_classifier_holdout_eval,
+# ivfpq_filtered_recall_by_nprobe, training_corpus_pipeline_v4 —
+# each locally certified, the first also on a vanilla session) lead
+# the r13 rotation; after r12 no entry's latest green row is older
+# than r8.
 PRIORITY = [
     # --- new this round (r12) ---
     "bpe_byte_level_train_merges",
