@@ -1255,6 +1255,9 @@ def exact_substring_batch_screen(
 
 
 def _v4_oracle() -> str:
+    # force classifier registration: this module can be imported
+    # directly (tests do), not only via catalog.load_catalog's order
+    from datapipelinedemo_spark.plans import classifier_ops  # noqa: F401
     from datapipelinedemo_spark.plans.catalog import ORACLES
 
     base = _v3_oracle()
