@@ -42,6 +42,7 @@ SINGLE_PARTITION_WINDOW_OK = {
     "ivf_list_balance_report",  # nlist grain (index geometry, <= ~sqrt n)
     "unimax_epoch_allocation",  # |sources| grain (domain catalog)
     "training_corpus_pipeline_v3",  # inherits unimax's |sources| window
+    "training_corpus_pipeline_v4",  # same inheritance (v3 twin)
 }
 
 
