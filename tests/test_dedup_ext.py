@@ -518,6 +518,67 @@ def test_exact_substring_dedup_keep_first(spark, tmp_path):
     assert any(d == 3 for d, *_ in spans)
 
 
+def test_exact_substring_boilerplate_gram_skew(spark, tmp_path):
+    """The 100 TB skew class (VERDICT r12 #2): ONE boilerplate 50-token
+    gram (license header / template) planted in 10^4 documents. The old
+    per-hash ``row_number`` window shipped all 10^4 occurrences into a
+    single unsplittable sorted task; the rewrite is a partial-aggregable
+    ``groupBy(h).agg(min(struct), count)`` + join-back, so the hot hash
+    collapses map-side. Semantics unchanged: the gram survives only in
+    its globally-first document; every other copy is removed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.dedup_ext import (
+        _ES_L,
+        _es_positions,
+        exact_substring_dedup,
+    )
+
+    L = _ES_L
+    n_docs = 10_000
+    run = " ".join(f"dup{i}" for i in range(L))  # the boilerplate gram
+    # 5 unique lead tokens per doc -> every doc contributes 6 gram
+    # positions, 10^4 of which hash to the SAME boilerplate gram
+    texts = [
+        " ".join(f"u{d}x{i}" for i in range(5)) + " " + run
+        for d in range(n_docs)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(n_docs)),
+                "text": texts,
+                "lang": ["en"] * n_docs,
+                "source": ["s"] * n_docs,
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    # the redundant-start detection plan must carry NO window over the
+    # gram hash — a window's hot partition can never be split, a join's
+    # can (AQE skew join; the build side is one row per hash)
+    plan = (
+        _es_positions(spark, sf)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+
+    got = {
+        r.doc_id: r.removed_tokens
+        for r in exact_substring_dedup(spark, sf).collect()
+    }
+    assert len(got) == n_docs
+    assert got[0] == 0  # globally-first copy survives
+    removed = {d for d, n in got.items() if n > 0}
+    assert removed == set(range(1, n_docs))
+    assert all(got[d] == L for d in removed)
+
+
 def test_exact_substring_batch_screen_planted(spark, tmp_path):
     """Admission screen semantics: only batch docs (doc_id % 10 == 0)
     are screened, and a batch span is flagged iff its gram already
