@@ -434,3 +434,67 @@ def start_embedding_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_es_screen_stream(
+    docs: DataFrame,
+    corpus_hashes: DataFrame,
+    spans_dir: str,
+    checkpoint_dir: str,
+    L: int | None = None,
+):
+    """Streaming exact-substring ADMISSION screen: every arriving
+    micro-batch of raw documents is L-gram hashed (only the batch —
+    ``operators.dedup.exact_substring_grams``), semijoined against the
+    corpus's distinct gram hashes, and its maximal duplicated spans
+    are appended to ``spans_dir`` keyed by batch id. The screen body
+    is the CERTIFIED batch twin's
+    (``plans.dedup_ext.es_screen_spans`` — the exact code object
+    ``exact_substring_batch_screen`` runs), so the stream inherits its
+    oracle row; the ``start_neardup_ingest_stream`` factoring applied
+    to exact-substring.
+
+    ``corpus_hashes`` is ONE distinct-hash projection of the stored
+    write-once gram index (``neardup_index.es_gram_index`` — the
+    corpus is never re-hashed); per trigger the cost is batch grams
+    hashed + one semijoin against that index + doc-grain island
+    windows, corpus-scale independent at a fixed admission rate.
+
+    Exactly-once: the checkpoint replays an unacknowledged batch; the
+    spans write is keyed by ``batch_id`` with dynamic partition
+    overwrite, so a replay overwrites its own partition instead of
+    duplicating it. The screen is read-only against the corpus index,
+    so there is no read-your-own-append hazard to exclude.
+    """
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.operators.dedup import (
+        ES_L,
+        exact_substring_grams,
+    )
+    from datapipelinedemo_spark.plans.dedup_ext import es_screen_spans
+
+    L = ES_L if L is None else L
+
+    def _screen(batch: DataFrame, batch_id: int) -> None:
+        spans = es_screen_spans(
+            exact_substring_grams(batch, L), corpus_hashes
+        )
+        # an all-empty partitioned write leaves an unreadable dir (no
+        # part files to infer a schema from) — skip it; a replayed
+        # empty batch needs no cleanup either
+        if not spans.isEmpty():
+            (
+                spans.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(spans_dir)
+            )
+
+    return (
+        docs.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
