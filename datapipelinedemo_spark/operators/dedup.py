@@ -565,15 +565,32 @@ def winnow(
 ES_L = 50  # exact-substring span threshold (Lee et al. 2022), tokens
 
 
-def exact_substring_grams(docs: DataFrame, L: int = ES_L) -> DataFrame:
-    """(doc_id, pos, h): the md5-parity hash of every L-token gram of
-    every document (1-based token position) — the corpus pass of the
+def exact_substring_grams(
+    docs: DataFrame, L: int = ES_L, hash: str = "md5"
+) -> DataFrame:
+    """(doc_id, pos, h): the hash of every L-token gram of every
+    document (1-based token position) — the corpus pass of the
     exact-substring dedup family (plans/dedup_ext.py banner). One
     in-row transform over the token array; the gram string never
-    leaves the row."""
+    leaves the row.
+
+    ``hash='md5'`` (default) is the oracle-parity path — DuckDB
+    reproduces the hex-prefix parse bit-for-bit. ``hash='xxhash64'``
+    is the production path, same flag as the MinHash family
+    (``shingle_hashes``): one JVM intrinsic instead of
+    md5→hex→parse (measured speedup in PERF.md); downstream
+    duplicate DETECTION is hash-agnostic (grams are compared only
+    for equality), equivalence-tested in
+    tests/test_dedup_ext.py::test_exact_substring_xxhash64_same_detection."""
     from datapipelinedemo_spark.functions import text as TX
     from datapipelinedemo_spark.functions.stable import md5_long
 
+    if hash == "xxhash64":
+        h = F.xxhash64(F.col("gram"))
+    elif hash == "md5":
+        h = md5_long(F.col("gram"))
+    else:
+        raise ValueError(f"exact_substring_grams: unknown hash {hash!r}")
     return (
         docs.withColumn("t", TX.tokenize("text"))
         .filter(F.size("t") >= L)
@@ -590,6 +607,6 @@ def exact_substring_grams(docs: DataFrame, L: int = ES_L) -> DataFrame:
         .select(
             "doc_id",
             (F.col("p0") + 1).cast("long").alias("pos"),
-            md5_long(F.col("gram")).alias("h"),
+            h.alias("h"),
         )
     )

@@ -1045,7 +1045,16 @@ def _es_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         es_gram_index,
     )
 
-    grams = es_gram_index(spark, sf_dir, _ES_L)
+    return es_redundant_positions(es_gram_index(spark, sf_dir, _ES_L))
+
+
+def es_redundant_positions(grams: DataFrame) -> DataFrame:
+    """The detection body of ``_es_positions`` over an arbitrary
+    (doc_id, pos, h) gram frame — hash-agnostic (grams are compared
+    only for equality), so the md5 oracle-parity path and the
+    xxhash64 production path (``operators.dedup.exact_substring_grams
+    (hash=...)``) share it; equivalence pinned by
+    tests/test_dedup_ext.py::test_exact_substring_xxhash64_same_detection."""
     firsts = (
         grams.groupBy("h")
         .agg(

@@ -731,3 +731,55 @@ def test_es_screen_stream_matches_batch_twin(spark, tmp_path):
         0,
         1,
     }
+
+
+def test_exact_substring_xxhash64_same_detection(spark, tmp_path):
+    """The production-hash flag (VERDICT r12 next-round #6): swapping
+    md5→hex→parse for the xxhash64 JVM intrinsic changes HASH VALUES
+    but not duplicate DETECTION — the (doc_id, pos, occ) redundancy
+    sets are identical on a corpus with cross-doc, intra-doc, and
+    absent duplication (grams are compared only for equality, and
+    both hashes are collision-free at test scale)."""
+    from datapipelinedemo_spark.operators.dedup import (
+        exact_substring_grams,
+    )
+    from datapipelinedemo_spark.plans.dedup_ext import (
+        _ES_L,
+        es_redundant_positions,
+    )
+
+    L = _ES_L
+    run = " ".join(f"dup{i}" for i in range(L))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{uniq('a', 7)} {run} {uniq('b', 5)}"),
+            (1, uniq("c", 60)),
+            (2, f"{uniq('d', 3)} {run}"),
+            (3, f"{run} {uniq('e', 4)} {run}"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def detect(hash):
+        return {
+            (r.doc_id, r.pos, r.occ)
+            for r in es_redundant_positions(
+                exact_substring_grams(docs, L, hash=hash)
+            ).collect()
+        }
+
+    md5_set = detect("md5")
+    assert md5_set  # the planted duplication actually fired
+    assert detect("xxhash64") == md5_set
+    # and the hash VALUES genuinely differ (the flag is not a no-op)
+    h_md5 = {
+        r.h for r in exact_substring_grams(docs, L, hash="md5").collect()
+    }
+    h_xx = {
+        r.h
+        for r in exact_substring_grams(
+            docs, L, hash="xxhash64"
+        ).collect()
+    }
+    assert h_md5 != h_xx and len(h_md5) == len(h_xx)
