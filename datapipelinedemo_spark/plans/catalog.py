@@ -74,3 +74,4 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import dedup_ext  # noqa: F401
     from datapipelinedemo_spark.plans import selection_ops  # noqa: F401
     from datapipelinedemo_spark.plans import tokenizer_ops  # noqa: F401
+    from datapipelinedemo_spark.plans import quality_ops  # noqa: F401

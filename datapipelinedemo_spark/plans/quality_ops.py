@@ -1,0 +1,305 @@
+"""Gopher-style document quality gates (Rae et al. 2021, §A1.1):
+the rule battery a web-scale training pipeline runs BEFORE the
+expensive filters — cheap in-row signals (word count, mean word
+length, symbol ratio, alphabetic-word fraction, stopword presence)
+plus the repetition signals already certified in
+``doc_repetition_stats``, each exposed as a flag column so the keep
+decision is auditable per rule, then composed into a per-language
+corpus report.
+
+Thresholds: the rule SET is Gopher's; the numbers are calibrated to
+this synthetic corpus family so the battery is non-vacuous (word
+count 30..90 splits ~70/30, stopwords >= 2 splits ~78/22,
+max-word-frac <= 0.11 splits ~75/25, top-bigram-frac <= 0.05 splits
+~80/20). The symbol and alphabetic rules pass every synthetic doc
+(no '#'/ellipsis tokens, latin-script vocabulary in every lang
+label) — kept anyway because the battery's SHAPE is the operator:
+on real web text they are among the highest-yield rules, and the
+plan cost of a vacuous in-row flag is nil.
+
+Scale shape: the quality battery is ONE documents scan with in-row
+expressions only (no shuffle, whole-stage codegen); the repetition
+flags reuse ``doc_repetition_stats``'s explode-once + two-partial-agg
+plan; the corpus report is one doc-grain join of the two flag frames
++ a per-language partial agg. Nothing here exceeds the cost class of
+a single corpus pass at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.functions import text as TX
+from datapipelinedemo_spark.plans import llm_ops  # registers doc_repetition_stats
+from datapipelinedemo_spark.plans.catalog import ORACLES, register
+from datapipelinedemo_spark.tables import table
+
+_TOK = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+_GQ_MIN_WORDS, _GQ_MAX_WORDS = 30, 90
+_GQ_MIN_MWL, _GQ_MAX_MWL = 3.0, 10.0
+_GQ_MAX_SYMBOL_FRAC = 0.1
+_GQ_MIN_ALPHA_FRAC = 0.8
+_GQ_MIN_STOPWORDS = 2
+
+_GR_MAX_WORD_FRAC = 0.11
+_GR_MAX_BIGRAM_FRAC = 0.05
+_GR_MAX_DUPTRI_FRAC = 0.05
+
+_EN_STOP = TX.LANG_PROFILES["en"]
+_EN_STOP_SQL = ",".join(f"'{w}'" for w in _EN_STOP)
+
+_GQ_SIGNALS_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
+    q AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+                    ELSE CAST(list_reduce(list_prepend(0::BIGINT,
+                         list_transform(toks, w -> length(w))),
+                         (a, b) -> a + b) AS DOUBLE) / len(toks)
+                    END AS mwl,
+               CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+                    ELSE CAST(len(list_filter(toks,
+                         w -> regexp_matches(w, '[#…]'))) AS DOUBLE)
+                         / len(toks) END AS syf,
+               CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+                    ELSE CAST(len(list_filter(toks,
+                         w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                         / len(toks) END AS alf,
+               CAST(len(list_filter(toks,
+                    w -> w IN ({_EN_STOP_SQL}))) AS BIGINT)
+                   AS n_stopwords
+        FROM t
+    ),
+    gq AS (
+        SELECT *,
+               CAST(CASE WHEN n_words BETWEEN {_GQ_MIN_WORDS} AND
+                    {_GQ_MAX_WORDS} THEN 1 ELSE 0 END AS BIGINT)
+                   AS ok_words,
+               CAST(CASE WHEN mwl >= {_GQ_MIN_MWL} AND
+                    mwl <= {_GQ_MAX_MWL} THEN 1 ELSE 0 END AS BIGINT)
+                   AS ok_word_len,
+               CAST(CASE WHEN syf <= {_GQ_MAX_SYMBOL_FRAC}
+                    THEN 1 ELSE 0 END AS BIGINT) AS ok_symbols,
+               CAST(CASE WHEN alf >= {_GQ_MIN_ALPHA_FRAC}
+                    THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
+               CAST(CASE WHEN n_stopwords >= {_GQ_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords
+        FROM q
+    )
+"""
+
+_GQ_KEPT_SQL = (
+    "ok_words * ok_word_len * ok_symbols * ok_alpha * ok_stopwords"
+)
+
+
+def _gq_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_words, mwl, syf, alf, n_stopwords, ok_*):
+    the in-row rule battery — one scan, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokenize("text")
+    t = docs.select("doc_id", "lang", toks.alias("t"))
+    frac = lambda hits: F.when(  # noqa: E731
+        F.size("t") == 0, F.lit(0.0)
+    ).otherwise(hits.cast("double") / F.size("t"))
+    q = t.select(
+        "doc_id",
+        "lang",
+        F.size("t").cast("long").alias("n_words"),
+        F.when(F.size("t") == 0, F.lit(0.0))
+        .otherwise(TX.mean_token_length(F.col("t")))
+        .alias("mwl"),
+        frac(
+            F.size(F.filter(F.col("t"), lambda w: w.rlike("[#…]")))
+        ).alias("syf"),
+        frac(
+            F.size(F.filter(F.col("t"), lambda w: w.rlike("[a-z]")))
+        ).alias("alf"),
+        F.size(F.filter(F.col("t"), lambda w: w.isin(*_EN_STOP)))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    flag = lambda c: c.cast("int").cast("long")  # noqa: E731
+    return q.select(
+        "*",
+        flag(
+            F.col("n_words").between(_GQ_MIN_WORDS, _GQ_MAX_WORDS)
+        ).alias("ok_words"),
+        flag(
+            (F.col("mwl") >= _GQ_MIN_MWL) & (F.col("mwl") <= _GQ_MAX_MWL)
+        ).alias("ok_word_len"),
+        flag(F.col("syf") <= _GQ_MAX_SYMBOL_FRAC).alias("ok_symbols"),
+        flag(F.col("alf") >= _GQ_MIN_ALPHA_FRAC).alias("ok_alpha"),
+        flag(F.col("n_stopwords") >= _GQ_MIN_STOPWORDS).alias(
+            "ok_stopwords"
+        ),
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=_GQ_SIGNALS_SQL
+    + f"""
+    SELECT doc_id, n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(syf, 6) AS symbol_word_frac,
+           round(alf, 6) AS alpha_word_frac,
+           n_stopwords,
+           ok_words, ok_word_len, ok_symbols, ok_alpha, ok_stopwords,
+           CAST({_GQ_KEPT_SQL} AS BIGINT) AS kept
+    FROM gq
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule battery (module banner): every rule a
+    separate 0/1 column so a pipeline audit can attribute every drop to
+    the rule that fired; ``kept`` is their conjunction. Flags are
+    computed on the RAW doubles, the reported signal columns rounded
+    to 6 — so threshold comparisons never see rounding."""
+    q = _gq_signal_frame(spark, sf_dir)
+    return q.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("syf", 6).alias("symbol_word_frac"),
+        F.round("alf", 6).alias("alpha_word_frac"),
+        "n_stopwords",
+        "ok_words",
+        "ok_word_len",
+        "ok_symbols",
+        "ok_alpha",
+        "ok_stopwords",
+        (
+            F.col("ok_words")
+            * F.col("ok_word_len")
+            * F.col("ok_symbols")
+            * F.col("ok_alpha")
+            * F.col("ok_stopwords")
+        )
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+def _rep_oracle() -> str:
+    return ORACLES["doc_repetition_stats"]
+
+
+@register(
+    "gopher_repetition_flags",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(COALESCE(max_word_frac <= {_GR_MAX_WORD_FRAC}, TRUE)
+                AS BIGINT) AS ok_word_rep,
+           CAST(COALESCE(top_bigram_frac <= {_GR_MAX_BIGRAM_FRAC}, TRUE)
+                AS BIGINT) AS ok_bigram_rep,
+           CAST(COALESCE(dup_trigram_frac <= {_GR_MAX_DUPTRI_FRAC}, TRUE)
+                AS BIGINT) AS ok_trigram_rep,
+           CAST(COALESCE(max_word_frac <= {_GR_MAX_WORD_FRAC}, TRUE)
+                AND COALESCE(top_bigram_frac <= {_GR_MAX_BIGRAM_FRAC},
+                             TRUE)
+                AND COALESCE(dup_trigram_frac <= {_GR_MAX_DUPTRI_FRAC},
+                             TRUE) AS BIGINT) AS kept
+    FROM ({_rep_oracle()}) r
+    """,
+)
+def gopher_repetition_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher repetition gates over the certified
+    ``doc_repetition_stats`` signals (llm_ops.py — explode n-grams
+    once, two partial-agg shuffles). A doc too short to have the
+    n-gram (null signal) PASSES that gate — the length floor lives in
+    the quality battery, not here (same null policy as the oracle's
+    COALESCE)."""
+    rep = llm_ops.doc_repetition_stats(spark, sf_dir)
+    gate = lambda c, thr: F.coalesce(  # noqa: E731
+        (c <= thr).cast("int"), F.lit(1)
+    ).cast("long")
+    return rep.select(
+        "doc_id",
+        gate(F.col("max_word_frac"), _GR_MAX_WORD_FRAC).alias(
+            "ok_word_rep"
+        ),
+        gate(F.col("top_bigram_frac"), _GR_MAX_BIGRAM_FRAC).alias(
+            "ok_bigram_rep"
+        ),
+        gate(F.col("dup_trigram_frac"), _GR_MAX_DUPTRI_FRAC).alias(
+            "ok_trigram_rep"
+        ),
+        (
+            gate(F.col("max_word_frac"), _GR_MAX_WORD_FRAC)
+            * gate(F.col("top_bigram_frac"), _GR_MAX_BIGRAM_FRAC)
+            * gate(F.col("dup_trigram_frac"), _GR_MAX_DUPTRI_FRAC)
+        )
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+@register(
+    "gopher_kept_corpus",
+    oracle=_GQ_SIGNALS_SQL
+    + f"""
+    , rep AS (
+        SELECT doc_id,
+               COALESCE(max_word_frac <= {_GR_MAX_WORD_FRAC}, TRUE)
+               AND COALESCE(top_bigram_frac <= {_GR_MAX_BIGRAM_FRAC},
+                            TRUE)
+               AND COALESCE(dup_trigram_frac <= {_GR_MAX_DUPTRI_FRAC},
+                            TRUE) AS rep_kept
+        FROM ({_rep_oracle()}) r
+    )
+    SELECT gq.lang AS lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(CASE WHEN {_GQ_KEPT_SQL} = 1 AND rep.rep_kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(SUM(CASE WHEN {_GQ_KEPT_SQL} = 1 AND rep.rep_kept
+                    THEN gq.n_words ELSE 0 END) AS BIGINT)
+               AS kept_words,
+           round(CAST(SUM(CASE WHEN {_GQ_KEPT_SQL} = 1 AND rep.rep_kept
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS keep_rate
+    FROM gq JOIN rep ON rep.doc_id = gq.doc_id
+    GROUP BY gq.lang
+    """,
+)
+def gopher_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline report row: per-language doc/word survival under
+    the FULL Gopher battery (quality ∧ repetition) — what a filtering
+    run publishes before anyone trains on the output. One doc-grain
+    join of the two flag frames + a per-language partial agg."""
+    q = _gq_signal_frame(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        (
+            F.col("ok_words")
+            * F.col("ok_word_len")
+            * F.col("ok_symbols")
+            * F.col("ok_alpha")
+            * F.col("ok_stopwords")
+        ).alias("q_kept"),
+    )
+    rep = gopher_repetition_flags(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("rep_kept")
+    )
+    j = q.join(rep, "doc_id")
+    kept = (F.col("q_kept") * F.col("rep_kept")) == 1
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total"),
+        F.sum(F.when(kept, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_kept"),
+        F.sum(F.when(kept, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("kept_words"),
+        F.round(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+    )

@@ -1,0 +1,107 @@
+"""Gopher rule battery (plans/quality_ops.py): each rule fires on a
+planted violating document and only that rule's flag drops; the
+composed corpus report is consistent with the two flag frames."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_docs(tmp_path, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_each_quality_rule_fires_alone(spark, tmp_path):
+    from datapipelinedemo_spark.plans.quality_ops import (
+        gopher_quality_flags,
+    )
+
+    # a clean doc template: 40 varied words incl. >=2 stopwords
+    clean = "the and " + " ".join(f"word{i}" for i in range(38))
+    texts = [
+        clean,                                     # 0: passes everything
+        "the and tiny",                            # 1: too few words
+        "the and " + " ".join(["x"] * 38),         # 2: mean word len < 3
+        "the and " + " ".join(f"w#{i}" for i in range(38)),  # 3: symbols
+        " ".join(f"word{i}" for i in range(40)),   # 4: no stopwords
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {
+        r.doc_id: r for r in gopher_quality_flags(spark, sf).collect()
+    }
+    assert rows[0].kept == 1
+    assert (rows[1].ok_words, rows[1].kept) == (0, 0)
+    assert (rows[2].ok_word_len, rows[2].kept) == (0, 0)
+    assert (rows[3].ok_symbols, rows[3].kept) == (0, 0)
+    assert (rows[4].ok_stopwords, rows[4].kept) == (0, 0)
+    # each violator fails ONLY its own rule (word-count stays in range
+    # for 2..4 by construction)
+    for d in (2, 3, 4):
+        assert rows[d].ok_words == 1
+    assert rows[1].ok_word_len == 1 and rows[1].ok_stopwords == 1
+
+
+def test_repetition_rules_and_null_policy(spark, tmp_path):
+    from datapipelinedemo_spark.plans.quality_ops import (
+        gopher_repetition_flags,
+    )
+
+    texts = [
+        " ".join(f"w{i}" for i in range(50)),      # 0: no repetition
+        "spam " * 20 + " ".join(f"w{i}" for i in range(30)),  # 1: one word dominates
+        "a b " * 25,                                # 2: one bigram dominates
+        "only",                                     # 3: 1 token -> null bi/tri
+    ]
+    sf = _write_docs(tmp_path, [t.strip() for t in texts])
+    rows = {
+        r.doc_id: r
+        for r in gopher_repetition_flags(spark, sf).collect()
+    }
+    assert rows[0].kept == 1
+    assert rows[1].ok_word_rep == 0 and rows[1].kept == 0
+    assert rows[2].ok_bigram_rep == 0 and rows[2].kept == 0
+    # too short for bigrams/trigrams: those gates PASS (null policy);
+    # a 1-token doc trivially fails word-rep (frac 1.0)
+    assert rows[3].ok_bigram_rep == 1 and rows[3].ok_trigram_rep == 1
+    assert rows[3].ok_word_rep == 0
+
+
+def test_kept_corpus_consistent_with_flags(spark, sf_dir):
+    from datapipelinedemo_spark.plans.quality_ops import (
+        gopher_kept_corpus,
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
+
+    q = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("qk"), "n_words"
+    )
+    r = gopher_repetition_flags(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("rk")
+    )
+    both = q.join(r, "doc_id")
+    want_kept = both.filter(
+        (F.col("qk") == 1) & (F.col("rk") == 1)
+    ).count()
+    total = both.count()
+    rep = gopher_kept_corpus(spark, sf_dir).agg(
+        F.sum("docs_total").alias("t"), F.sum("docs_kept").alias("k")
+    ).collect()[0]
+    assert (rep.t, rep.k) == (total, want_kept)
+    # the battery is non-vacuous on the synthetic corpus: it drops a
+    # real fraction and keeps a real fraction
+    assert 0 < want_kept < total
