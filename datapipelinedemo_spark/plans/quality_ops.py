@@ -99,7 +99,14 @@ _GQ_KEPT_SQL = (
 def _gq_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, n_words, mwl, syf, alf, n_stopwords, ok_*):
     the in-row rule battery — one scan, no shuffle."""
-    docs = table(spark, sf_dir, "documents")
+    return gq_battery(table(spark, sf_dir, "documents"))
+
+
+def gq_battery(docs: DataFrame) -> DataFrame:
+    """The rule battery as a pure frame transform — in-row expressions
+    only (no shuffle, no state), so the SAME code object runs on a
+    batch scan and on a Structured Streaming source in append mode
+    (``streaming_quality_admission`` / its pytest stream drive)."""
     toks = TX.tokenize("text")
     t = docs.select("doc_id", "lang", toks.alias("t"))
     frac = lambda hits: F.when(  # noqa: E731
@@ -159,7 +166,10 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rule that fired; ``kept`` is their conjunction. Flags are
     computed on the RAW doubles, the reported signal columns rounded
     to 6 — so threshold comparisons never see rounding."""
-    q = _gq_signal_frame(spark, sf_dir)
+    return _gq_flags_select(_gq_signal_frame(spark, sf_dir))
+
+
+def _gq_flags_select(q: DataFrame) -> DataFrame:
     return q.select(
         "doc_id",
         "n_words",
@@ -302,4 +312,53 @@ def gopher_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("keep_rate"),
+    )
+
+
+@register(
+    "streaming_quality_admission",
+    oracle=_GQ_SIGNALS_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 = 0"
+    )
+    + f"""
+    SELECT doc_id, n_words, n_stopwords,
+           ok_words, ok_word_len, ok_symbols, ok_alpha, ok_stopwords,
+           CAST({_GQ_KEPT_SQL} AS BIGINT) AS kept
+    FROM gq
+    """,
+)
+def streaming_quality_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH TWIN of the admission-time quality screen: the arriving
+    batch (the ``doc_id % 10 == 0`` slice, the streaming family's
+    convention) through the Gopher rule battery. Unlike the dedup
+    screens this one is STATELESS — pure in-row expressions — so the
+    stream drive needs no foreachBatch, no stored index, no state
+    store: ``gq_battery`` runs directly on a ``readStream`` source in
+    append mode (pytest pins streamed == twin over 2 real
+    micro-batches). The cheapest class of streaming operator, and the
+    gate a production ingest runs FIRST, before any hash or index is
+    consulted."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return gq_battery(docs).select(
+        "doc_id",
+        "n_words",
+        "n_stopwords",
+        "ok_words",
+        "ok_word_len",
+        "ok_symbols",
+        "ok_alpha",
+        "ok_stopwords",
+        (
+            F.col("ok_words")
+            * F.col("ok_word_len")
+            * F.col("ok_symbols")
+            * F.col("ok_alpha")
+            * F.col("ok_stopwords")
+        )
+        .cast("long")
+        .alias("kept"),
     )

@@ -105,3 +105,79 @@ def test_kept_corpus_consistent_with_flags(spark, sf_dir):
     # the battery is non-vacuous on the synthetic corpus: it drops a
     # real fraction and keeps a real fraction
     assert 0 < want_kept < total
+
+
+def test_quality_admission_streams_natively(spark, sf_dir, tmp_path):
+    """The battery is stateless in-row, so it rides Structured
+    Streaming DIRECTLY (append mode, no foreachBatch, no state): the
+    same gq_battery transform over a real 2-micro-batch stream of the
+    admission slice equals the certified batch twin."""
+    import uuid
+
+    from datapipelinedemo_spark.plans.quality_ops import (
+        gq_battery,
+        streaming_quality_admission,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    want = {
+        tuple(r) for r in streaming_quality_admission(
+            spark, sf_dir
+        ).collect()
+    }
+    assert want
+
+    src = str(tmp_path / "docs_stream")
+    (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text", "lang", "source")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    docs = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flags = gq_battery(docs).select(
+        "doc_id",
+        "n_words",
+        "n_stopwords",
+        "ok_words",
+        "ok_word_len",
+        "ok_symbols",
+        "ok_alpha",
+        "ok_stopwords",
+        (
+            F.col("ok_words")
+            * F.col("ok_word_len")
+            * F.col("ok_symbols")
+            * F.col("ok_alpha")
+            * F.col("ok_stopwords")
+        )
+        .cast("long")
+        .alias("kept"),
+    )
+    qname = f"gqadm_{uuid.uuid4().hex}"
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.table(qname).collect()}
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(qname)
+    assert n_batches == 2
+    assert got == want
