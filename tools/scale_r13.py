@@ -40,6 +40,12 @@ K = 100.0
 QUERIES = [
     "exact_substring_duplicate_spans",
     "exact_substring_dedup",
+    # new r13 family: the Gopher battery (in-row scan; expected ~flat
+    # at toy scale, linear in bytes at 100 TB) and its composed report
+    "gopher_quality_flags",
+    "gopher_repetition_flags",
+    "gopher_kept_corpus",
+    "streaming_quality_admission",
 ]
 
 
