@@ -75,3 +75,4 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import selection_ops  # noqa: F401
     from datapipelinedemo_spark.plans import tokenizer_ops  # noqa: F401
     from datapipelinedemo_spark.plans import quality_ops  # noqa: F401
+    from datapipelinedemo_spark.plans import matryoshka_ops  # noqa: F401

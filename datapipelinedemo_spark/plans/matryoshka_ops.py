@@ -1,0 +1,167 @@
+"""Matryoshka (nested-prefix) embedding serving (Kusupati et al.
+2022): score with only the FIRST d' dimensions of each vector — the
+serving knob that trades recall for a d'/d cut in dot-product work,
+scan bytes, and (downstream) index size, with no re-embedding and no
+re-indexing. The knob production vector stores expose when the
+embedding model was MRL-trained.
+
+Two entries, the IVF-PQ serve/recall-table pattern:
+
+- ``similarity_topk_matryoshka`` — the d'=16 serving path: exact
+  top-10 per query over prefix-16 cosine (same broadcast-queries /
+  corpus-never-shuffles plan as the full brute force — only the fold
+  length changes, so per-pair cost drops 4×).
+- ``matryoshka_recall_by_dim`` — recall@10 of the d' ∈ {4, 16, 64}
+  prefixes against the FULL-d exact top-10 (the certified
+  ``similarity_topk_bruteforce`` frame), one row per d'. The d'=64
+  row is the 1.0 sanity anchor. On this corpus the synthetic
+  embeddings carry no MRL structure, so measured recall is the
+  honest no-training baseline (the same honesty note as the OPQ
+  rotation's near-null) — the MEASUREMENT is the operator.
+
+Like the other recall tables, this is a measurement query (fixed
+query sample × corpus per dim) and is excluded from the exponent
+tables by the standing ``pq_recall_at_10`` rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.operators import similarity as SIM
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+from datapipelinedemo_spark.tables import table
+
+_MAT_DIMS = (4, 16, 64)
+_MAT_SERVE_DIM = 16
+_MAT_K = 10
+
+
+def _sliced(emb: DataFrame, dp: int) -> DataFrame:
+    return emb.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {dp})").alias("embedding")
+    )
+
+
+def _mat_topk(
+    spark: SparkSession, sf_dir: str, dp: int
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rank): exact top-k under the
+    d'-prefix cosine. The corpus side never shuffles (queries
+    broadcast); truncation is an in-row ``slice`` before the fold."""
+    emb = _sliced(table(spark, sf_dir, "embeddings"), dp)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    return SIM.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=_MAT_K
+    )
+
+
+def _mat_scored_sql(dp: int) -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE,"
+        " [CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)"
+        f"  for i in generate_series(1, {dp})]), (x, y) -> x + y)"
+    )
+    nrm = (
+        lambda s: "sqrt(list_reduce(list_prepend(0.0::DOUBLE,"
+        f" [CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS"
+        f" DOUBLE) for i in generate_series(1, {dp})]), (x, y) -> x + y))"
+    )
+    return f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {dot} / ({nrm('q')} * {nrm('c')}) AS cs
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+    """
+
+
+def _mat_topk_sql(dp: int) -> str:
+    return f"""
+        SELECT query_id, neighbor_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id) AS rnk
+        FROM ({_mat_scored_sql(dp)}) s{dp}
+    """
+
+
+@register(
+    "similarity_topk_matryoshka",
+    oracle=f"""
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ({_mat_topk_sql(_MAT_SERVE_DIM)}) t
+    WHERE rnk <= {_MAT_K}
+    """,
+)
+def similarity_topk_matryoshka(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The d'=16 prefix serving path (module banner): same plan as the
+    full brute force, quarter-length folds."""
+    return _mat_topk(spark, sf_dir, _MAT_SERVE_DIM).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _mat_recall_union_sql() -> str:
+    parts = []
+    for dp in _MAT_DIMS:
+        parts.append(f"""
+        SELECT CAST({dp} AS BIGINT) AS dim,
+               CAST(COUNT(DISTINCT a.query_id) AS BIGINT) AS n_queries,
+               round(CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS recall_at_10
+        FROM ({_mat_topk_sql(dp)}) a
+        LEFT JOIN ({_mat_topk_sql(64)}) g
+          ON g.query_id = a.query_id
+         AND g.neighbor_id = a.neighbor_id AND g.rnk <= {_MAT_K}
+        WHERE a.rnk <= {_MAT_K}""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "matryoshka_recall_by_dim",
+    oracle=_mat_recall_union_sql(),
+)
+def matryoshka_recall_by_dim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@10 of each prefix length against the full-d exact top-10
+    (module banner). One row per d'; d'=64 anchors at 1.0."""
+    gt = _mat_topk(spark, sf_dir, 64).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    for dp in _MAT_DIMS:
+        a = _mat_topk(spark, sf_dir, dp).select(
+            "query_id", "neighbor_id"
+        )
+        r = (
+            a.join(
+                gt.withColumn("hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .agg(
+                F.lit(dp).cast("long").alias("dim"),
+                F.countDistinct("query_id")
+                .cast("long")
+                .alias("n_queries"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall_at_10"),
+            )
+            .select("dim", "n_queries", "recall_at_10")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
