@@ -561,3 +561,182 @@ def linear_classifier_holdout_eval(
             "n_train", "n_eval", "n_correct", "accuracy", "head_rate"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Serving-side compositions: the per-language quantile gate (CCNet /
+# FineWeb-style per-lang calibration — a single global cut would
+# starve low-resource languages) and the admission-time in-row scorer
+# (map-only, streams natively).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "classifier_score_quantile_gate",
+    oracle=_qc_sql_chain()
+    + f"""
+    , zf AS (
+        SELECT f.doc_id, CAST(SUM(w.w6 * f.c) AS BIGINT) AS znum
+        FROM feat f JOIN w{_QC_ITERS} w ON w.b = f.b
+        GROUP BY 1
+    ),
+    sc AS (
+        SELECT d.doc_id, d.lang,
+               CAST(FLOOR(1e6 / (1.0 + exp(
+                   -(CAST(COALESCE(z.znum, 0) AS DOUBLE) / 1e6)))
+                   + 0.5) AS BIGINT) AS p6
+        FROM documents d LEFT JOIN zf z ON z.doc_id = d.doc_id
+    ),
+    hist AS (
+        SELECT lang, p6, COUNT(*) AS c FROM sc GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT lang, p6,
+               SUM(c) OVER (PARTITION BY lang ORDER BY p6
+                            ROWS UNBOUNDED PRECEDING) AS cf,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist
+    ),
+    thr AS (
+        SELECT lang, MIN(p6) AS lang_threshold
+        FROM cum WHERE cf * 2 >= n GROUP BY lang
+    )
+    SELECT sc.doc_id AS doc_id, sc.lang AS lang, sc.p6 AS p6,
+           thr.lang_threshold AS lang_threshold,
+           CAST(CASE WHEN sc.p6 >= thr.lang_threshold
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM sc JOIN thr ON thr.lang = sc.lang
+    """,
+)
+def classifier_score_quantile_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-LANGUAGE median gate on the distilled quality score: keep a
+    doc iff its p6 clears its own language's discrete lower median —
+    the CCNet/FineWeb calibration pattern (a single global threshold
+    filters low-resource languages to extinction because the scorer's
+    score scale differs per language).
+
+    The threshold is computed on the (lang, p6) HISTOGRAM, not the
+    doc-grain rows: per-lang partitions in the cumulative window hold
+    at most 1e6+1 rows (the p6 grid) at ANY corpus size — the
+    bounded-grain window class the plan gate allows, same as the gini
+    histogram migration. Doc-grain work is one partial-agg histogram
+    + one broadcast-sized (|langs|-row) threshold join."""
+    sc = linear_classifier_scores(spark, sf_dir).select("doc_id", "p6")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = d.join(sc, "doc_id")
+    hist = scored.groupBy("lang", "p6").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang").orderBy("p6")
+    cum = hist.select(
+        "lang",
+        "p6",
+        F.sum("c")
+        .over(wl.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cf"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    thr = (
+        cum.filter(F.col("cf") * 2 >= F.col("n"))
+        .groupBy("lang")
+        .agg(F.min("p6").alias("lang_threshold"))
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "p6",
+        "lang_threshold",
+        (F.col("p6") >= F.col("lang_threshold"))
+        .cast("int")
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+def score_docs_inrow(docs: DataFrame, w6: list[int]) -> DataFrame:
+    """The ADMISSION-TIME scorer as a pure frame transform: per doc,
+    znum = w6[bias] + Σ_tokens w6[bucket(token)] — algebraically equal
+    to the feature-frame form's Σ_b w6_b·c_b (exact integers), but ONE
+    in-row fold with the 65 weights inlined as a literal array: no
+    explode, no groupBy, no join, no state. That makes it both the
+    cheapest corpus-pass scorer at 100 TB and directly runnable on a
+    Structured Streaming source in append mode
+    (``streaming_classifier_admission``)."""
+    warr = "array(" + ",".join(f"{v}L" for v in w6) + ")"
+    bucket = (
+        "cast(conv(substring(md5(concat(x, '#qc')), 1, 15), 16, 10)"
+        f" as bigint) % {_QC_B}"
+    )
+    znum = (
+        f"aggregate(t, element_at({warr}, {_QC_B + 1}),"
+        f" (acc, x) -> acc + element_at({warr},"
+        f" cast(({bucket}) as int) + 1))"
+    )
+    return docs.select(
+        "doc_id", tokenize("text").alias("t")
+    ).select(
+        "doc_id",
+        F.expr(znum).alias("znum"),
+    ).select(
+        "doc_id",
+        F.expr(_P6_EXPR).alias("p6"),
+        F.when(F.expr(_P6_EXPR) >= 500_000, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("predicted_head"),
+    )
+
+
+@register(
+    "streaming_classifier_admission",
+    oracle=_qc_sql_chain()
+    + f"""
+    , batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    bf AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(term || '#qc'), 1, 15)
+                    AS BIGINT) % {_QC_B} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM batch) t
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, CAST({_QC_B} AS BIGINT), CAST(1 AS BIGINT)
+        FROM batch
+    ),
+    zf AS (
+        SELECT f.doc_id, CAST(SUM(w.w6 * f.c) AS BIGINT) AS znum
+        FROM bf f JOIN w{_QC_ITERS} w ON w.b = f.b
+        GROUP BY 1
+    )
+    SELECT b.doc_id AS doc_id,
+           CAST(FLOOR(1e6 / (1.0 + exp(
+               -(CAST(COALESCE(z.znum, 0) AS DOUBLE) / 1e6)))
+               + 0.5) AS BIGINT) AS p6,
+           CAST(CASE WHEN FLOOR(1e6 / (1.0 + exp(
+               -(CAST(COALESCE(z.znum, 0) AS DOUBLE) / 1e6)))
+               + 0.5) >= 500000 THEN 1 ELSE 0 END AS BIGINT)
+               AS predicted_head
+    FROM batch b LEFT JOIN zf z ON z.doc_id = b.doc_id
+    """,
+)
+def streaming_classifier_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH TWIN of the admission-time quality scorer: the arriving
+    batch (``doc_id % 10 == 0``) scored by ``score_docs_inrow`` with
+    the write-once trained weights — the quality analogue of the
+    dedup/exact-substring admission screens, but STATELESS map-only
+    (weights are 65 literals in the plan), so the pytest stream drive
+    runs the same transform directly on a readStream source in append
+    mode. The oracle scores the same slice through the feature-frame
+    algebra (Σ_b w6_b·c_b), pinning the in-row fold's equality to the
+    certified form."""
+    w6 = [v for _, v in trained_qc_weights(spark, sf_dir)]
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return score_docs_inrow(docs, w6)

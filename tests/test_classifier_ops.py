@@ -154,3 +154,101 @@ def test_classifier_weights_served_from_write_once_artifact(
     assert co.trained_qc_weights(spark, sf_dir) == w1
     # a stale/foreign artifact never serves: the read is manifest-pinned
     # (operators/write_once.py), covered by test_write_once_integrity
+
+
+def test_quantile_gate_per_language_median_semantics(spark, sf_dir):
+    """The per-lang discrete lower median keeps AT LEAST half of every
+    language (>= by definition of the lower median) and drops a real
+    fraction somewhere — a single global cut would not guarantee the
+    per-language floor."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        classifier_score_quantile_gate,
+    )
+
+    g = classifier_score_quantile_gate(spark, sf_dir)
+    per_lang = g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("kept").alias("k")
+    ).collect()
+    assert per_lang
+    for r in per_lang:
+        assert r.k * 2 >= r.n, (r.lang, r.k, r.n)
+    total = sum(r.n for r in per_lang)
+    kept = sum(r.k for r in per_lang)
+    assert kept < total  # the gate actually drops the sub-median tail
+    # threshold is the lang's own: every kept doc clears it, every
+    # dropped doc is under it
+    bad = g.filter(
+        ((F.col("kept") == 1) & (F.col("p6") < F.col("lang_threshold")))
+        | ((F.col("kept") == 0) & (F.col("p6") >= F.col("lang_threshold")))
+    ).count()
+    assert bad == 0
+
+
+def test_classifier_admission_streams_natively(spark, sf_dir, tmp_path):
+    """score_docs_inrow is map-only (weights are plan literals), so it
+    rides a readStream source directly in append mode — streamed
+    output over 2 real micro-batches equals the certified batch twin,
+    and the in-row fold agrees with the feature-frame scorer."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        linear_classifier_scores,
+        score_docs_inrow,
+        streaming_classifier_admission,
+        trained_qc_weights,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    twin = streaming_classifier_admission(spark, sf_dir)
+    want = {tuple(r) for r in twin.collect()}
+    assert want
+
+    # the in-row fold == the certified feature-frame scorer on the slice
+    ff = {
+        (r.doc_id, r.p6, r.predicted_head)
+        for r in linear_classifier_scores(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "p6", "predicted_head")
+        .collect()
+    }
+    assert want == ff
+
+    src = str(tmp_path / "docs_stream")
+    (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    docs = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    w6 = [v for _, v in trained_qc_weights(spark, sf_dir)]
+    qname = f"qcadm_{uuid.uuid4().hex}"
+    q = (
+        score_docs_inrow(docs, w6)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.table(qname).collect()}
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(qname)
+    assert n_batches == 2
+    assert got == want
