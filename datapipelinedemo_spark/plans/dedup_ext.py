@@ -1413,3 +1413,56 @@ def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(alloc), "source")
         .join(F.broadcast(mix), "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/test split: near-duplicates NEVER straddle the
+# split. The naive doc-hash split (train_val_test_split) leaks: a
+# near-dup pair lands on opposite sides with prob ~2·p·(1-p), so every
+# eval doc with a training-side twin inflates the eval score — the
+# contamination channel Lee et al. 2022 measure. Assign the split to
+# the CLUSTER (hash its canonical min-id), let every member inherit.
+# --------------------------------------------------------------------------
+_LSPLIT_TEST_BUCKETS = 1000  # of 10000: a 10% test side
+
+
+def _lsplit_oracle() -> str:
+    from datapipelinedemo_spark.plans.llm_ops import _CC_ORACLE
+
+    return f"""
+    WITH cc AS ({_CC_ORACLE})
+    SELECT doc_id, comp,
+           CASE WHEN CAST('0x' || substring(md5(
+                    CAST(comp AS VARCHAR) || '#lsplit'), 1, 15)
+                    AS BIGINT) % 10000 < {_LSPLIT_TEST_BUCKETS}
+                THEN 'test' ELSE 'train' END AS split
+    FROM cc
+    """
+
+
+@register("leakage_safe_split", oracle=_lsplit_oracle())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, comp, split): 90/10 train/test assignment keyed on the
+    near-dup CLUSTER id (banner above) — deterministic, stable under
+    corpus growth (a cluster's split never changes when new members
+    arrive; new docs joining an existing cluster inherit its side),
+    and leakage-free by construction: every verified Jaccard>=0.5
+    pair shares a comp, hence a side (pytest-pinned, with the naive
+    doc-hash split shown to straddle on the same corpus).
+
+    Scale shape: the cluster frame is the memoized certified CC
+    resolution; the split is one in-row hash on top — no new shuffle."""
+    from datapipelinedemo_spark.operators.sampling import _bucket
+    from datapipelinedemo_spark.plans.llm_ops import neardup_clusters
+
+    cc = neardup_clusters(spark, sf_dir)
+    return cc.select(
+        "doc_id",
+        "comp",
+        F.when(
+            _bucket(F.col("comp"), "lsplit") < _LSPLIT_TEST_BUCKETS,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )

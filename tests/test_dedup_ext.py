@@ -783,3 +783,67 @@ def test_exact_substring_xxhash64_same_detection(spark, tmp_path):
         ).collect()
     }
     assert h_md5 != h_xx and len(h_md5) == len(h_xx)
+
+
+def test_leakage_safe_split_keeps_neardup_pairs_together(
+    spark, tmp_path
+):
+    """40 planted near-dup pairs: the cluster-keyed split puts every
+    pair on ONE side and still populates both sides across clusters;
+    the naive doc-hash split (train_val_test_split's rule) straddles
+    at least one pair on the same corpus — the leakage channel this
+    entry closes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.operators.sampling import DENOM, _bucket
+    from datapipelinedemo_spark.plans.dedup_ext import (
+        leakage_safe_split,
+    )
+
+    n_pairs = 40
+    texts, ids = [], []
+    for i in range(n_pairs):
+        body = " ".join(f"pair{i}tok{j}" for j in range(40))
+        for m in (0, 1):
+            ids.append(2 * i + m)
+            texts.append(body)  # identical twins: jaccard 1.0
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    rows = leakage_safe_split(spark, sf).collect()
+    assert len(rows) == 2 * n_pairs
+    side = {r.doc_id: r.split for r in rows}
+    comp = {r.doc_id: r.comp for r in rows}
+    for i in range(n_pairs):
+        a, b = 2 * i, 2 * i + 1
+        assert comp[a] == comp[b] == a  # the pair clustered, min-id comp
+        assert side[a] == side[b]      # never straddles
+    assert set(side.values()) == {"train", "test"}  # both sides used
+
+    # the naive doc-hash rule DOES straddle planted pairs here
+    naive = {
+        r.doc_id: r.b
+        for r in spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        )
+        .select("doc_id", _bucket(F.col("doc_id"), "split0").alias("b"))
+        .collect()
+    }
+    cut = int(0.90 * DENOM)
+    straddled = sum(
+        1
+        for i in range(n_pairs)
+        if (naive[2 * i] < cut) != (naive[2 * i + 1] < cut)
+    )
+    assert straddled > 0
