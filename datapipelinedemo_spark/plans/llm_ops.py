@@ -832,6 +832,68 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Near-dup source-contamination matrix: WHICH sources duplicate into
+# which (mirror dumps, syndication feeds, scraped re-posts) — the
+# diagnostic a pipeline owner reads before deciding per-source dedup
+# policy. Pure composition over the memoized candidate/shingle frames;
+# pair direction canonicalized (least, greatest) so the matrix has one
+# row per unordered source pair.
+# --------------------------------------------------------------------------
+@register(
+    "neardup_source_matrix",
+    oracle=_LSH_CTE
+    + """
+    , vp AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+              / (len(sa.hs) + len(sb.hs)
+                 - len(list_intersect(sa.hs, sb.hs))) >= 0.5
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM vp
+    JOIN documents da ON da.doc_id = vp.doc_a
+    JOIN documents db ON db.doc_id = vp.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pair counts per unordered source pair
+    (banner above). The diagonal is intra-source duplication; heavy
+    off-diagonal cells are cross-source mirrors. Verified pairs come
+    from the same memoized candidate/shingle frames every near-dup
+    consumer shares; the source lookup is two joins against the
+    (narrow) documents projection and one partial agg on a
+    |sources|²-bounded key space."""
+    pairs = ngram_jaccard_neardups(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            d.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
 # Asymmetric containment: the subset/quote-duplication detector.
 # --------------------------------------------------------------------------
 @register(

@@ -847,3 +847,42 @@ def test_leakage_safe_split_keeps_neardup_pairs_together(
         if (naive[2 * i] < cut) != (naive[2 * i + 1] < cut)
     )
     assert straddled > 0
+
+
+def test_neardup_source_matrix_planted(spark, tmp_path):
+    """Planted mirrors: intra-source twins land on the diagonal,
+    cross-source mirrors off-diagonal with canonical (least, greatest)
+    ordering; totals match the verified-pair count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datapipelinedemo_spark.plans.llm_ops import (
+        neardup_source_matrix,
+        ngram_jaccard_neardups,
+    )
+
+    mk = lambda i: " ".join(f"m{i}w{j}" for j in range(40))
+    rows = [
+        (0, mk(0), "srcA"), (1, mk(0), "srcA"),   # intra-A twin
+        (2, mk(1), "srcB"), (3, mk(1), "srcA"),   # cross A<->B mirror
+        (4, mk(2), "srcC"),                        # unique
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in neardup_source_matrix(spark, sf).collect()
+    }
+    assert got == {("srcA", "srcA"): 1, ("srcA", "srcB"): 1}
+    assert sum(got.values()) == ngram_jaccard_neardups(spark, sf).count()
