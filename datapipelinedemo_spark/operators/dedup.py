@@ -36,18 +36,23 @@ def _mh_params(num_hashes: int) -> tuple[list[int], list[int]]:
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per distinct content. A single
-    hash-shuffle on the content fingerprint; at scale, group on a hash
-    of the content rather than the content itself so wide documents
-    don't travel through the shuffle twice."""
+    """Keep exactly one row (min id) per distinct content. Grouping is
+    on a hash of the content rather than the content itself so wide
+    documents don't travel through the shuffle twice.
+
+    NOT a per-fingerprint window (the r13 exact-substring de-skew
+    lesson applied at the source): a hot fingerprint — one boilerplate
+    page exact-duplicated 10⁶-10⁸ times in a crawl — would sort in a
+    single unsplittable task under ``row_number().over(partitionBy(
+    __fp))``. The min-id is a partial-aggregable ``groupBy`` (the hot
+    key collapses map-side) and the join-back's skewed partition is
+    AQE-splittable."""
     fp = F.md5(F.concat_ws("\x1f", *content_cols)).alias("__fp")
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-    return (
-        df.select("*", fp)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+    with_fp = df.select("*", fp)
+    keep = with_fp.groupBy("__fp").agg(
+        F.min(F.col(id_col)).alias(id_col)
     )
+    return with_fp.join(keep, ["__fp", id_col]).drop("__fp")
 
 
 def shingle_hashes(text_col: str, k: int = 9, hash: str = "md5") -> Column:
