@@ -657,6 +657,183 @@ def classifier_score_quantile_gate(
     )
 
 
+@register(
+    "classifier_calibration_bins",
+    oracle=_qc_sql_chain()
+    + f"""
+    , zf AS (
+        SELECT f.doc_id, CAST(SUM(w.w6 * f.c) AS BIGINT) AS znum
+        FROM feat f JOIN w{_QC_ITERS} w ON w.b = f.b
+        GROUP BY 1
+    ),
+    sc AS (
+        SELECT CAST(l.y6 / 1000000 AS BIGINT) AS y,
+               CAST(FLOOR(1e6 / (1.0 + exp(
+                   -(CAST(COALESCE(z.znum, 0) AS DOUBLE) / 1e6)))
+                   + 0.5) AS BIGINT) AS p6
+        FROM lab l LEFT JOIN zf z ON z.doc_id = l.doc_id
+    )
+    SELECT LEAST(p6 // 100000, 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(p6) AS DOUBLE) / (1e6 * COUNT(*)), 6)
+               AS mean_p,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS head_rate,
+           round(CAST(SUM(p6) AS DOUBLE) / (1e6 * COUNT(*))
+                 - CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS gap
+    FROM sc
+    GROUP BY 1
+    """,
+)
+def classifier_calibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RELIABILITY table for the distilled filter: decile-bin the
+    predicted probability and compare each bin's mean prediction to
+    its empirical CCNet-head rate — the calibration check a serving
+    gate needs before its threshold means anything (an over-confident
+    scorer gated at 0.5 silently shifts the keep rate).
+
+    Scale shape: one partial-agg groupBy on a 10-value key over the
+    certified score frame; every derived stat is computed from exact
+    BIGINT sums with ONE mirrored double expression per column, so the
+    table hashes identically cross-engine at any corpus size."""
+    sc = linear_classifier_scores(spark, sf_dir)
+    n = F.count(F.lit(1))
+    return (
+        sc.select(
+            F.least(F.expr("p6 div 100000"), F.lit(9))
+            .cast("long")
+            .alias("bin"),
+            "p6",
+            "label_head",
+        )
+        .groupBy("bin")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.round(F.sum("p6").cast("double") / (n * 1e6), 6).alias(
+                "mean_p"
+            ),
+            F.round(
+                F.sum("label_head").cast("double") / n, 6
+            ).alias("head_rate"),
+            F.round(
+                F.sum("p6").cast("double") / (n * 1e6)
+                - F.sum("label_head").cast("double") / n,
+                6,
+            ).alias("gap"),
+        )
+    )
+
+
+@register(
+    "classifier_threshold_sweep",
+    oracle=_qc_sql_chain()
+    + f"""
+    , zf AS (
+        SELECT f.doc_id, CAST(SUM(w.w6 * f.c) AS BIGINT) AS znum
+        FROM feat f JOIN w{_QC_ITERS} w ON w.b = f.b
+        GROUP BY 1
+    ),
+    sc AS (
+        SELECT CAST(l.y6 / 1000000 AS BIGINT) AS y,
+               CAST(FLOOR(1e6 / (1.0 + exp(
+                   -(CAST(COALESCE(z.znum, 0) AS DOUBLE) / 1e6)))
+                   + 0.5) AS BIGINT) AS p6
+        FROM lab l LEFT JOIN zf z ON z.doc_id = l.doc_id
+    ),
+    hist AS (SELECT p6, y, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+    thr AS (SELECT CAST(k * 100000 AS BIGINT) AS t6
+            FROM (SELECT unnest(generate_series(1, 9)) AS k)),
+    agg AS (
+        SELECT t.t6,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(SUM(CASE WHEN p6 >= t.t6 THEN c ELSE 0 END)
+                   AS BIGINT) AS n_pred_pos,
+               CAST(SUM(CASE WHEN p6 >= t.t6 AND y = 1 THEN c
+                        ELSE 0 END) AS BIGINT) AS tp
+        FROM hist h CROSS JOIN thr t
+        GROUP BY 1
+    )
+    SELECT t6, n_docs, n_pos, n_pred_pos, tp,
+           CASE WHEN n_pred_pos > 0 THEN
+               round(CAST(tp AS DOUBLE) / n_pred_pos, 6) END AS prec,
+           CASE WHEN n_pos > 0 THEN
+               round(CAST(tp AS DOUBLE) / n_pos, 6) END AS rec,
+           CASE WHEN n_pred_pos + n_pos > 0 THEN
+               round(CAST(2 * tp AS DOUBLE) / (n_pred_pos + n_pos), 6)
+               END AS f1
+    FROM agg
+    """,
+)
+def classifier_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRECISION/RECALL/F1 at every decile threshold — the table the
+    production gate's cut is actually read off (the 0.5 default in
+    ``linear_classifier_scores`` is a convention; a keep-rate target
+    picks a row here instead).
+
+    Scale shape: the corpus collapses to a (p6, label) HISTOGRAM
+    first (partial-agg, ≤2e6+2 rows at ANY corpus size), and the
+    9-row threshold frame cross-joins the histogram — never the
+    doc-grain rows. Confusion counts are exact BIGINTs; the three
+    ratios are guarded mirrored doubles."""
+    sc = linear_classifier_scores(spark, sf_dir)
+    hist = sc.groupBy("p6", "label_head").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    thr = spark.range(1, 10).select(
+        (F.col("id") * 100000).cast("long").alias("t6")
+    )
+    pred = F.col("p6") >= F.col("t6")
+    agg = (
+        hist.crossJoin(F.broadcast(thr))
+        .groupBy("t6")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("label_head") == 1, F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(pred, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_pred_pos"),
+            F.sum(
+                F.when(pred & (F.col("label_head") == 1), F.col("c"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+        )
+    )
+    return agg.select(
+        "t6",
+        "n_docs",
+        "n_pos",
+        "n_pred_pos",
+        "tp",
+        F.when(
+            F.col("n_pred_pos") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_pred_pos"), 6),
+        ).alias("prec"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_pos"), 6),
+        ).alias("rec"),
+        F.when(
+            F.col("n_pred_pos") + F.col("n_pos") > 0,
+            F.round(
+                (2 * F.col("tp")).cast("double")
+                / (F.col("n_pred_pos") + F.col("n_pos")),
+                6,
+            ),
+        ).alias("f1"),
+    )
+
+
 def score_docs_inrow(docs: DataFrame, w6: list[int]) -> DataFrame:
     """The ADMISSION-TIME scorer as a pure frame transform: per doc,
     znum = w6[bias] + Σ_tokens w6[bucket(token)] — algebraically equal

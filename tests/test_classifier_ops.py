@@ -252,3 +252,59 @@ def test_classifier_admission_streams_natively(spark, sf_dir, tmp_path):
         spark.catalog.dropTempView(qname)
     assert n_batches == 2
     assert got == want
+
+
+def test_calibration_bins_partition_the_score_frame(spark, sf_dir):
+    """Bins tile [0, 1e6] exactly: doc counts re-add to the corpus,
+    per-bin mean prediction lies inside the bin's probability range,
+    and gap is the arithmetic difference of the two exact-sum means."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        classifier_calibration_bins,
+        linear_classifier_scores,
+    )
+
+    bins = classifier_calibration_bins(spark, sf_dir).collect()
+    n_total = linear_classifier_scores(spark, sf_dir).count()
+    assert sum(r.n_docs for r in bins) == n_total
+    for r in bins:
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0
+        assert lo <= r.mean_p <= hi + 1e-6, (r.bin, r.mean_p)
+        assert 0.0 <= r.head_rate <= 1.0
+        assert abs(r.gap - round(r.mean_p - r.head_rate, 6)) <= 2e-6
+
+
+def test_threshold_sweep_is_monotone_and_anchored(spark, sf_dir):
+    """As the threshold rises, predicted positives (and tp) shrink
+    monotonically; recall falls; the 0.5 row reproduces the certified
+    scores frame's own 0.5-cut confusion counts exactly."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        classifier_threshold_sweep,
+        linear_classifier_scores,
+    )
+
+    rows = sorted(
+        classifier_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.t6,
+    )
+    assert [r.t6 for r in rows] == [k * 100000 for k in range(1, 10)]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pred_pos <= a.n_pred_pos
+        assert b.tp <= a.tp
+        assert (b.rec or 0.0) <= (a.rec or 0.0) + 1e-9
+        assert a.n_docs == b.n_docs and a.n_pos == b.n_pos
+    mid = next(r for r in rows if r.t6 == 500000)
+    sc = linear_classifier_scores(spark, sf_dir)
+    anchor = sc.agg(
+        F.sum("predicted_head").alias("pp"),
+        F.sum(
+            F.when(
+                (F.col("predicted_head") == 1) & (F.col("label_head") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+    ).collect()[0]
+    assert mid.n_pred_pos == anchor.pp and mid.tp == anchor.tp
