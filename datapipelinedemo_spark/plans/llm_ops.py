@@ -621,6 +621,126 @@ def incremental_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH band planner: the tuning table behind the deployed 4×8 choice.
+# Re-band the SAME stored 32-hash signatures under every (b, r) split
+# of the hash budget and measure the real candidate workload each
+# config buys, next to the theoretical S-curve capture probability —
+# the workload is COUNTED inside buckets (Σ C(n,2), partial-agg), so
+# the expensive configs are costed without ever materializing their
+# pair sets (the whole point of a planner at 100 TB: estimate the
+# b=32,r=1 flood, don't run it).
+# --------------------------------------------------------------------------
+
+# split-invariant capture probabilities p = 1-(1-j^r)^b, computed ONCE
+# in Python and embedded as identical literals in both engines (pure
+# config constants — same status as the _A/_B hash parameters; this
+# also sidesteps any JVM-vs-libm pow() last-ulp disagreement)
+_LSH_CFGS = [(b, 32 // b) for b in (1, 2, 4, 8, 16, 32)]
+_LSH_PGRID = {
+    b: tuple(
+        round(1.0 - (1.0 - j ** r) ** b, 6)
+        for j in (0.5, 0.7, 0.8, 0.9)
+    )
+    for b, r in _LSH_CFGS
+}
+
+_LSH_CFG_VALUES = ",".join(
+    f"({b}, {r}, {p[0]!r}::DOUBLE, {p[1]!r}::DOUBLE,"
+    f" {p[2]!r}::DOUBLE, {p[3]!r}::DOUBLE)"
+    for (b, r), p in zip(_LSH_CFGS, _LSH_PGRID.values())
+)
+
+
+@register(
+    "lsh_band_planner",
+    oracle=_LSH_CTE
+    + f"""
+    , cfg AS (SELECT * FROM (VALUES {_LSH_CFG_VALUES})
+              AS t(b, r, p_j50, p_j70, p_j80, p_j90)),
+    keys AS (
+        SELECT c.b, m.doc_id, m.i // c.r AS band,
+               string_agg(CAST(m.m AS VARCHAR), '_' ORDER BY m.i) AS key
+        FROM mins m CROSS JOIN cfg c
+        GROUP BY 1, 2, 3
+    ),
+    bk AS (SELECT b, band, key, COUNT(*) AS n FROM keys GROUP BY 1, 2, 3),
+    ag AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MAX(n) AS BIGINT) AS max_bucket,
+               CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+        FROM bk GROUP BY 1
+    )
+    SELECT CAST(c.b AS BIGINT) AS b, CAST(c.r AS BIGINT) AS r,
+           ag.n_buckets, ag.max_bucket, ag.cand_pairs,
+           c.p_j50, c.p_j70, c.p_j80, c.p_j90,
+           CAST(CASE WHEN c.b = 4 THEN 1 ELSE 0 END AS BIGINT)
+               AS deployed
+    FROM cfg c JOIN ag ON ag.b = c.b
+    """,
+)
+def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-workload vs capture-probability table for every
+    banding of the 32-hash MinHash budget: measured bucket counts,
+    hottest bucket, and Σ C(n,2) candidate pairs per config (computed
+    by COUNTING inside buckets — no pair materialization), joined to
+    the embedded S-curve probabilities at Jaccard 0.5/0.7/0.8/0.9.
+    The deployed 4×8 row is flagged; reading this table is how that
+    choice is defended (b=32,r=1 floods candidates, b=1,r=32 misses
+    everything under j≈0.9).
+
+    Plan shape: ONE pass over the stored shingle index computes the
+    signature per row, ONE in-row expression emits all 63 (config,
+    band, key) rows per doc, then two partial-agg groupBys — the
+    hot-bucket configs only ever contribute a COUNT, so the planner
+    itself cannot be flooded by the floods it measures (the all-MOD
+    empty-shingle sentinel bucket included)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.select("doc", DD.minhash_signature("__sh", 32).alias("minhash"))
+    cfg_struct = ",".join(
+        f"named_struct('b', {b}, 'r', {r})" for b, r in _LSH_CFGS
+    )
+    keys = sig.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"flatten(transform(array({cfg_struct}), c ->"
+                f" transform(sequence(0, c.b - 1), bnd -> named_struct("
+                f"  'b', c.b, 'band', bnd,"
+                f"  'key', array_join(transform("
+                f"   slice(minhash, bnd * c.r + 1, c.r),"
+                f"   v -> cast(v as string)), '_')))))"
+            )
+        ).alias("e"),
+    ).select("doc", "e.b", "e.band", "e.key")
+    bk = keys.groupBy("b", "band", "key").agg(F.count(F.lit(1)).alias("n"))
+    ag = bk.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("cand_pairs"),
+    )
+    cfg = spark.createDataFrame(
+        [
+            (b, r) + _LSH_PGRID[b]
+            for b, r in _LSH_CFGS
+        ],
+        "b long, r long, p_j50 double, p_j70 double,"
+        " p_j80 double, p_j90 double",
+    )
+    return ag.join(F.broadcast(cfg), "b").select(
+        F.col("b").cast("long").alias("b"),
+        "r",
+        "n_buckets",
+        "max_bucket",
+        "cand_pairs",
+        "p_j50",
+        "p_j70",
+        "p_j80",
+        "p_j90",
+        F.when(F.col("b") == 4, 1).otherwise(0).cast("long").alias("deployed"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming ingest, certified: the stream's per-micro-batch pair
 # function (streaming/dedup.py::neardup_batch_pairs — the code object
 # foreachBatch runs) driven as a batch query, so the streaming
@@ -2356,6 +2476,102 @@ def pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("docs_in_bin"),
             F.sum("toks").cast("long").alias("bin_tokens"),
         )
+    )
+
+
+@register(
+    "packing_efficiency_sweep",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, toks,
+               SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - toks AS before
+        FROM t
+    ), sz AS (SELECT unnest([512, 1024, 2048, 4096]) AS bin_size),
+    bins AS (
+        SELECT s.bin_size, lang,
+               CAST(FLOOR(before / CAST(s.bin_size AS DOUBLE)) AS BIGINT)
+                   AS bin_id,
+               CAST(SUM(toks) AS BIGINT) AS bin_tokens
+        FROM c CROSS JOIN sz s
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(bin_size AS BIGINT) AS bin_size,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN bin_tokens > bin_size THEN 1 ELSE 0 END)
+               AS BIGINT) AS overfull_bins,
+           CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           round(CAST(SUM(bin_tokens) AS DOUBLE)
+                 / (COUNT(*) * bin_size), 6) AS avg_fill
+    FROM bins GROUP BY bin_size
+    """,
+)
+def packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-LENGTH planner for sequence packing: the
+    ``pack_documents_bins`` assignment evaluated at 512/1024/2048/4096
+    token bins in one pass — bins produced, fill rate against
+    capacity, and how many bins a single long doc overflows. The
+    training-batch shape (context length) is read off this table, not
+    guessed.
+
+    Plan shape: the per-lang cumulative ``before`` column — the one
+    windowed pass — is computed ONCE; the four bin sizes are a 4-row
+    explode over it (in-row arithmetic only), then two partial-agg
+    groupBys. Sweeping configs costs one extra shuffle over the
+    single-config query, not four window passes."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "toks", F.size(TX.tokenize("text"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("before", F.sum("toks").over(w) - F.col("toks"))
+    bins = (
+        c.select(
+            "lang",
+            "toks",
+            "before",
+            F.explode(F.array(*(F.lit(s) for s in (512, 1024, 2048, 4096)))).alias(
+                "bin_size"
+            ),
+        )
+        .withColumn(
+            "bin_id",
+            F.floor(F.col("before") / F.col("bin_size").cast("double")).cast(
+                "long"
+            ),
+        )
+        .groupBy("bin_size", "lang", "bin_id")
+        .agg(F.sum("toks").cast("long").alias("bin_tokens"))
+    )
+    return bins.groupBy("bin_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("bin_tokens") > F.col("bin_size"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("overfull_bins"),
+        F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+    ).select(
+        F.col("bin_size").cast("long").alias("bin_size"),
+        "n_bins",
+        "total_tokens",
+        "overfull_bins",
+        "max_bin_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * F.col("bin_size")),
+            6,
+        ).alias("avg_fill"),
     )
 
 

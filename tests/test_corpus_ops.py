@@ -413,3 +413,28 @@ def test_c4_line_dedup_book_length_doc_is_linear(spark):
     for d in (2, 3, 4):
         assert got[d] == (1, 1, "")
     assert elapsed < 60, f"book-length doc took {elapsed:.1f}s"
+
+
+def test_packing_efficiency_sweep_spans_sizes_consistently(spark, sf_dir):
+    """Token mass is invariant across bin sizes, bin counts shrink as
+    capacity grows, and the fill ratio is the exact quotient of the
+    reported integers — the sweep is one window pass, so its 2048 row
+    must agree with an independently computed single-size packing."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.llm_ops import (
+        packing_efficiency_sweep,
+    )
+
+    rows = {r.bin_size: r for r in packing_efficiency_sweep(spark, sf_dir).collect()}
+    assert sorted(rows) == [512, 1024, 2048, 4096]
+    totals = {r.total_tokens for r in rows.values()}
+    assert len(totals) == 1
+    sizes = [512, 1024, 2048, 4096]
+    for a, b in zip(sizes, sizes[1:]):
+        assert rows[a].n_bins >= rows[b].n_bins
+    for s, r in rows.items():
+        assert r.avg_fill == round(r.total_tokens / (r.n_bins * s), 6)
+        assert 0 < r.avg_fill
+        assert r.overfull_bins <= r.n_bins
+        assert r.max_bin_tokens >= (r.total_tokens + r.n_bins - 1) // r.n_bins

@@ -539,3 +539,34 @@ def test_containment_unrelated_pair_scores_low(spark):
         .count()
         == 0
     )
+
+
+def test_lsh_band_planner_costs_every_split_of_the_budget(spark, sf_dir):
+    """One row per (b, r) split of the 32-hash budget; embedded
+    S-curve probabilities match the closed form; measured candidate
+    workload is ordered the way the S-curve predicts (more, shorter
+    bands => more collisions to verify); the deployed 4x8 row is
+    flagged and its counted workload upper-bounds the distinct pair
+    set the deployed pipeline actually materializes."""
+    from datapipelinedemo_spark.plans.llm_ops import (
+        lsh_band_planner,
+        minhash_lsh_candidates,
+    )
+
+    rows = {r.b: r for r in lsh_band_planner(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 4, 8, 16, 32]
+    for b, r in rows.items():
+        assert r.r == 32 // b
+        assert r.deployed == (1 if b == 4 else 0)
+        for col, j in (("p_j50", 0.5), ("p_j70", 0.7), ("p_j80", 0.8), ("p_j90", 0.9)):
+            assert getattr(r, col) == round(1.0 - (1.0 - j ** r.r) ** b, 6)
+        assert r.n_buckets > 0 and r.max_bucket >= 1
+    # capture probability at j=0.7 grows with band count; so does the
+    # measured workload across the extreme configs
+    ps = [rows[b].p_j70 for b in (1, 2, 4, 8, 16, 32)]
+    assert ps == sorted(ps)
+    assert rows[1].cand_pairs <= rows[4].cand_pairs <= rows[32].cand_pairs
+    # the counted per-band workload (with multiplicity) bounds the
+    # deployed pipeline's distinct candidate pairs from above
+    n_distinct = minhash_lsh_candidates(spark, sf_dir).count()
+    assert rows[4].cand_pairs >= n_distinct
