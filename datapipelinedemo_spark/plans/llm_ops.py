@@ -951,6 +951,146 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_estimate_error",
+    oracle=_LSH_CTE
+    + """
+    , sig AS (SELECT doc_id, i, m FROM mins),
+    pa AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.doc_a
+        JOIN sig y ON y.doc_id = c.doc_b AND y.i = x.i
+        GROUP BY 1, 2
+    ),
+    exj AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+               CAST(len(sa.hs) + len(sb.hs)
+                    - len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS uni
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    ),
+    pj AS (
+        SELECT p.agree,
+               (2 * e.inter * 1000000 + e.uni) // (2 * e.uni) AS j6,
+               p.agree * 31250 AS est6
+        FROM pa p
+        JOIN exj e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+        WHERE e.uni > 0
+    )
+    SELECT agree,
+           CAST(agree AS DOUBLE) / 32 AS est,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(j6) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+               AS mean_jaccard,
+           round(CAST(SUM(ABS(est6 - j6)) AS DOUBLE)
+                 / (1000000.0 * COUNT(*)), 6) AS mean_abs_err,
+           round(CAST(MAX(ABS(est6 - j6)) AS DOUBLE) / 1000000.0, 6)
+               AS max_abs_err
+    FROM pj GROUP BY 1
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESTIMATOR-QUALITY table for the MinHash sketch: on the LSH
+    candidate pairs, the signature-agreement Jaccard estimate
+    (agree/32) vs the exact shingle Jaccard, grouped by agreement
+    count — the dedup analogue of the ANN recall tables ("trust the
+    sketch because we measured its error, on this corpus"). A 32-hash
+    sketch has std-err ~sqrt(j(1-j)/32) ≈ 0.09 at j=0.5 on RANDOM
+    pairs; on LSH-SELECTED pairs the low-agreement rows are upward-
+    biased by construction (a pair is only here because some band
+    agreed — the sf0.01 corpus shows agree=14 vs exact j=0.026), which
+    is exactly why the pipeline Jaccard-verifies candidates instead of
+    trusting the sketch estimate. Both effects are visible in this
+    table; the pair-weighted mean error stays small because true
+    near-dups dominate the candidate set.
+
+    Exactness: agreement count and shingle intersection are exact
+    integers; per-pair exact Jaccard lands on the 1e-6 grid via
+    half-up INTEGER division ((2·inter·1e6 + uni) div (2·uni) — no
+    double division per pair), and the estimate grid is agree·31250
+    (1e6/32 exactly), so error sums are exact BIGINTs cross-engine.
+
+    Plan shape: candidate pairs (LSH-bounded, never all-pairs) join
+    the stored shingle+signature frames twice on doc id, then one
+    in-row zip/intersect per pair and one partial-agg groupBy on the
+    33-value agreement key. Empty-shingle sentinel docs (uni = 0) are
+    excluded — their signatures are the all-MOD sentinel, so their
+    "agreement" measures the sentinel, not the estimator."""
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.select(
+        "doc", DD.minhash_signature("__sh", 32).alias("sig")
+    )
+    both = sh.join(sig, "doc")
+    cand = _lsh_candidates(spark, sf_dir)
+    j = cand.join(
+        both.select(
+            F.col("doc").alias("doc_a"),
+            F.col("__sh").alias("ha"),
+            F.col("sig").alias("sa"),
+        ),
+        "doc_a",
+    ).join(
+        both.select(
+            F.col("doc").alias("doc_b"),
+            F.col("__sh").alias("hb"),
+            F.col("sig").alias("sb"),
+        ),
+        "doc_b",
+    )
+    stats = (
+        j.select(
+            F.expr(
+                "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("agree"),
+            F.expr("size(array_intersect(ha, hb))")
+            .cast("long")
+            .alias("inter"),
+            (F.size("ha") + F.size("hb")).cast("long").alias("sz"),
+        )
+        .withColumn("uni", F.col("sz") - F.col("inter"))
+        .filter(F.col("uni") > 0)
+    )
+    pj = stats.select(
+        "agree",
+        F.expr("(2 * inter * 1000000 + uni) div (2 * uni)").alias("j6"),
+        (F.col("agree") * 31250).alias("est6"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        pj.groupBy("agree")
+        .agg(
+            n.cast("long").alias("n_pairs"),
+            F.sum("j6").alias("sj6"),
+            F.sum(F.abs(F.col("est6") - F.col("j6"))).alias("serr6"),
+            F.max(F.abs(F.col("est6") - F.col("j6"))).alias("merr6"),
+        )
+        .select(
+            "agree",
+            (F.col("agree").cast("double") / 32).alias("est"),
+            "n_pairs",
+            F.round(
+                F.col("sj6").cast("double")
+                / (1e6 * F.col("n_pairs")),
+                6,
+            ).alias("mean_jaccard"),
+            F.round(
+                F.col("serr6").cast("double")
+                / (1e6 * F.col("n_pairs")),
+                6,
+            ).alias("mean_abs_err"),
+            F.round(F.col("merr6").cast("double") / 1e6, 6).alias(
+                "max_abs_err"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Near-dup source-contamination matrix: WHICH sources duplicate into
 # which (mirror dumps, syndication feeds, scraped re-posts) — the

@@ -438,3 +438,38 @@ def test_packing_efficiency_sweep_spans_sizes_consistently(spark, sf_dir):
         assert 0 < r.avg_fill
         assert r.overfull_bins <= r.n_bins
         assert r.max_bin_tokens >= (r.total_tokens + r.n_bins - 1) // r.n_bins
+
+
+def test_bloom_fpr_calibration_is_consistent_with_the_gate(spark, sf_dir):
+    """No false negatives (hits >= members), the arithmetic columns
+    recompute from the counts, the measured FPR lands within a small
+    factor of the fill-ratio^2 prediction, and the probe total of
+    bloom hits equals what the certified bloom_decontamination gate
+    reports in aggregate."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        bloom_decontamination,
+        bloom_fpr_calibration,
+    )
+
+    r = bloom_fpr_calibration(spark, sf_dir).collect()[0]
+    assert r.probes > 0 and r.n_eval_grams > 0
+    assert 0 < r.fill_ratio < 1
+    assert r.bloom_hits >= r.true_hits
+    assert r.false_positives == r.bloom_hits - r.true_hits
+    assert r.fill_ratio == round(r.bits_set / 65536, 6)
+    assert r.predicted_fpr == round((r.bits_set / 65536) ** 2, 6)
+    assert r.measured_fpr == round(
+        r.false_positives / (r.probes - r.true_hits), 6
+    )
+    # the independence prediction should be the right order of
+    # magnitude on a uniform-hash bitmap (loose factor, not tuned)
+    assert r.measured_fpr <= 5 * r.predicted_fpr + 1e-3
+    total = (
+        bloom_decontamination(spark, sf_dir)
+        .agg(F.sum("bloom_hits").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert total == r.bloom_hits

