@@ -714,6 +714,80 @@ def exact_k_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding hygiene report (run before any index build)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_hygiene_report",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(len(embedding) AS BIGINT) AS d,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 [CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  for x in embedding]), (a, b) -> a + b) AS ss
+        FROM embeddings
+    ),
+    n AS (
+        SELECT d, ss,
+               CAST(FLOOR(sqrt(ss) * 1000000 + 0.5) AS BIGINT) AS norm6
+        FROM v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(d) AS BIGINT) AS min_dim,
+           CAST(MAX(d) AS BIGINT) AS max_dim,
+           CAST(SUM(CASE WHEN ss = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_vectors,
+           round(CAST(SUM(norm6) AS DOUBLE)
+                 / (1000000.0 * COUNT(*)), 6) AS mean_norm,
+           round(CAST(MIN(norm6) AS DOUBLE) / 1000000.0, 6) AS min_norm,
+           round(CAST(MAX(norm6) AS DOUBLE) / 1000000.0, 6) AS max_norm
+    FROM n
+    """,
+)
+def embedding_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-index sanity row for the embedding column: dimension
+    consistency (min_dim = max_dim or every downstream dot product is
+    wrong), zero vectors (cosine is undefined on them — they must be
+    dropped or the ANN serving path divides by zero), and the norm
+    distribution (un-normalized corpora make inner-product and cosine
+    ranking disagree; this row is how that's caught before an index
+    is built on the wrong metric).
+
+    Exactness: sum-of-squares is the certified left-fold idiom
+    (identical order both engines), each norm snaps to the 1e-6 grid
+    through ONE mirrored sqrt/floor expression, and all aggregates
+    are exact BIGINTs with single-division readouts. One in-row
+    projection + one single-row aggregate — no shuffle of vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.size("embedding").cast("long").alias("d"),
+        F.expr(
+            "aggregate(embedding, cast(0.0 as double),"
+            " (acc, x) -> acc + cast(x as double) * cast(x as double))"
+        ).alias("ss"),
+    ).select(
+        "d",
+        "ss",
+        F.expr(
+            "cast(floor(sqrt(ss) * 1000000 + 0.5) as bigint)"
+        ).alias("norm6"),
+    )
+    n = F.count(F.lit(1))
+    return v.agg(
+        n.cast("long").alias("n_vecs"),
+        F.min("d").cast("long").alias("min_dim"),
+        F.max("d").cast("long").alias("max_dim"),
+        F.sum(F.when(F.col("ss") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_vectors"),
+        F.round(
+            F.sum("norm6").cast("double") / (1e6 * n), 6
+        ).alias("mean_norm"),
+        F.round(F.min("norm6").cast("double") / 1e6, 6).alias("min_norm"),
+        F.round(F.max("norm6").cast("double") / 1e6, 6).alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding int8 quantization (vector-store compression)
 # --------------------------------------------------------------------------
 @register(

@@ -2837,6 +2837,65 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shard_integrity_manifest",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                    || '#shard'), 1, 15) AS BIGINT) % {_N_SHARDS}
+                   AS shard_id,
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                   AS th,
+               CAST(len({_TOK}) AS BIGINT) AS toks
+        FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS token_sum,
+           CAST(bit_xor(th) AS BIGINT) AS content_xor,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM h GROUP BY 1
+    """,
+)
+def shard_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGRITY record for the exported training shards: per shard
+    (same hash-mod assignment as ``training_shard_manifest``), the doc
+    count, token mass, id range, and an order-free XOR checksum of the
+    per-doc content hashes — the manifest a reproducibility audit
+    diffs against a re-export ("same shards, same bytes") without
+    re-reading any document. XOR is the right accumulator here: it is
+    commutative/associative (partial-agg combinable in any order),
+    cannot overflow, and any single changed/missing/duplicated doc
+    flips it.
+
+    Plan shape: one in-row projection (two md5s + a token count) and
+    ONE partial-agg groupBy on the 16-value shard key — every column
+    map-side combines, nothing corpus-sized moves."""
+    from datapipelinedemo_spark.functions.stable import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        (
+            md5_long(
+                F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))
+            )
+            % _N_SHARDS
+        ).alias("shard_id"),
+        md5_long(F.col("text")).alias("th"),
+        F.size(TX.tokenize("text")).cast("long").alias("toks"),
+    )
+    return h.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("token_sum"),
+        F.expr("bit_xor(th)").cast("long").alias("content_xor"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Quality-classifier filter: fastText-style LINEAR scorer over the
 # doc_quality feature vector, evaluated as pure integer arithmetic on

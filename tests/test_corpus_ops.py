@@ -473,3 +473,45 @@ def test_bloom_fpr_calibration_is_consistent_with_the_gate(spark, sf_dir):
         .s
     )
     assert total == r.bloom_hits
+
+
+def test_embedding_hygiene_report_on_testdata(spark, sf_dir):
+    """Fixed-dim corpus: min_dim == max_dim == 64, no zero vectors in
+    the synthetic embeddings, and the norm envelope brackets the mean."""
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        embedding_hygiene_report,
+    )
+
+    r = embedding_hygiene_report(spark, sf_dir).collect()[0]
+    assert r.n_vecs > 0
+    assert r.min_dim == r.max_dim == 64
+    assert r.zero_vectors == 0
+    assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
+
+
+def test_embedding_hygiene_flags_planted_defects(spark):
+    """A zero vector and a short vector must show up in the report —
+    the two defects that silently corrupt a downstream ANN index."""
+    from datapipelinedemo_spark.plans.corpus_ops import (
+        embedding_hygiene_report,
+    )
+
+    # build a tiny corpus in the documents-table shape the entry reads
+    import pandas as pd
+
+    rows = [
+        (0, [1.0, 2.0, 2.0]),
+        (1, [0.0, 0.0, 0.0]),
+        (2, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "embeddings.parquet"))
+        r = embedding_hygiene_report(spark, td).collect()[0]
+    assert r.n_vecs == 3
+    assert (r.min_dim, r.max_dim) == (2, 3)
+    assert r.zero_vectors == 1
+    assert r.min_norm == 0.0 and r.max_norm == 5.0
+    assert r.mean_norm == round((3.0 + 0.0 + 5.0) / 3, 6)
