@@ -834,6 +834,93 @@ def classifier_threshold_sweep(
     )
 
 
+def _register_quality_filter_overlap() -> None:
+    """Registered via a builder so the oracle can re-use the ALREADY
+    REGISTERED `linear_classifier_scores` oracle string and the
+    quality_ops gopher fragments verbatim (one definition each — the
+    same no-drift rule as topk_scored_cte): both sides embed as
+    scoped derived tables, so their CTE names cannot collide."""
+    from datapipelinedemo_spark.plans.catalog import ORACLES
+    from datapipelinedemo_spark.plans.quality_ops import (
+        _GQ_KEPT_SQL,
+        _GQ_SIGNALS_SQL,
+    )
+
+    scores_oracle = ORACLES["linear_classifier_scores"]
+
+    @register(
+        "quality_filter_overlap",
+        oracle=f"""
+        WITH g AS (
+            SELECT doc_id, CAST({_GQ_KEPT_SQL} AS BIGINT) AS gopher_kept
+            FROM ({_GQ_SIGNALS_SQL} SELECT * FROM gq) gq2
+        ),
+        c AS (
+            SELECT doc_id, predicted_head
+            FROM ({scores_oracle}) sc
+        ),
+        m AS (
+            SELECT g.gopher_kept, c.predicted_head AS clf_kept,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM g JOIN c ON c.doc_id = g.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT gopher_kept, clf_kept, n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / (SELECT COUNT(*) FROM documents), 6) AS frac
+        FROM m
+        """,
+    )
+    def quality_filter_overlap(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """FILTER-REDUNDANCY contingency: every document classified by
+        BOTH cheap gates — the rule-based Gopher battery and the
+        distilled quality classifier's 0.5 cut — as a 2×2 matrix with
+        corpus fractions. The production question this answers: do the
+        two filters agree enough that one is redundant, or does each
+        catch documents the other passes (run both)? Off-diagonal
+        mass is the argument for keeping both.
+
+        Plan shape: the battery is one in-row scan, the scorer one
+        broadcast-weights pass over the shared feature frame; one
+        doc-grain join and a partial agg onto a 4-cell key. The
+        denominator is the corpus count, mirrored as a scalar
+        subquery — no re-derivation of the 4-row frame's lineage."""
+        docs = table(spark, sf_dir, "documents")
+        from datapipelinedemo_spark.plans.quality_ops import gq_battery
+
+        g = gq_battery(docs).select(
+            "doc_id",
+            F.expr(
+                "ok_words * ok_word_len * ok_symbols * ok_alpha"
+                " * ok_stopwords"
+            )
+            .cast("long")
+            .alias("gopher_kept"),
+        )
+        c = linear_classifier_scores(spark, sf_dir).select(
+            "doc_id", F.col("predicted_head").alias("clf_kept")
+        )
+        m = (
+            g.join(c, "doc_id")
+            .groupBy("gopher_kept", "clf_kept")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+        tot = docs.agg(F.count(F.lit(1)).alias("__t"))
+        return m.crossJoin(F.broadcast(tot)).select(
+            "gopher_kept",
+            "clf_kept",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__t"), 6
+            ).alias("frac"),
+        )
+
+
+_register_quality_filter_overlap()
+
+
 def score_docs_inrow(docs: DataFrame, w6: list[int]) -> DataFrame:
     """The ADMISSION-TIME scorer as a pure frame transform: per doc,
     znum = w6[bias] + Σ_tokens w6[bucket(token)] — algebraically equal

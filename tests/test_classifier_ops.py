@@ -308,3 +308,43 @@ def test_threshold_sweep_is_monotone_and_anchored(spark, sf_dir):
         ).alias("tp"),
     ).collect()[0]
     assert mid.n_pred_pos == anchor.pp and mid.tp == anchor.tp
+
+
+def test_quality_filter_overlap_matrix_margins(spark, sf_dir):
+    """Cells cover the corpus exactly once, fracs recompute from the
+    counts, and both marginals match the source gates' own outputs —
+    the matrix is a pure recombination, not a third filter."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.classifier_ops import (
+        linear_classifier_scores,
+    )
+    from datapipelinedemo_spark.plans.catalog import QUERIES
+    from datapipelinedemo_spark.plans.quality_ops import gq_battery
+    from datapipelinedemo_spark.tables import table as load
+
+    rows = QUERIES["quality_filter_overlap"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    n_total = docs.count()
+    assert sum(r.n_docs for r in rows) == n_total
+    for r in rows:
+        assert r.gopher_kept in (0, 1) and r.clf_kept in (0, 1)
+        assert r.frac == round(r.n_docs / n_total, 6)
+    gopher_marginal = sum(r.n_docs for r in rows if r.gopher_kept == 1)
+    g_direct = (
+        gq_battery(docs)
+        .filter(
+            "ok_words * ok_word_len * ok_symbols * ok_alpha"
+            " * ok_stopwords = 1"
+        )
+        .count()
+    )
+    assert gopher_marginal == g_direct
+    clf_marginal = sum(r.n_docs for r in rows if r.clf_kept == 1)
+    c_direct = (
+        linear_classifier_scores(spark, sf_dir)
+        .agg(F.sum("predicted_head").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert clf_marginal == c_direct
