@@ -3019,6 +3019,74 @@ def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_dedup_frame(docs)
 
 
+# --------------------------------------------------------------------------
+# C4 page-level filters (Raffel et al. 2020 §2.2) — the rest of the
+# C4 battery beside the cross-doc line dedup: sentence-count floor,
+# curly-brace (code) drop, "lorem ipsum" drop, javascript-mention
+# drop. Same per-rule-column convention as the Gopher battery so a
+# filtering audit attributes every drop.
+# --------------------------------------------------------------------------
+_C4_MIN_SENTENCES = 3
+
+
+def c4_page_filter_frame(docs: DataFrame) -> DataFrame:
+    """The C4 page rules as a pure in-row frame transform (no shuffle,
+    no state — streams natively in append mode like ``gq_battery``).
+    On the punctuation-free synthetic corpus the sentence rule drops
+    everything and the other three fire never — vacuous-here but
+    SHAPE, like the Gopher symbol/alpha rules (recorded honestly);
+    the pytest plants make each rule fire alone."""
+    low = F.lower(F.col("text"))
+    n_sent = F.size(
+        F.expr(r"regexp_extract_all(text, '[.!?]', 0)")
+    ).cast("long")
+    flag = lambda c: c.cast("int").cast("long")  # noqa: E731
+    f = docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        flag(n_sent >= _C4_MIN_SENTENCES).alias("ok_sentences"),
+        flag(~F.col("text").contains("{")).alias("ok_no_brace"),
+        flag(~low.contains("lorem ipsum")).alias("ok_no_lorem"),
+        flag(~low.contains("javascript")).alias("ok_no_js"),
+    )
+    return f.select(
+        "*",
+        F.expr("ok_sentences * ok_no_brace * ok_no_lorem * ok_no_js")
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+@register(
+    "c4_page_filters",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+                   AS n_sentences,
+               CAST(CASE WHEN len(regexp_extract_all(text, '[.!?]'))
+                    >= {_C4_MIN_SENTENCES} THEN 1 ELSE 0 END AS BIGINT)
+                   AS ok_sentences,
+               CAST(CASE WHEN contains(text, '{{') THEN 0 ELSE 1 END
+                   AS BIGINT) AS ok_no_brace,
+               CAST(CASE WHEN contains(lower(text), 'lorem ipsum')
+                    THEN 0 ELSE 1 END AS BIGINT) AS ok_no_lorem,
+               CAST(CASE WHEN contains(lower(text), 'javascript')
+                    THEN 0 ELSE 1 END AS BIGINT) AS ok_no_js
+        FROM documents
+    )
+    SELECT *, CAST(ok_sentences * ok_no_brace * ok_no_lorem * ok_no_js
+               AS BIGINT) AS kept
+    FROM f
+    """,
+)
+def c4_page_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 page rules (module comment above): each rule a
+    0/1 column, ``kept`` the conjunction — one in-row scan, zero
+    shuffles, the same audit-attribution convention as
+    ``gopher_quality_flags``."""
+    return c4_page_filter_frame(table(spark, sf_dir, "documents"))
+
 
 # --------------------------------------------------------------------------
 # WITHIN-document repeated-block removal (RefinedWeb/FineWeb "remove

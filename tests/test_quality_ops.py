@@ -181,3 +181,47 @@ def test_quality_admission_streams_natively(spark, sf_dir, tmp_path):
         spark.catalog.dropTempView(qname)
     assert n_batches == 2
     assert got == want
+
+
+def test_c4_page_filters_each_rule_fires_alone(spark):
+    """Planted docs make each C4 rule fire in isolation; a clean doc
+    with 3 sentences passes everything."""
+    rows = [
+        (0, "Good first one. A second sentence! A third one?"),
+        (1, "Too few sentences here."),
+        (2, "One. Two. Three. But it has code { inside }."),
+        (3, "One. Two. Three. Classic Lorem Ipsum filler text."),
+        (4, "One. Two. Three. Please enable JavaScript to continue."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from datapipelinedemo_spark.plans.llm_ops import c4_page_filter_frame
+
+    out = {r.doc_id: r for r in c4_page_filter_frame(docs).collect()}
+    assert out[0].kept == 1 and out[0].n_sentences == 3
+    assert out[1].kept == 0 and out[1].ok_sentences == 0
+    assert (out[1].ok_no_brace, out[1].ok_no_lorem, out[1].ok_no_js) == (1, 1, 1)
+    assert out[2].kept == 0 and out[2].ok_no_brace == 0 and out[2].ok_sentences == 1
+    assert out[3].kept == 0 and out[3].ok_no_lorem == 0
+    assert out[4].kept == 0 and out[4].ok_no_js == 0
+
+
+def test_c4_page_filters_vacuous_on_synthetic_corpus_is_recorded(spark, sf_dir):
+    """On the punctuation-free word-soup corpus the sentence floor
+    drops every doc and the content rules never fire — the documented
+    vacuous-but-shape status (same as the Gopher symbol/alpha rules)."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.catalog import QUERIES
+
+    agg = (
+        QUERIES["c4_page_filters"](spark, sf_dir)
+        .agg(
+            F.sum("kept").alias("k"),
+            F.sum("ok_no_brace").alias("b"),
+            F.sum("ok_no_lorem").alias("l"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert agg.k == 0  # sentence floor drops all word-soup docs
+    assert agg.b == agg.n and agg.l == agg.n  # content rules pass all
