@@ -159,6 +159,75 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, {_grams_sql(4)} AS gs FROM tok),
+    eg AS (
+        SELECT gram,
+               MAX(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS in_b,
+               MAX(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS in_c
+        FROM (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g) x
+        GROUP BY 1
+    )
+    SELECT CAST(SUM(in_b) AS BIGINT) AS n_batch_grams,
+           CAST(SUM(in_c) AS BIGINT) AS n_corpus_grams,
+           CAST(SUM(CASE WHEN in_b = 1 AND in_c = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel_grams,
+           round(CAST(SUM(CASE WHEN in_b = 1 AND in_c = 0
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(in_b) AS DOUBLE), 6) AS novelty_rate
+    FROM eg
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY of an arriving crawl batch (``doc_id % 10 == 0``)
+    against the existing corpus: the fraction of the batch's distinct
+    word 4-grams never seen before — the number a data-acquisition
+    loop watches to decide whether another crawl of the same sources
+    still buys new training mass (near-zero novelty = stop crawling,
+    start deduplicating).
+
+    Plan shape: ONE pass — every (gram, side) membership collapses in
+    a single partial-agg groupBy on the gram (max() combines
+    map-side), then a single-row aggregate; no anti-join, no second
+    derivation of the gram explode's lineage, nothing broadcast. The
+    same counts a two-sided distinct + left_anti plan needs two
+    corpus-sized builds for."""
+    from datapipelinedemo_spark.operators.decontamination import (
+        ngrams_of_tokens,
+    )
+    from datapipelinedemo_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", tokenize("text").alias("__toks")
+    ).select(
+        (F.col("doc_id") % 10 == 0).cast("int").alias("is_b"),
+        F.explode(F.array_distinct(ngrams_of_tokens("__toks", 4))).alias(
+            "gram"
+        ),
+    )
+    eg = grams.groupBy("gram").agg(
+        F.max("is_b").alias("in_b"),
+        F.max(1 - F.col("is_b")).alias("in_c"),
+    )
+    novel = (F.col("in_b") == 1) & (F.col("in_c") == 0)
+    return eg.agg(
+        F.sum("in_b").cast("long").alias("n_batch_grams"),
+        F.sum("in_c").cast("long").alias("n_corpus_grams"),
+        F.sum(F.when(novel, 1).otherwise(0)).cast("long").alias(
+            "n_novel_grams"
+        ),
+        F.round(
+            F.sum(F.when(novel, 1).otherwise(0)).cast("double")
+            / F.sum("in_b").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
 def _bloom_bitmap(spark: SparkSession, sf_dir: str) -> list[int]:
     """The benchmark Bloom bitmap for ``sf_dir`` — a deterministic
     plan constant per (corpus generation, n, m), memoized like the

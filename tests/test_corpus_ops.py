@@ -515,3 +515,36 @@ def test_embedding_hygiene_flags_planted_defects(spark):
     assert r.zero_vectors == 1
     assert r.min_norm == 0.0 and r.max_norm == 5.0
     assert r.mean_norm == round((3.0 + 0.0 + 5.0) / 3, 6)
+
+
+def test_ngram_novelty_rate_consistency_and_planted_novelty(spark, sf_dir):
+    """Report arithmetic recomputes from its own counts; batch grams
+    overlap the corpus on the synthetic word-soup (novelty < 1); and
+    a planted batch of never-seen words reads as fully novel."""
+    from datapipelinedemo_spark.plans.corpus_ops import ngram_novelty_rate
+
+    r = ngram_novelty_rate(spark, sf_dir).collect()[0]
+    assert r.n_batch_grams > 0 and r.n_corpus_grams > 0
+    assert 0 <= r.n_novel_grams <= r.n_batch_grams
+    assert r.novelty_rate == round(r.n_novel_grams / r.n_batch_grams, 6)
+    # shared vocabulary corpus: the batch cannot be entirely novel
+    assert r.novelty_rate < 1.0
+
+    # planted corpus: batch (doc_id % 10 == 0) from a disjoint alphabet
+    import os
+    import tempfile
+
+    rows = [
+        (10, "zzq zzw zze zzr zzt zzy zzu zzi zzo zzp"),  # batch, novel
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).selectExpr("doc_id", "text", "'en' as lang", "'s' as source",
+                 "length(text) as n_chars")
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        p = ngram_novelty_rate(spark, td).collect()[0]
+    assert p.novelty_rate == 1.0
+    assert p.n_novel_grams == p.n_batch_grams == 7  # 10 words -> 7 4-grams
