@@ -413,6 +413,108 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "token").select("token", "exact_cnt", "cms_est")
 
 
+@register(
+    "cms_error_calibration",
+    oracle=f"""
+    WITH tok AS (
+        SELECT u.token
+        FROM (SELECT {_TOK} AS toks FROM documents), unnest(toks) u(token)
+    ), exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM tok GROUP BY token
+    ), sk AS (
+        SELECT i, bucket, COUNT(*) AS cnt FROM (
+            SELECT i, {{bucket}} AS bucket
+            FROM tok, generate_series(0, 3) s(i)
+        ) GROUP BY i, bucket
+    ), probes AS (
+        SELECT token, i, {{pbucket}} AS bucket
+        FROM exact, generate_series(0, 3) s(i)
+    ), est AS (
+        SELECT p.token, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+        FROM probes p
+        LEFT JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
+        GROUP BY p.token
+    ), err AS (
+        SELECT e.exact_cnt, est.cms_est - e.exact_cnt AS over
+        FROM exact e JOIN est ON est.token = e.token
+    ), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_stream FROM tok)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           (SELECT n_stream FROM ns) AS n_stream,
+           CAST(SUM(CASE WHEN over > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS overestimated_tokens,
+           round(CAST(SUM(over) AS DOUBLE) / COUNT(*), 6)
+               AS mean_overestimate,
+           CAST(MAX(over) AS BIGINT) AS max_overestimate,
+           round(exp(1.0) / 1024 * (SELECT n_stream FROM ns), 6)
+               AS eps_n_bound,
+           CAST(SUM(CASE WHEN over > exp(1.0) / 1024
+                         * (SELECT n_stream FROM ns)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tokens_over_bound
+    FROM err
+    """.replace("{bucket}", _CMS_BUCKET).replace("{pbucket}", _CMS_BUCKET),
+)
+def cms_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZING audit for the count-min sketch over the FULL vocabulary
+    (`cms_heavy_hitters` audits only the top-20, where collisions are
+    relatively harmless): every distinct token's overestimate next to
+    the Markov bound ε·N = (e/w)·N — the row that justifies w=1024
+    before anyone trusts a CMS count downstream. CMS never
+    underestimates, so ``over`` is a plain non-negative difference.
+
+    Exactness: counters, estimates, and overestimates are exact
+    BIGINTs; the two readouts are one division and one mirrored
+    exp(1.0)/w·N expression. Plan shape: the sketch is the same
+    (i, bucket) partial agg the certified entry builds; the probe
+    side is the DISTINCT-token frame joined against the tiny sketch
+    (broadcast), then one single-row aggregate — vocabulary-sized,
+    never stream-sized, after the first count."""
+    from datapipelinedemo_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(TX.tokenize("text")).alias("token"))
+    exact = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    sketch = cms_build(tokens, "token", d=4, w=1024)
+    est = cms_estimate(sketch, exact.select("token"), "token", d=4, w=1024)
+    err = exact.join(est, "token").select(
+        "exact_cnt", (F.col("cms_est") - F.col("exact_cnt")).alias("over")
+    )
+    ns = tokens.agg(F.count(F.lit(1)).cast("long").alias("n_stream"))
+    bound = F.expr("exp(1.0) / 1024") * F.col("n_stream")
+    return (
+        err.crossJoin(F.broadcast(ns))
+        .groupBy("n_stream")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("over") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("overestimated_tokens"),
+            F.sum("over").alias("__sum_over"),
+            F.max("over").cast("long").alias("max_overestimate"),
+            F.sum(F.when(F.col("over") > bound, 1).otherwise(0))
+            .cast("long")
+            .alias("tokens_over_bound"),
+        )
+        .select(
+            "n_distinct",
+            "n_stream",
+            "overestimated_tokens",
+            F.round(
+                F.col("__sum_over").cast("double") / F.col("n_distinct"),
+                6,
+            ).alias("mean_overestimate"),
+            "max_overestimate",
+            F.round(bound, 6).alias("eps_n_bound"),
+            "tokens_over_bound",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Language-ID heuristic vs. the labeled lang column
 # --------------------------------------------------------------------------

@@ -649,3 +649,32 @@ def test_shard_integrity_manifest_detects_any_content_change(spark, sf_dir):
     }
     changed = [s for s in direct if direct[s] != direct2[s]]
     assert len(changed) == 1
+
+
+def test_cms_error_calibration_never_underestimates_and_ties_to_heavy_hitters(
+    spark, sf_dir
+):
+    """CMS overestimates only (min over counters >= truth), the mean
+    overestimate recomputes from its own counts, the Markov bound
+    covers (nearly) all of the vocabulary, and the top-20 entry's
+    per-token diffs are consistent with the full-vocab max."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.llm_ops import (
+        cms_error_calibration,
+        cms_heavy_hitters,
+    )
+
+    r = cms_error_calibration(spark, sf_dir).collect()[0]
+    assert r.n_distinct > 0 and r.n_stream >= r.n_distinct
+    assert 0 <= r.overestimated_tokens <= r.n_distinct
+    assert r.max_overestimate >= 0
+    assert r.mean_overestimate >= 0
+    assert r.eps_n_bound == round(2.718281828459045 / 1024 * r.n_stream, 6)
+    # Markov: P(over > eps*N) <= 1/e per row; with d=4 rows it should
+    # essentially never fire at this scale
+    assert r.tokens_over_bound <= max(1, r.n_distinct // 100)
+    hh = cms_heavy_hitters(spark, sf_dir).collect()
+    for row in hh:
+        assert row.cms_est >= row.exact_cnt
+        assert row.cms_est - row.exact_cnt <= r.max_overestimate
