@@ -119,14 +119,33 @@ def _prev_full(repo: str) -> tuple[str | None, dict | None]:
     m = re.search(r"r(\d+)", os.path.basename(newest))
     nn = int(m.group(1)) if m else None
 
-    # 1) materialized full artifact for that round
+    # The driver-recorded total for the round: any materialized fixture
+    # must agree with it, else the fixture is a stale pre-final-run copy
+    # (the r12/r13 failure class — a late bench refresh rewrote
+    # BENCH_LOCAL.json after the fixture was staged). The driver commits
+    # BENCH_LOCAL.json and BENCH_r{NN}.json together, so the git
+    # fallback below is always the authoritative copy; a mismatched
+    # fixture is skipped rather than trusted.
+    driver_value = None
+    try:
+        with open(newest) as fh:
+            driver_value = (json.load(fh).get("parsed") or {}).get("value")
+    except (OSError, ValueError):
+        pass
+
+    # 1) materialized full artifact for that round (validated)
     if nn is not None:
         full_path = os.path.join(
             repo, "fixtures", "bench_rounds", f"r{nn}.json"
         )
         try:
             with open(full_path) as fh:
-                return f"bench_rounds/r{nn}.json", json.load(fh)
+                fixture = json.load(fh)
+            if (
+                driver_value is None
+                or abs(fixture.get("value", 0.0) - driver_value) < 1e-6
+            ):
+                return f"bench_rounds/r{nn}.json", fixture
         except (OSError, ValueError):
             pass
 
