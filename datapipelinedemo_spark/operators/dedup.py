@@ -586,10 +586,22 @@ def exact_substring_grams(
     md5→hex→parse (measured speedup in PERF.md); downstream
     duplicate DETECTION is hash-agnostic (grams are compared only
     for equality), equivalence-tested in
-    tests/test_dedup_ext.py::test_exact_substring_xxhash64_same_detection."""
+    tests/test_dedup_ext.py::test_exact_substring_xxhash64_same_detection.
+
+    ``hash='rolling'`` (VERDICT r13 next-round #4) never materializes
+    the gram string at all: one xxhash64 per TOKEN (JVM-side, O(n)
+    total bytes instead of O(n·L) for the per-gram ``array_join``),
+    then an Arrow-batched numpy cumulative polynomial hash over the
+    token-hash sequence — O(1) per position (``_rolling_gram_hashes``).
+    The Catalyst HOF form of the same idea measured SLOWER (interpreted
+    lambdas, PERF.md r13); this is the ``mapInPandas`` form that
+    analysis called for. Same detection-equivalence certification
+    (tests/test_dedup_ext.py::test_exact_substring_rolling_same_detection)."""
     from datapipelinedemo_spark.functions import text as TX
     from datapipelinedemo_spark.functions.stable import md5_long
 
+    if hash == "rolling":
+        return _rolling_gram_hashes(docs, L)
     if hash == "xxhash64":
         h = F.xxhash64(F.col("gram"))
     elif hash == "md5":
@@ -615,3 +627,88 @@ def exact_substring_grams(
             h.alias("h"),
         )
     )
+
+
+# Polynomial base for the rolling gram hash: odd (hence invertible mod
+# 2^64) and high-entropy (the 64-bit golden ratio, splitmix64's
+# increment — a public-domain constant). All arithmetic is uint64
+# wraparound, i.e. exact mod-2^64 — no BigInt, no precision loss.
+_RG_BASE = 0x9E3779B97F4A7C15
+_RG_BASE_INV = pow(_RG_BASE, -1, 1 << 64)
+
+
+def _rolling_gram_hashes(docs: DataFrame, L: int) -> DataFrame:
+    """(doc_id, pos, h) for every L-token gram — O(1) per position.
+
+    The md5/xxhash64 paths pay O(L) bytes per position materializing
+    the gram STRING (``array_join(slice(t, i, L))`` ≈ 300 bytes at
+    L=50) before hashing; at 100 TB that inflates the corpus ~50× in
+    flight. Here the gram string never exists:
+
+    1. JVM-side, one ``xxhash64`` per TOKEN (O(n) work per doc) —
+       the only pass that touches text bytes.
+    2. ``mapInPandas`` over (doc_id, token-hash array): the gram hash
+       is the degree-(L-1) polynomial of the window's token hashes
+       mod 2^64,  H(i) = Σ_j t[i+j]·B^(L-1-j).  Computed for ALL
+       positions in O(n) via exclusive prefix sums of t[j]·B^(-j)
+       (numpy uint64 cumsum/cumprod — wraparound IS mod 2^64):
+       H(i) = B^(i+L-1) · (P[i+L] − P[i]).
+
+    Detection downstream compares hashes only for equality, so the
+    mod-2^64 polynomial (collision odds ~n²/2^64) is interchangeable
+    with the digest paths — certified by the same equivalence template
+    as the xxhash64 flag. Arrow batches stream doc-at-a-time through
+    numpy; per-doc state never leaves its batch, so partitioning and
+    parallelism are exactly the scan's."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from datapipelinedemo_spark.functions import text as TX
+
+    toks = (
+        docs.withColumn("t", TX.tokenize("text"))
+        .filter(F.size("t") >= L)
+        .select(
+            "doc_id",
+            F.expr("transform(t, x -> xxhash64(x))").alias("th"),
+        )
+    )
+
+    base = np.uint64(_RG_BASE)
+    base_inv = np.uint64(_RG_BASE_INV)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, th in zip(pdf["doc_id"], pdf["th"]):
+                t = np.asarray(th, dtype=np.int64).astype(np.uint64)
+                n = t.size
+                m = n - L + 1
+                if m <= 0:
+                    continue
+                # powers B^0..B^(n-1) and B^-0..B^-(n-1), wraparound
+                bpow = np.ones(n, dtype=np.uint64)
+                bpow[1:] = base
+                np.cumprod(bpow, out=bpow)
+                binv = np.ones(n, dtype=np.uint64)
+                binv[1:] = base_inv
+                np.cumprod(binv, out=binv)
+                # exclusive prefix sums of t[j] * B^-j
+                pref = np.zeros(n + 1, dtype=np.uint64)
+                np.cumsum(t * binv, out=pref[1:])
+                h = (pref[L:] - pref[:m]) * bpow[L - 1 :]
+                ids.append(np.full(m, doc_id, dtype=np.int64))
+                poss.append(np.arange(1, m + 1, dtype=np.int64))
+                hs.append(h.astype(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "h": np.concatenate(hs),
+                    }
+                )
+
+    return toks.mapInPandas(gen, "doc_id long, pos long, h long")

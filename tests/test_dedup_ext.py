@@ -785,6 +785,66 @@ def test_exact_substring_xxhash64_same_detection(spark, tmp_path):
     assert h_md5 != h_xx and len(h_md5) == len(h_xx)
 
 
+def test_exact_substring_rolling_same_detection(spark):
+    """The mapInPandas rolling polynomial hash (VERDICT r13 next-round
+    #4) — per-token xxhash64 + O(1)/position numpy prefix-sum window
+    hash, gram string never materialized — yields the exact same
+    (doc_id, pos, occ) redundancy sets as the md5 oracle path on a
+    corpus with cross-doc, intra-doc, overlapping-window, and absent
+    duplication. Same certification template as the xxhash64 flag."""
+    from datapipelinedemo_spark.operators.dedup import (
+        exact_substring_grams,
+    )
+    from datapipelinedemo_spark.plans.dedup_ext import (
+        _ES_L,
+        es_redundant_positions,
+    )
+
+    L = _ES_L
+    run = " ".join(f"dup{i}" for i in range(L))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{uniq('a', 7)} {run} {uniq('b', 5)}"),
+            (1, uniq("c", 60)),
+            (2, f"{uniq('d', 3)} {run}"),
+            (3, f"{run} {uniq('e', 4)} {run}"),
+            # a doc shorter than L must vanish in both paths
+            (4, uniq("f", L - 1)),
+        ],
+        "doc_id long, text string",
+    )
+
+    def detect(hash):
+        return {
+            (r.doc_id, r.pos, r.occ)
+            for r in es_redundant_positions(
+                exact_substring_grams(docs, L, hash=hash)
+            ).collect()
+        }
+
+    md5_set = detect("md5")
+    assert md5_set  # the planted duplication actually fired
+    assert detect("rolling") == md5_set
+    # the gram KEYS align position-for-position and the VALUES differ
+    # (the flag is not routing through a digest path)
+    h_md5 = {
+        (r.doc_id, r.pos): r.h
+        for r in exact_substring_grams(docs, L, hash="md5").collect()
+    }
+    h_roll = {
+        (r.doc_id, r.pos): r.h
+        for r in exact_substring_grams(
+            docs, L, hash="rolling"
+        ).collect()
+    }
+    assert set(h_md5) == set(h_roll)
+    assert any(h_md5[k] != h_roll[k] for k in h_md5)
+    # equal windows hash equal, distinct windows hash distinct (no
+    # systematic collision at test scale)
+    assert len(set(h_roll.values())) == len(set(h_md5.values()))
+
+
 def test_leakage_safe_split_keeps_neardup_pairs_together(
     spark, tmp_path
 ):
