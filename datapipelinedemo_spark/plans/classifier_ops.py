@@ -115,32 +115,63 @@ def _qc_shared_frames(
     ~1.1s for the join-per-iteration form (job overhead, not data —
     the frames are tiny; at 100 TB the compact row is B+1 longs per
     doc and each step is one map-side-combined pass, the same cost
-    class as one Lloyd round)."""
+    class as one Lloyd round).
+
+    WRITE-ONCE across processes (VERDICT r13 next-round #5): the r13
+    weights artifact cut fresh-process serving to ~9s, but the
+    residual was THIS frame's lineage — the CCNet label chain plus the
+    hashed-feature pass rebuilt per process even with weights already
+    stored. The frame is a pure function of (corpus stamp, _QC_B),
+    exactly like the weights, so it commits under the same
+    manifest-pinned protocol and every later process pays one parquet
+    read instead of the label-chain startup."""
+    import os
+
     from datapipelinedemo_spark.memo import table_stamp
+    from datapipelinedemo_spark.operators.neardup_index import (
+        _index_root,
+    )
+    from datapipelinedemo_spark.operators.write_once import (
+        ensure_dir,
+        read_frame,
+    )
 
     key = (sf_dir, table_stamp(sf_dir, "documents"))
 
     def _build() -> DataFrame:
-        feat = _qc_feature_frame(spark, sf_dir)
-        vec = feat.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("b", "c"))
-            ).alias("m")
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        sf_name = os.path.basename(os.path.normpath(sf_dir))
+        tag = (
+            f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}-qcbase{_QC_B}"
         )
-        lab = _qc_label_frame(spark, sf_dir)
-        return (
-            lab.join(vec, "doc_id", "left")
-            .select(
-                "doc_id",
-                "y6",
-                F.expr(
-                    f"transform(sequence(0, {_QC_B}),"
-                    f" i -> coalesce(element_at(m, cast(i as bigint)),"
-                    f" cast(0 as bigint)))"
-                ).alias("v"),
+        dest = os.path.join(_index_root(), tag)
+
+        def _materialize(tmp: str) -> None:
+            feat = _qc_feature_frame(spark, sf_dir)
+            vec = feat.groupBy("doc_id").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("b", "c"))
+                ).alias("m")
             )
-            .persist()
-        )
+            lab = _qc_label_frame(spark, sf_dir)
+            (
+                lab.join(vec, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "y6",
+                    F.expr(
+                        f"transform(sequence(0, {_QC_B}),"
+                        f" i -> coalesce(element_at(m,"
+                        f" cast(i as bigint)),"
+                        f" cast(0 as bigint)))"
+                    ).alias("v"),
+                )
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+
+        ensure_dir(dest, _materialize)
+        return read_frame(spark, dest).persist()
 
     base = _QC_FRAMES_MEMO.get_or_build(
         spark, ("qc_base",) + key, _build
@@ -223,7 +254,7 @@ def trained_qc_weights(
 
     ensure_dir(dest, _build)
     out = sorted(
-        (r.b, r.w6) for r in read_frame(spark, dest).collect()
+        (r.b, r.w6) for r in read_frame(spark, dest).collect()  # bounded-collect: 65-row GD weight vector artifact
     )
     _QC_W_MEMO[key] = out
     return out
@@ -278,7 +309,7 @@ def _train_qc_weights(
                 "v", (F.expr(_P6_EXPR) - F.col("y6")).alias("delta")
             )
             .agg(*gcols)
-            .collect()[0]
+            .collect()[0]  # bounded-collect: single gradient-sums row
         )
         for b in range(_QC_B + 1):
             # mirrored update: FLOOR(CAST(LR6*g6 AS DOUBLE)/(1e6*n)) —
