@@ -45,17 +45,22 @@ def _sliced(emb: DataFrame, dp: int) -> DataFrame:
     )
 
 
+def prefix_topk(emb: DataFrame, dp: int, k: int = _MAT_K) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rank): exact top-k under the
+    d'-prefix cosine over an arbitrary (vec_id, embedding) frame. The
+    corpus side never shuffles (queries broadcast); truncation is an
+    in-row ``slice`` before the fold."""
+    emb = _sliced(emb, dp)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    return SIM.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=k
+    )
+
+
 def _mat_topk(
     spark: SparkSession, sf_dir: str, dp: int
 ) -> DataFrame:
-    """(query_id, neighbor_id, cos_sim, rank): exact top-k under the
-    d'-prefix cosine. The corpus side never shuffles (queries
-    broadcast); truncation is an in-row ``slice`` before the fold."""
-    emb = _sliced(table(spark, sf_dir, "embeddings"), dp)
-    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
-    return SIM.cosine_topk_bruteforce(
-        emb, queries, "vec_id", "embedding", k=_MAT_K
-    )
+    return prefix_topk(table(spark, sf_dir, "embeddings"), dp)
 
 
 def _mat_scored_sql(dp: int) -> str:
@@ -134,14 +139,24 @@ def matryoshka_recall_by_dim(
 ) -> DataFrame:
     """recall@10 of each prefix length against the full-d exact top-10
     (module banner). One row per d'; d'=64 anchors at 1.0."""
-    gt = _mat_topk(spark, sf_dir, 64).select(
-        "query_id", "neighbor_id"
+    return prefix_recall_by_dim(
+        table(spark, sf_dir, "embeddings"), _MAT_DIMS, 64
     )
+
+
+def prefix_recall_by_dim(
+    emb: DataFrame, dims=_MAT_DIMS, gt_dim: int = 64
+) -> DataFrame:
+    """(dim, n_queries, recall_at_10) per prefix length, against the
+    ``gt_dim``-prefix exact top-10 of the SAME frame — the frame-level
+    body of ``matryoshka_recall_by_dim``, reused by the planted
+    MRL-structure fixture test (VERDICT r13 next-round #6) so the
+    operator's win channel is demonstrated on structured data, not
+    just its plumbing on the isotropic corpus."""
+    gt = prefix_topk(emb, gt_dim).select("query_id", "neighbor_id")
     out = None
-    for dp in _MAT_DIMS:
-        a = _mat_topk(spark, sf_dir, dp).select(
-            "query_id", "neighbor_id"
-        )
+    for dp in dims:
+        a = prefix_topk(emb, dp).select("query_id", "neighbor_id")
         r = (
             a.join(
                 gt.withColumn("hit", F.lit(1)),
