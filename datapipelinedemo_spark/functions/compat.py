@@ -61,7 +61,7 @@ def pickle_column_sink(df: DataFrame, column: str, path: str) -> int:
     the same need is served by ``df.select(column).write.parquet`` —
     do not point this at a corpus-sized column. Returns the number of
     values written."""
-    values = [r[0] for r in df.select(column).collect()]
+    values = [r[0] for r in df.select(column).collect()]  # bounded-collect: documented driver-side sink, bounded column by contract
     with open(path, "wb") as handle:
         pickle.dump(values, handle, protocol=pickle.HIGHEST_PROTOCOL)
     return len(values)

@@ -140,7 +140,7 @@ def bloom_words(
         .distinct()
     )
     words = [0] * (m_bits // 32)
-    for r in pos.collect():
+    for r in pos.collect():  # bounded-collect: distinct Bloom bit positions <= m_bits
         p = int(r.p)
         words[p // 32] |= 1 << (p % 32)
     return words

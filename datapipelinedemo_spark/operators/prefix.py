@@ -105,7 +105,7 @@ def bucketed_prefix_sum(
                 for i, c in enumerate(scols)
             ]
         )
-        .collect()
+        .collect()  # bounded-collect: single row of column sums
     }
     runs, offs = [0] * len(scols), []
     for pid in range(len(bounds) + 1):

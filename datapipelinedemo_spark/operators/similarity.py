@@ -317,7 +317,7 @@ def lloyd_refine(
             )
             .groupBy("cid", "pos")
             .agg(F.sum("val").alias("sv"), F.sum("n").alias("sn"))
-            .collect()
+            .collect()  # bounded-collect: nlist*dim centroid component sums
         )
         new = cents.copy()
         by_cid: dict[int, dict[int, float]] = {}
@@ -406,7 +406,7 @@ def cosine_topk_ivf(
             )
             .orderBy("__hv", "cid")
             .limit(nlist)
-            .collect()
+            .collect()  # bounded-collect: limit(nlist) seeds
         )
         centroids = lloyd_refine(
             corpus,
@@ -435,7 +435,7 @@ def cosine_topk_ivf(
             )
             .orderBy("__hv", "cid")
             .limit(nlist)
-            .collect()
+            .collect()  # bounded-collect: limit(nlist) seeds
         )
 
     def _cent_sim(vec: str, vn: Column, row) -> Column:

@@ -1927,7 +1927,7 @@ def streaming_stateful_user_totals(
             F.col("m.n_events").alias("n_events"),
             F.col("m.total_value4").alias("total_value4"),
         )
-        .collect()
+        .collect()  # bounded-collect: memory-sink snapshot, already driver-resident
     )
     spark.catalog.dropTempView(qname)
     return spark.createDataFrame(rows, OUTPUT_SCHEMA_EXACT)

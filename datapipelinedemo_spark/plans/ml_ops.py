@@ -176,7 +176,7 @@ def kmeans_train(
     if hit is not None:
         return hit
     q = _pq_quantized(spark, sf_dir).persist() if _q is None else _q
-    init = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    init = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()  # bounded-collect: k seed centroids, k small constant
     cents: dict[int, list[int]] = {
         int(r.vec_id): list(r.qv) for r in init
     }
@@ -193,7 +193,7 @@ def kmeans_train(
                 .cast("long")
                 .alias("cv")
             )
-            .collect()
+            .collect()  # bounded-collect: k*dim centroid means per iteration
         )
         fresh: dict[int, dict[int, int]] = {}
         for r in upd:
@@ -591,7 +591,7 @@ def _pq_train_on(
     (IVFADC) codebooks, which train on ``qv - coarse_centroid``.
     Callers own memoization (the frames differ)."""
     q = quantized.persist()
-    seeds = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    seeds = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()  # bounded-collect: k seed centroids, k small constant
     dim = len(seeds[0].qv)
     assert dim % m_sub == 0, (dim, m_sub)
     w = dim // m_sub
@@ -636,7 +636,7 @@ def _pq_train_on(
                 .cast("long")
                 .alias("cv")
             )
-            .collect()
+            .collect()  # bounded-collect: k*dim codebook means per iteration
         )
         fresh: dict[tuple[int, int], dict[int, int]] = {}
         for r in upd:
@@ -894,7 +894,7 @@ def _dim_permutation_of(quantized: DataFrame, m_sub: int) -> list[int]:
                 F.col("x").cast("decimal(38,0)") * F.col("x")
             ).alias("sx2"),
         )
-        .collect()
+        .collect()  # bounded-collect: per-subspace moment aggregates, m*k rows
     )
     v = {
         int(r.j): int(r.n) * int(r.sx2) - int(r.sx) * int(r.sx)
@@ -3223,7 +3223,7 @@ def _givens_cs(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
                 F.col("s.a").cast("decimal(38,0)") * F.col("s.b")
             ).alias("sab"),
         )
-        .collect()
+        .collect()  # bounded-collect: per-subspace covariance moments, m-bounded
     )
     out: dict[int, tuple[int, int]] = {}
     for r in rows:

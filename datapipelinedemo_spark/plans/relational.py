@@ -425,7 +425,7 @@ def monthly_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # explicit pivot values: one tiny distinct job up front instead of
     # Catalyst's implicit one, and a deterministic column set
-    labels = sorted(r[0] for r in ev.select("ym").distinct().collect())
+    labels = sorted(r[0] for r in ev.select("ym").distinct().collect())  # bounded-collect: distinct year-months, calendar-bounded pivot labels
     return ev.groupBy("event_type").pivot("ym", labels).count().fillna(0)
 
 

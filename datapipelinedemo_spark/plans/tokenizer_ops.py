@@ -368,7 +368,7 @@ def train_bpe(
                     F.col("pair_count").desc(), F.col("lhs"), F.col("rhs")
                 )
                 .limit(max(1, probe_k))
-                .collect()
+                .collect()  # bounded-collect: limit(probe_k) rows
             )
             if not top:
                 break
@@ -589,7 +589,7 @@ def train_wordpiece(
                 )
                 .orderBy(F.col("score").desc(), F.col("lhs"), F.col("rhs"))
                 .limit(1)
-                .collect()
+                .collect()  # bounded-collect: limit(1) best merge
             )
             if not top:
                 break
@@ -1819,7 +1819,7 @@ def trained_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     if rows is None:
         words, allspans, scored = _uv_base(spark, sf_dir)
         final = train_unigram(spark, words, allspans, scored)
-        rows = [(r.piece, r.usage, r.nll6) for r in final.collect()]
+        rows = [(r.piece, r.usage, r.nll6) for r in final.collect()]  # bounded-collect: vocab-budget-bounded trained pieces
         final.unpersist()
         _UV_TRAINED_MEMO[key] = rows
     return spark.createDataFrame(
@@ -2016,7 +2016,7 @@ def uv_bf_dropped_chars(spark: SparkSession, sf_dir: str) -> list[str]:
         .agg(F.sum("wcnt").cast("long").alias("c"))
         .orderBy("c", "ch")
         .limit(UV_BF_DROP)
-        .collect()
+        .collect()  # bounded-collect: limit(UV_BF_DROP) rows
     )
     return [r.ch for r in rows]
 

@@ -102,7 +102,7 @@ def _month_labels(df: DataFrame, prefix: str) -> list[str]:
     strings (Frequency_monthly_demo.csv:1)."""
     ym = {
         (r["Year"], r["Month"])
-        for r in df.select("Year", "Month").distinct().collect()
+        for r in df.select("Year", "Month").distinct().collect()  # bounded-collect: distinct (Year,Month) pivot labels, calendar-bounded
     }
     return sorted(f"{prefix}_{y}-{m}" for y, m in ym)
 
