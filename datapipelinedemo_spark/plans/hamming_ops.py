@@ -1,0 +1,307 @@
+"""Binary sign-signature serving: Hamming-space candidate generation
+with exact cosine re-rank — the two-stage pattern production vector
+stores run when the corpus is too large to scan in float (binary
+quantization + rerank; same family as Multi-Index Hashing,
+Norouzi et al. 2012).
+
+Stage 1 scans 48-bit random-hyperplane signatures (ONE packed BIGINT
+per vector — 8 bytes against 512 for the raw 64-dim doubles, a 64×
+scan-byte cut at 100 TB) and keeps the ``C`` Hamming-nearest
+candidates per query. Stage 2 re-ranks only those C candidates with
+the exact cosine fold and emits top-10.
+
+Scale shape of stage 1 — NO corpus-sized window: a per-query
+``row_number`` over all n corpus rows would sort 10⁹-row partitions
+at scale. Hamming distance at 48 planes takes only 49 distinct
+values, so top-C selection compresses to a HISTOGRAM: one
+map-side-combinable ``groupBy(query, ham).count`` (≤49 rows per query
+after combine), a cumulative scan over those 49 rows to find the
+distance threshold ham* where the running count reaches C, then a
+filter ``ham <= ham*`` joined back broadcast. Only the ≤C+ties
+survivors see a window (deterministic (ham, neighbor_id) tie-break —
+the semantics stay exactly "plain top-C", which is what the DuckDB
+oracle replays with a plain ROW_NUMBER). The corpus never shuffles:
+queries broadcast in both stages.
+
+Signatures are the SAME deterministic md5-parity hyperplanes as the
+banded-LSH family (``operators.similarity.hyperplane_signs`` /
+``_PLANE_DOT``), just 48 planes packed into one word instead of 16
+sliced into band keys — band-LSH answers "who shares a bucket",
+Hamming rerank answers "who is nearest in sign space", and the recall
+table below measures what that buys per rerank depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipelinedemo_spark.operators import similarity as SIM
+from datapipelinedemo_spark.plans.catalog import register
+from datapipelinedemo_spark.plans.llm_ops import (
+    _CNRM,
+    _HPW,
+    _QDOT,
+    _QNRM,
+    TOPK_QUERY_MOD,
+    topk_scored_cte,
+)
+from datapipelinedemo_spark.tables import table
+
+_HAM_PLANES = 48
+_HAM_C = 50  # default rerank depth of the serving entry
+_HAM_DEPTHS = (10, 50, 200)
+_HAM_K = 10
+
+
+def _ham_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        SIM.hyperplane_signs("embedding", _HAM_PLANES, 64).alias("sig"),
+    )
+
+
+def hamming_topc(
+    sigs: DataFrame, c: int, query_mod: int = TOPK_QUERY_MOD
+) -> DataFrame:
+    """(query_id, neighbor_id, ham, hrnk <= c): the C Hamming-nearest
+    corpus signatures per query signature, by the histogram-threshold
+    plan in the module banner. ``sigs`` is (vec_id, sig)."""
+    q = sigs.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    pairs = (
+        sigs.select(F.col("vec_id").alias("neighbor_id"), "sig")
+        .join(
+            F.broadcast(q),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+            .cast("long")
+            .alias("ham"),
+        )
+    )
+    # 49-value histogram per query (partial-agg; the hot distance
+    # collapses map-side), cumulative scan over <=49 rows, ham* =
+    # largest distance whose PRECEDING cumulative count is < c.
+    hist = pairs.groupBy("query_id", "ham").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wq = Window.partitionBy("query_id").orderBy("ham")
+    thr = (
+        hist.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                wq.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("cum") - F.col("cnt") < c)
+        .groupBy("query_id")
+        .agg(F.max("ham").alias("ham_star"))
+    )
+    cand = pairs.join(F.broadcast(thr), "query_id").filter(
+        F.col("ham") <= F.col("ham_star")
+    )
+    wt = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    return (
+        cand.withColumn("hrnk", F.row_number().over(wt))
+        .filter(F.col("hrnk") <= c)
+        .select("query_id", "neighbor_id", "ham")
+    )
+
+
+def _rerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    cand: DataFrame,
+    k: int = _HAM_K,
+) -> DataFrame:
+    """Exact cosine over the candidate pairs only (the whole point of
+    stage 1), then top-k per query. Window partitions are <= C rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    qe = F.broadcast(
+        emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        cand.join(ce, "neighbor_id")
+        .join(qe, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                SIM.dot("qv", "cv")
+                / (SIM.norm("qv") * SIM.norm("cv"))
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cs", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# DuckDB mirror of the packed 48-plane signature: same md5-parity
+# hyperplanes and left-fold double dot as the certified banded-LSH
+# oracles, bit p packed at (1 << p).
+_HSIG_SQL = f"""
+    hsig AS (
+        SELECT vec_id,
+               CAST(list_sum([CASE WHEN
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   [CAST(embedding[i + 1] AS DOUBLE) * {_HPW}
+                    for i in generate_series(0, 63)]), (x, y) -> x + y)
+                 >= 0.0 THEN (1::BIGINT << p) ELSE 0::BIGINT END
+                 for p in generate_series(0, {_HAM_PLANES - 1})])
+               AS BIGINT) AS sig
+        FROM embeddings
+    )"""
+
+
+def _ham_topc_sql(c: int) -> str:
+    return f"""
+        SELECT query_id, neighbor_id, ham
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(q.sig, c.sig)) AS ham,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id
+                   ) AS hrnk
+            FROM hsig q JOIN hsig c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+        ) WHERE hrnk <= {c}
+    """
+
+
+def _ham_rerank_sql(c: int, k: int = _HAM_K) -> str:
+    return f"""
+        SELECT query_id, neighbor_id, cs, rnk FROM (
+            SELECT t.query_id, t.neighbor_id,
+                   {_QDOT} / ({_QNRM} * {_CNRM}) AS cs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.query_id
+                       ORDER BY {_QDOT} / ({_QNRM} * {_CNRM}) DESC,
+                                t.neighbor_id
+                   ) AS rnk
+            FROM ({_ham_topc_sql(c)}) t
+            JOIN embeddings q ON q.vec_id = t.query_id
+            JOIN embeddings c ON c.vec_id = t.neighbor_id
+        ) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "similarity_topk_hamming_rerank",
+    oracle=f"""
+    WITH {_HSIG_SQL}
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ({_ham_rerank_sql(_HAM_C)})
+    """,
+)
+def similarity_topk_hamming_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage binary serving at rerank depth C=50 (module banner):
+    48-bit signature scan → histogram-threshold Hamming top-C → exact
+    cosine re-rank → top-10."""
+    cand = hamming_topc(_ham_sigs(spark, sf_dir), _HAM_C)
+    return _rerank_topk(spark, sf_dir, cand)
+
+
+def _recall_union_sql() -> str:
+    parts = []
+    for c in _HAM_DEPTHS:
+        parts.append(f"""
+        SELECT CAST({c} AS BIGINT) AS rerank_depth,
+               CAST(COUNT(DISTINCT a.query_id) AS BIGINT) AS n_queries,
+               round(CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS recall_at_10
+        FROM ({_ham_rerank_sql(c)}) a
+        LEFT JOIN gt g
+          ON g.query_id = a.query_id
+         AND g.neighbor_id = a.neighbor_id""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "hamming_recall_by_depth",
+    oracle=topk_scored_cte()
+    + f""", {_HSIG_SQL},
+    gt AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cs DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {_HAM_K}
+    )
+    {_recall_union_sql()}
+    """,
+)
+def hamming_recall_by_depth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@10 of the Hamming-rerank serving path against the exact
+    full-float top-10, one row per rerank depth C ∈ {10, 50, 200} —
+    the measured case for how deep stage 2 must re-rank before the
+    8-byte signature scan stops costing recall. Signatures and the
+    exact ground truth are each computed ONCE and shared across
+    depths (the per-depth work is the top-C cut + the C-row rerank).
+    Like the other recall tables, a measurement query — excluded from
+    the exponent tables by the standing ``pq_recall_at_10``
+    rationale."""
+    sigs = _ham_sigs(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    gt = SIM.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=_HAM_K
+    ).select("query_id", "neighbor_id")
+    out = None
+    for c in _HAM_DEPTHS:
+        a = _rerank_topk(
+            spark, sf_dir, hamming_topc(sigs, c)
+        ).select("query_id", "neighbor_id")
+        r = (
+            a.join(
+                gt.withColumn("hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .agg(
+                F.lit(c).cast("long").alias("rerank_depth"),
+                F.countDistinct("query_id")
+                .cast("long")
+                .alias("n_queries"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall_at_10"),
+            )
+            .select("rerank_depth", "n_queries", "recall_at_10")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

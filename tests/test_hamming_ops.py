@@ -1,0 +1,147 @@
+"""Binary sign-signature Hamming rerank (plans/hamming_ops.py): the
+histogram-threshold top-C must equal plain top-C semantics, identical
+vectors must be Hamming-0 first-ranked, and deeper rerank must not
+lose recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _frame(spark, vectors):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_histogram_threshold_equals_plain_topc(spark):
+    """The 49-value histogram plan exists for scale; its OUTPUT must be
+    exactly the naive per-query window top-C (same (ham, neighbor_id)
+    tie-break) — pinned on a random corpus where Hamming ties are
+    plentiful."""
+    from datapipelinedemo_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+    from datapipelinedemo_spark.plans.hamming_ops import (
+        _HAM_PLANES,
+        hamming_topc,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = _frame(spark, rng.standard_normal((180, 64)))
+    sigs = emb.select(
+        "vec_id",
+        hyperplane_signs("embedding", _HAM_PLANES, 64).alias("sig"),
+    ).persist()
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in hamming_topc(sigs, 25).collect()
+    }
+
+    q = sigs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    naive = (
+        sigs.select(F.col("vec_id").alias("neighbor_id"), "sig")
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))).alias(
+                "ham"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "ham", "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 25)
+    )
+    want = {(r.query_id, r.neighbor_id) for r in naive.collect()}
+    assert got == want and len(got) == 25 * 4  # 4 queries (ids %50==0)
+
+
+def test_duplicate_vector_is_hamming_zero_and_top_ranked(spark):
+    """vec 100 is an exact copy of query vec 0: its signature matches
+    bit-for-bit (deterministic planes), so it leads the candidate list
+    and re-ranks at cosine 1.0, rank 1."""
+    from datapipelinedemo_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+    from datapipelinedemo_spark.plans.hamming_ops import (
+        _HAM_PLANES,
+        hamming_topc,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 64))
+    vecs[100] = vecs[0]
+    emb = _frame(spark, vecs)
+    sigs = emb.select(
+        "vec_id",
+        hyperplane_signs("embedding", _HAM_PLANES, 64).alias("sig"),
+    )
+    cand = hamming_topc(sigs, 10).collect()
+    by_q = {}
+    for r in cand:
+        by_q.setdefault(r.query_id, []).append(r)
+    first = min(
+        (r for r in by_q[0]), key=lambda r: (r.ham, r.neighbor_id)
+    )
+    assert first.neighbor_id == 100 and first.ham == 0
+
+    # and exact rerank of those candidates puts it at rank 1, cosine 1
+    qe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from datapipelinedemo_spark.operators import similarity as SIM
+
+    scored = (
+        spark.createDataFrame(
+            [(0, r.neighbor_id) for r in by_q[0]],
+            "query_id long, neighbor_id long",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "neighbor_id",
+            (SIM.dot("qv", "cv") / (SIM.norm("qv") * SIM.norm("cv"))).alias(
+                "cs"
+            ),
+        )
+        .orderBy(F.desc("cs"), "neighbor_id")
+        .collect()
+    )
+    assert scored[0].neighbor_id == 100
+    assert abs(scored[0].cs - 1.0) < 1e-9
+
+
+def test_recall_monotone_in_depth_on_catalog_corpus(spark, sf_dir):
+    """Deeper rerank can only add candidates, so recall@10 is monotone
+    nondecreasing in C (unlike nprobe under a coarse codebook, this
+    one IS a superset relation — safe to pin)."""
+    from datapipelinedemo_spark.plans.hamming_ops import (
+        hamming_recall_by_depth,
+    )
+
+    rows = {
+        r.rerank_depth: r.recall_at_10
+        for r in hamming_recall_by_depth(spark, sf_dir).collect()
+    }
+    assert set(rows) == {10, 50, 200}
+    assert rows[10] <= rows[50] <= rows[200]
+    assert rows[200] > 0.5  # depth 200 of 500 must recover the bulk
