@@ -115,7 +115,8 @@ def token_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     )
     SELECT n AS n_buckets,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_terms_total,
+           (SELECT CAST(SUM(n_terms) AS BIGINT) FROM hist)
+               AS n_terms_total,
            round(CAST(n * sxy6 - sx * sy6 AS DOUBLE)
                  / (CAST(n * sxx - sx * sx AS DOUBLE) * 1e6), 6)
                AS slope,
@@ -133,6 +134,7 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit is bit-reproducible in any engine."""
     pts = _hist(spark, sf_dir).select(
         F.col("bucket").alias("x"),
+        "n_terms",
         F.floor(
             F.log(F.col("n_terms").cast("double")) * F.lit(1e6)
             + F.lit(0.5)
@@ -140,20 +142,20 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y6"),
     )
+    # n_terms_total folds out of the SAME histogram — never a second
+    # corpus pass (the r14 exponent run caught the 2x).
     s = pts.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum("y6").cast("long").alias("sy6"),
         F.sum(F.col("x") * F.col("y6")).cast("long").alias("sxy6"),
-    )
-    total = _tf(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms_total")
+        F.sum("n_terms").cast("long").alias("n_terms_total"),
     )
     den = (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     ).cast("double") * F.lit(1e6)
-    return s.crossJoin(total).select(
+    return s.select(
         F.col("n").alias("n_buckets"),
         "n_terms_total",
         F.round(
