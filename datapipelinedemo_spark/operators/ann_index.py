@@ -84,3 +84,44 @@ def lsh_index(
 
     ensure_dir(dest, _build)
     return read_frame(spark, dest)
+
+
+def hamming_sig_index(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: int = 48,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sig): the packed ``planes``-bit sign signatures of the
+    embeddings table, served from a write-once parquet index — the
+    stage-1 scan frame of the Hamming-rerank family
+    (plans/hamming_ops.py). One BIGINT per vector: at 100 TB this is
+    the 64×-smaller artifact the candidate scan reads instead of the
+    float corpus, and signing (a planes×dim fold per vector) runs once
+    per corpus generation, not per query batch. Bit-identical to
+    inline signing (same md5-parity hyperplanes), so the stored and
+    inline serving entries share one oracle."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(
+        _index_root(),
+        f"{sf_name}-m{st.st_mtime_ns}-s{st.st_size}"
+        f"-hamsig{planes}d{dim}",
+    )
+
+    def _build(tmp: str) -> None:
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(src)
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            SIM.hyperplane_signs(vec_col, planes, dim).alias("sig"),
+        ).repartitionByRange(8, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    ensure_dir(dest, _build)
+    return read_frame(spark, dest)

@@ -229,6 +229,35 @@ def similarity_topk_hamming_rerank(
     return _rerank_topk(spark, sf_dir, cand)
 
 
+@register(
+    "similarity_topk_hamming_stored",
+    oracle=f"""
+    WITH {_HSIG_SQL}
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ({_ham_rerank_sql(_HAM_C)})
+    """,
+)
+def similarity_topk_hamming_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production form of ``similarity_topk_hamming_rerank``:
+    stage 1 scans the WRITE-ONCE signature index
+    (``operators.ann_index.hamming_sig_index`` — one BIGINT per
+    vector, built once per corpus generation) instead of signing the
+    float corpus per query batch; stage 2 fetches only the C
+    candidate vectors for exact rerank. Signatures are bit-identical
+    to inline signing, so this entry shares the inline entry's oracle
+    — the certification that the stored path IS the same query."""
+    from datapipelinedemo_spark.operators.ann_index import (
+        hamming_sig_index,
+    )
+
+    sigs = hamming_sig_index(spark, sf_dir, _HAM_PLANES, 64)
+    cand = hamming_topc(sigs, _HAM_C)
+    return _rerank_topk(spark, sf_dir, cand)
+
+
 def _recall_union_sql() -> str:
     parts = []
     for c in _HAM_DEPTHS:

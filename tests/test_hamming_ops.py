@@ -130,6 +130,40 @@ def test_duplicate_vector_is_hamming_zero_and_top_ranked(spark):
     assert abs(scored[0].cs - 1.0) < 1e-9
 
 
+def test_stored_signature_serving_equals_inline(spark, sf_dir, tmp_path, monkeypatch):
+    """The write-once signature index serves bit-identical results to
+    inline signing (same deterministic hyperplanes) — and a second
+    call reads the committed index instead of rebuilding."""
+    import os
+
+    from datapipelinedemo_spark.plans.hamming_ops import (
+        similarity_topk_hamming_rerank,
+        similarity_topk_hamming_stored,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    inline = {
+        tuple(r)
+        for r in similarity_topk_hamming_rerank(spark, sf_dir).collect()
+    }
+    stored = {
+        tuple(r)
+        for r in similarity_topk_hamming_stored(spark, sf_dir).collect()
+    }
+    assert stored == inline and stored
+    built = [d for d in os.listdir(tmp_path) if "hamsig" in d]
+    assert len(built) == 1  # the index committed under the env root
+    # second serve hits the manifest-pinned frame (no rebuild: the
+    # committed dir's mtime is untouched)
+    before = os.path.getmtime(os.path.join(tmp_path, built[0]))
+    stored2 = {
+        tuple(r)
+        for r in similarity_topk_hamming_stored(spark, sf_dir).collect()
+    }
+    assert stored2 == inline
+    assert os.path.getmtime(os.path.join(tmp_path, built[0])) == before
+
+
 def test_recall_monotone_in_depth_on_catalog_corpus(spark, sf_dir):
     """Deeper rerank can only add candidates, so recall@10 is monotone
     nondecreasing in C (unlike nprobe under a coarse codebook, this
