@@ -3159,6 +3159,146 @@ def c4_page_filter_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Per-source boilerplate report — the per-host flavor of the C4 line
+# dedup: a navigation template repeated across one site's pages is
+# invisible to a global absolute threshold when the site is small, and
+# a RELATIVE threshold (block appears in >= 25% of the source's docs,
+# min 2) is what crawl cleaning actually keys on (CCNet/RefinedWeb
+# both dedupe per-domain first). Shares the _C4_B word-block pseudo-
+# line convention so the two entries describe the same units.
+# Scale: the block explode is the only corpus-grain pass; doc-
+# frequency is a two-level partial agg ((source, blk, doc) then
+# (source, blk)); the report is |sources| rows; per-source doc counts
+# broadcast. No windows.
+# --------------------------------------------------------------------------
+_SBR_FRAC = 0.25  # block is template if in >= 25% of the source's docs
+
+
+@register(
+    "source_boilerplate_report",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents
+    ), ix AS (
+        SELECT doc_id, source, ws,
+               unnest(range(CAST(ceil(len(ws) / {_C4_B}.0) AS BIGINT)))
+                   AS idx
+        FROM w
+    ), b AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   list_slice(ws, idx * {_C4_B} + 1,
+                              idx * {_C4_B} + {_C4_B}), ' ') AS blk
+        FROM ix
+    ), l2 AS (
+        SELECT source, blk,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS occ
+        FROM b GROUP BY 1, 2
+    ), nd AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT source, CAST(SUM(occ) AS BIGINT) AS total_occurrences
+        FROM l2 GROUP BY 1
+    ), tmpl AS (
+        SELECT l2.source,
+               CAST(COUNT(*) AS BIGINT) AS n_template_blocks,
+               CAST(SUM(l2.occ) AS BIGINT) AS template_occurrences
+        FROM l2 JOIN nd ON nd.source = l2.source
+        WHERE l2.df >= GREATEST(2, CAST(CEIL({_SBR_FRAC} * nd.n_docs)
+                                        AS BIGINT))
+        GROUP BY 1
+    )
+    SELECT nd.source AS source, nd.n_docs AS n_docs,
+           COALESCE(t.n_template_blocks, 0) AS n_template_blocks,
+           COALESCE(t.template_occurrences, 0) AS template_occurrences,
+           tot.total_occurrences AS total_occurrences,
+           round(CAST(COALESCE(t.template_occurrences, 0) AS DOUBLE)
+                 / tot.total_occurrences, 6) AS template_share
+    FROM nd
+    JOIN tot ON tot.source = nd.source
+    LEFT JOIN tmpl t ON t.source = nd.source
+    """,
+)
+def source_boilerplate_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source template-block report (section comment above):
+    (source, n_docs, n_template_blocks, template_occurrences,
+    total_occurrences, template_share)."""
+    docs = table(spark, sf_dir, "documents")
+    b = F.lit(_C4_B)
+    staged = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("__words")
+    )
+    words = F.col("__words")
+    nblk = F.ceil(F.size(words) / b.cast("double")).cast("long")
+    blocks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nblk - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, (i * b + 1).cast("int"), _C4_B), " "
+        ),
+    )
+    ex = staged.select(
+        "doc_id", "source", F.explode(blocks).alias("blk")
+    )
+    l2 = (
+        ex.groupBy("source", "blk", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .groupBy("source", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("o").cast("long").alias("occ"),
+        )
+    )
+    nd = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = l2.groupBy("source").agg(
+        F.sum("occ").cast("long").alias("total_occurrences")
+    )
+    tmpl = (
+        l2.join(F.broadcast(nd), "source")
+        .filter(
+            F.col("df")
+            >= F.greatest(
+                F.lit(2).cast("long"),
+                F.ceil(F.lit(_SBR_FRAC) * F.col("n_docs")).cast("long"),
+            )
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_template_blocks"),
+            F.sum("occ").cast("long").alias("template_occurrences"),
+        )
+    )
+    return (
+        nd.join(tot, "source")
+        .join(tmpl, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_template_blocks"), F.lit(0))
+            .cast("long")
+            .alias("n_template_blocks"),
+            F.coalesce(F.col("template_occurrences"), F.lit(0))
+            .cast("long")
+            .alias("template_occurrences"),
+            "total_occurrences",
+            F.round(
+                F.coalesce(
+                    F.col("template_occurrences"), F.lit(0)
+                ).cast("double")
+                / F.col("total_occurrences"),
+                6,
+            ).alias("template_share"),
+        )
+    )
+
+
 @register(
     "c4_page_filters",
     oracle=f"""

@@ -548,3 +548,44 @@ def test_ngram_novelty_rate_consistency_and_planted_novelty(spark, sf_dir):
         p = ngram_novelty_rate(spark, td).collect()[0]
     assert p.novelty_rate == 1.0
     assert p.n_novel_grams == p.n_batch_grams == 7  # 10 words -> 7 4-grams
+
+
+def test_source_boilerplate_report_planted_template(spark, tmp_path):
+    """srcA: a 4-word nav template in 3 of 4 docs (75% >= 25% and
+    >= 2) -> template; a block in only 1 doc -> not (relative
+    threshold needs df >= 2 even on tiny sources). srcB: 2 docs with
+    no shared block -> zero template rows but still reported."""
+    from datapipelinedemo_spark.plans.llm_ops import (
+        source_boilerplate_report,
+    )
+
+    nav = "home about contact legal"  # exactly one _C4_B block
+    rows = [
+        (1, f"{nav} alpha beta gamma delta", "en", "srcA"),
+        (2, f"{nav} eps zeta eta theta", "en", "srcA"),
+        (3, f"{nav}", "en", "srcA"),
+        (4, "iota kappa lambda mu", "en", "srcA"),
+        (5, "nu xi omicron pi", "en", "srcB"),
+        (6, "rho sigma tau upsilon", "en", "srcB"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in source_boilerplate_report(spark, str(tmp_path)).collect()
+    }
+    a = got["srcA"]
+    assert a.n_docs == 4
+    assert a.n_template_blocks == 1  # the nav block (df=3 >= ceil(1))
+    assert a.template_occurrences == 3
+    # docs 1,2: 2 blocks each; doc 3: 1; doc 4: 1 -> 6 total
+    assert a.total_occurrences == 6
+    assert a.template_share == 0.5
+    b = got["srcB"]
+    assert (b.n_template_blocks, b.template_occurrences) == (0, 0)
+    assert b.template_share == 0.0
