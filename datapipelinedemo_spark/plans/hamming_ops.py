@@ -258,6 +258,86 @@ def similarity_topk_hamming_stored(
     return _rerank_topk(spark, sf_dir, cand)
 
 
+_HAM_RADIUS = 8  # admission: reject if any stored sig within this
+
+
+def hamming_screen_batch(
+    batch: DataFrame, corpus_sigs: DataFrame, radius: int = _HAM_RADIUS
+) -> DataFrame:
+    """(vec_id, min_ham, admitted): the signature-only admission
+    screen — the arriving micro-batch is signed fresh, compared to the
+    STORED corpus signatures, and admitted iff no stored vector lies
+    within Hamming ``radius``. Unlike the LSH cosine screen
+    (streaming_embedding_vs_corpus) this never touches a float at
+    serve time: the decision reads 8 bytes per corpus vector, which is
+    the artifact a 100 TB admission gate can actually afford to scan
+    per batch. min-Hamming is a partial-aggregable groupBy (no window,
+    no histogram needed — only the minimum survives).
+
+    This function IS the stream's per-batch body (the pytest drives it
+    under a real readStream foreachBatch); the catalog entry runs it
+    as a batch twin on the certified slice."""
+    bsig = batch.select(
+        "vec_id",
+        SIM.hyperplane_signs("embedding", _HAM_PLANES, 64).alias(
+            "bsig"
+        ),
+    )
+    pairs = bsig.join(
+        F.broadcast(
+            corpus_sigs.select(
+                F.col("sig").alias("csig"),
+                F.col("vec_id").alias("cid"),
+            )
+        ),
+        F.col("vec_id") != F.col("cid"),
+    ).select(
+        "vec_id",
+        F.bit_count(F.col("bsig").bitwiseXOR(F.col("csig")))
+        .cast("long")
+        .alias("ham"),
+    )
+    return pairs.groupBy("vec_id").agg(
+        F.min("ham").alias("min_ham"),
+        (F.min("ham") > radius).cast("long").alias("admitted"),
+    )
+
+
+@register(
+    "streaming_hamming_admission",
+    oracle=f"""
+    WITH {_HSIG_SQL},
+    b AS (SELECT * FROM hsig WHERE vec_id % 10 = 0),
+    c AS (SELECT * FROM hsig WHERE vec_id % 10 <> 0)
+    SELECT b.vec_id AS vec_id,
+           CAST(MIN(bit_count(xor(b.sig, c.sig))) AS BIGINT) AS min_ham,
+           CAST(CASE WHEN MIN(bit_count(xor(b.sig, c.sig)))
+                > {_HAM_RADIUS} THEN 1 ELSE 0 END AS BIGINT) AS admitted
+    FROM b JOIN c ON b.vec_id <> c.vec_id
+    GROUP BY 1
+    """,
+)
+def streaming_hamming_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH TWIN of the signature-only admission screen (the
+    ``hamming_screen_batch`` docstring): the arriving batch slice
+    (vec_id % 10 == 0) signed fresh, the corpus side (vec_id % 10
+    != 0) served from the write-once signature index — the dedup/
+    exact-substring admission-screen pattern on 8-byte signatures."""
+    from datapipelinedemo_spark.operators.ann_index import (
+        hamming_sig_index,
+    )
+
+    batch = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    corpus = hamming_sig_index(spark, sf_dir, _HAM_PLANES, 64).filter(
+        F.col("vec_id") % 10 != 0
+    )
+    return hamming_screen_batch(batch, corpus)
+
+
 def _recall_union_sql() -> str:
     parts = []
     for c in _HAM_DEPTHS:

@@ -164,6 +164,83 @@ def test_stored_signature_serving_equals_inline(spark, sf_dir, tmp_path, monkeyp
     assert os.path.getmtime(os.path.join(tmp_path, built[0])) == before
 
 
+def test_streaming_hamming_admission_two_microbatches(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A real readStream drive of the admission screen: two
+    micro-batches through a foreachBatch whose body IS
+    ``hamming_screen_batch`` (the certified batch twin's function)
+    against the stored signature index — the union of per-batch
+    results equals the twin exactly (the screen is per-vector
+    independent, so batching cannot change decisions)."""
+    import uuid
+
+    from datapipelinedemo_spark.operators.ann_index import (
+        hamming_sig_index,
+    )
+    from datapipelinedemo_spark.plans.hamming_ops import (
+        _HAM_PLANES,
+        hamming_screen_batch,
+        streaming_hamming_admission,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx")
+    )
+    twin = streaming_hamming_admission(spark, sf_dir)
+    want = {tuple(r) for r in twin.collect()}
+    assert want
+    # the isotropic synthetic corpus admits everything (min_ham >= 10
+    # at sf0.01 — recorded honestly); the REJECT branch is exercised
+    # by planting a copy of corpus vector 1 into the stream below
+    assert all(r[2] == 1 for r in want)
+
+    src = str(tmp_path / "emb_stream")
+    emb = table(spark, sf_dir, "embeddings")
+    plant = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(1_000_001).cast("long").alias("vec_id"), "embedding"
+    )
+    (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(plant)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    want = want | {(1_000_001, 0, 0)}  # exact copy: ham 0, rejected
+    corpus = hamming_sig_index(spark, sf_dir, _HAM_PLANES, 64).filter(
+        F.col("vec_id") % 10 != 0
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: set = set()
+    n_batches = []
+
+    def _screen(batch_df, batch_id):
+        rows = hamming_screen_batch(batch_df, corpus).collect()
+        if rows:
+            n_batches.append(batch_id)
+        got.update(tuple(r) for r in rows)
+
+    q = (
+        stream.writeStream.foreachBatch(_screen)
+        .queryName(f"hamadm_{uuid.uuid4().hex}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    assert len(n_batches) == 2
+    assert got == want
+
+
 def test_recall_monotone_in_depth_on_catalog_corpus(spark, sf_dir):
     """Deeper rerank can only add candidates, so recall@10 is monotone
     nondecreasing in C (unlike nprobe under a coarse codebook, this

@@ -49,6 +49,10 @@ QUERIES = [
     "token_zipf_histogram",
     "token_zipf_slope",
     "lexical_diversity_by_lang",
+    # per-source template detector: block explode + two-level partial
+    # agg; expected ~linear in corpus blocks (same family as
+    # c4_line_dedup's 0.6-ish document-grain exponents)
+    "source_boilerplate_report",
 ]
 
 
