@@ -78,3 +78,4 @@ def load_catalog() -> None:
     from datapipelinedemo_spark.plans import matryoshka_ops  # noqa: F401
     from datapipelinedemo_spark.plans import hamming_ops  # noqa: F401
     from datapipelinedemo_spark.plans import lexstats_ops  # noqa: F401
+    from datapipelinedemo_spark.plans import sq8_ops  # noqa: F401
