@@ -1561,3 +1561,129 @@ def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_overlap",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Day-over-day distribution drift (PSI) of the event-value histogram —
+# the monitoring table a production pipeline alarms on (PSI > 0.2 is
+# the standard "investigate" bar). Design for cross-engine exactness
+# and scale:
+# - bins are the certified value_histogram_20bins convention with
+#   CORPUS-WIDE bounds (one 1-row broadcast), so every day's histogram
+#   is comparable;
+# - each day×bin cell is Laplace-smoothed ((c+1)/(n+20)) so empty bins
+#   never hit ln(0) and the inputs to every float op are exact
+#   integers;
+# - the per-bin PSI term (p−q)·ln(p/q) snaps to the 1e-6 grid BEFORE
+#   the 20-term sum, so the final SUM is exact-BIGINT and order-free —
+#   a raw double SUM over bins would be engine-order-dependent (the
+#   functions/stable.py playbook; ln shares the classifier-sigmoid
+#   determinism precedent);
+# - adjacent days pair by JOIN on day = prev_day + 1 (no window at
+#   all); everything after the (day, bin) partial-agg count is
+#   calendar-bounded (≤ |days|×20 rows).
+# --------------------------------------------------------------------------
+@register(
+    "event_value_drift_psi",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+    ),
+    cnt AS (
+        SELECT CAST(ts AS DATE) AS day,
+               LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 20.0))
+                     AS BIGINT), 19) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events, b GROUP BY 1, 2
+    ),
+    days AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    dense AS (
+        SELECT d.day, g.bin, d.n, COALESCE(cnt.c, 0) AS c
+        FROM days d
+        CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bin) g
+        LEFT JOIN cnt ON cnt.day = d.day AND cnt.bin = g.bin
+    ),
+    pairs AS (
+        SELECT cur.day AS day,
+               cur.n AS n_cur, prv.n AS n_prev,
+               CAST(FLOOR(
+                 ((CAST(cur.c + 1 AS DOUBLE) / (cur.n + 20))
+                  - (CAST(prv.c + 1 AS DOUBLE) / (prv.n + 20)))
+                 * ln((CAST(cur.c + 1 AS DOUBLE) / (cur.n + 20))
+                      / (CAST(prv.c + 1 AS DOUBLE) / (prv.n + 20)))
+                 * 1e6 + 0.5) AS BIGINT) AS term6
+        FROM dense cur
+        JOIN dense prv
+          ON prv.day = cur.day - INTERVAL 1 DAY AND prv.bin = cur.bin
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           CAST(MAX(n_prev) AS BIGINT) AS n_prev,
+           round(CAST(CAST(SUM(term6) AS BIGINT) AS DOUBLE) / 1e6, 6)
+               AS psi
+    FROM pairs GROUP BY day
+    """,
+)
+def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_cur, n_prev, psi): population-stability index of each
+    day's event-value distribution against the previous day (section
+    comment above)."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binc = F.least(
+        F.floor(
+            (F.col("value") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / 20.0)
+        ).cast("long"),
+        F.lit(19),
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(b))
+        .select(F.col("ts").cast("date").alias("day"), binc.alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    days = cnt.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
+    bins = spark.range(0, 20).select(F.col("id").cast("long").alias("bin"))
+    dense = (
+        days.crossJoin(F.broadcast(bins))
+        .join(cnt, ["day", "bin"], "left")
+        .select(
+            "day",
+            "bin",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    cur = dense.select(
+        F.col("day"),
+        "bin",
+        F.col("n").alias("n_cur"),
+        F.col("c").alias("c_cur"),
+    )
+    prv = dense.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        "bin",
+        F.col("n").alias("n_prev"),
+        F.col("c").alias("c_prev"),
+    )
+    p = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + 20)
+    q = (F.col("c_prev") + 1).cast("double") / (F.col("n_prev") + 20)
+    term6 = F.floor((p - q) * F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    pairs = cur.join(prv, ["day", "bin"]).select(
+        "day", "n_cur", "n_prev", term6.alias("term6")
+    )
+    return pairs.groupBy("day").agg(
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.max("n_prev").cast("long").alias("n_prev"),
+        F.round(
+            F.sum("term6").cast("long").cast("double") / 1e6, 6
+        ).alias("psi"),
+    ).select(
+        F.col("day").cast("string").alias("day"),
+        "n_cur",
+        "n_prev",
+        "psi",
+    )

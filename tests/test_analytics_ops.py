@@ -375,3 +375,53 @@ def test_gini_histogram_form_equals_ranked_twin(spark, sf_dir):
     bad_plan = plan_string(bad)
     assert single_partition_sorts(bad_plan)
     assert single_partition_windows(bad_plan)
+
+
+def test_event_value_drift_psi_planted_shift(spark, tmp_path):
+    """Three days: day1 and day2 share one value distribution (PSI ~ 0
+    up to smoothing), day3 concentrates all mass in the top bin — its
+    PSI against day2 must clear the standard 0.2 'investigate' bar by
+    a wide margin."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.analytics_ops import (
+        event_value_drift_psi,
+    )
+
+    rows = []
+    eid = 0
+    for day, values in [
+        (1, [float(v % 100) for v in range(400)]),
+        (2, [float(v % 100) for v in range(400)]),
+        (3, [99.9] * 400),
+    ]:
+        for v in values:
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 3, day, 12, 0, 0),
+                    eid % 7,
+                    "view",
+                    v,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # write with micros timestamps (the reader expects parquet events)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.day: r.psi
+        for r in event_value_drift_psi(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"2024-03-02", "2024-03-03"}
+    assert abs(got["2024-03-02"]) < 0.01  # same distribution
+    assert got["2024-03-03"] > 1.0  # total shift
