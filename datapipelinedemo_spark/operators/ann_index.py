@@ -116,9 +116,8 @@ def hamming_sig_index(
         from pyspark.sql import functions as F
 
         emb = spark.read.parquet(src)
-        emb.select(
-            F.col(id_col).alias("vec_id"),
-            SIM.hyperplane_signs(vec_col, planes, dim).alias("sig"),
+        SIM.with_hyperplane_signs(emb, vec_col, planes, dim).select(
+            F.col(id_col).alias("vec_id"), "sig"
         ).repartitionByRange(8, "vec_id").write.mode(
             "overwrite"
         ).parquet(tmp)

@@ -250,6 +250,57 @@ def hyperplane_signs(vec_col: str, planes: int = 16, dim: int = 64) -> Column:
     )
 
 
+def with_hyperplane_signs(
+    df: DataFrame,
+    vec_col: str,
+    planes: int,
+    dim: int,
+    out_col: str = "sig",
+) -> DataFrame:
+    """``hyperplane_signs`` with the md5 parity weights HOISTED to a
+    plan constant: the expression form re-derives
+    ``md5(concat(p,'_',i))`` per element PER ROW (Catalyst does no
+    loop-invariant extraction inside correlated lambdas), which at 48
+    planes × 64 dims is 3072 digests per vector — measured 33s for one
+    sf0.1 Hamming serve. Here the ±1 matrix is computed once in Python
+    (hashlib md5 — same first-8-hex parity, pinned bit-equal by
+    ``test_fast_signs_equal_expression_signs``) and rides as ONE
+    broadcast flat array; the per-row work drops to the plain
+    zip_with/aggregate fold. The fold multiplies the same ±1.0 doubles
+    in the same left-to-right order, so signatures are BIT-IDENTICAL
+    to the expression form and every oracle stays valid."""
+    import hashlib
+
+    w = [
+        1.0
+        if int(
+            hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:8], 16
+        )
+        % 2
+        == 0
+        else -1.0
+        for p in range(planes)
+        for i in range(dim)
+    ]
+    wrow = df.sparkSession.createDataFrame(
+        [(w,)], "__hpw array<double>"
+    )
+    sig = F.expr(
+        f"aggregate(transform(sequence(0, {planes - 1}), p ->"
+        f" if(aggregate(zip_with({vec_col},"
+        f"      slice(__hpw, p * {dim} + 1, {dim}),"
+        f"      (x, y) -> cast(x as double) * y),"
+        f"    0.0D, (acc, v) -> acc + v) >= 0.0D,"
+        f"    shiftleft(1L, p), 0L)),"
+        f" 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        df.crossJoin(F.broadcast(wrow))
+        .withColumn(out_col, sig)
+        .drop("__hpw")
+    )
+
+
 def _dot_lit(vec_col: str, lit_arr: Column) -> Column:
     """Left fold of vec_col against a literal double array — the same
     ZipWith+Aggregate shape as dot(), so scores stay bit-identical

@@ -55,10 +55,20 @@ _HAM_K = 10
 
 
 def _ham_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-signed corpus, PINNED: ``hamming_topc`` derives the pair
+    frame twice (histogram + filter-back) and the recall table reuses
+    one sigs frame across three depths — without the pin each consumer
+    re-signs the corpus (Catalyst has no cross-branch subtree
+    sharing). 16 bytes/vector, the one corpus-grain frame pinning is
+    FOR (pin.py policy: never pin corpus-sized frames — this is the
+    64×-smaller signature artifact, not the corpus)."""
+    from datapipelinedemo_spark.pin import pin
+
     emb = table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        SIM.hyperplane_signs("embedding", _HAM_PLANES, 64).alias("sig"),
+    return pin(
+        SIM.with_hyperplane_signs(
+            emb, "embedding", _HAM_PLANES, 64
+        ).select("vec_id", "sig")
     )
 
 
@@ -277,12 +287,9 @@ def hamming_screen_batch(
     This function IS the stream's per-batch body (the pytest drives it
     under a real readStream foreachBatch); the catalog entry runs it
     as a batch twin on the certified slice."""
-    bsig = batch.select(
-        "vec_id",
-        SIM.hyperplane_signs("embedding", _HAM_PLANES, 64).alias(
-            "bsig"
-        ),
-    )
+    bsig = SIM.with_hyperplane_signs(
+        batch, "embedding", _HAM_PLANES, 64, out_col="bsig"
+    ).select("vec_id", "bsig")
     pairs = bsig.join(
         F.broadcast(
             corpus_sigs.select(

@@ -69,6 +69,36 @@ def test_histogram_threshold_equals_plain_topc(spark):
     assert got == want and len(got) == 25 * 4  # 4 queries (ids %50==0)
 
 
+def test_fast_signs_equal_expression_signs(spark):
+    """The broadcast-weights signing path (md5 parity hoisted to a
+    Python-computed plan constant) is BIT-IDENTICAL to the original
+    per-row md5 expression — same ±1.0 doubles folded in the same
+    order — at both the Hamming geometry (48×64) and the LSH one
+    (16×64), so every signature-derived oracle stays valid."""
+    from datapipelinedemo_spark.operators.similarity import (
+        hyperplane_signs,
+        with_hyperplane_signs,
+    )
+
+    rng = np.random.default_rng(13)
+    emb = _frame(spark, rng.standard_normal((80, 64)))
+    for planes in (16, 48):
+        slow = {
+            (r.vec_id, r.sig)
+            for r in emb.select(
+                "vec_id",
+                hyperplane_signs("embedding", planes, 64).alias("sig"),
+            ).collect()
+        }
+        fast = {
+            (r.vec_id, r.sig)
+            for r in with_hyperplane_signs(emb, "embedding", planes, 64)
+            .select("vec_id", "sig")
+            .collect()
+        }
+        assert fast == slow
+
+
 def test_duplicate_vector_is_hamming_zero_and_top_ranked(spark):
     """vec 100 is an exact copy of query vec 0: its signature matches
     bit-for-bit (deterministic planes), so it leads the candidate list
