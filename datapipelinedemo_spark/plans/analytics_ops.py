@@ -1645,7 +1645,14 @@ def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = cnt.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
     bins = spark.range(0, 20).select(F.col("id").cast("long").alias("bin"))
-    dense = (
+    from datapipelinedemo_spark.pin import pin
+
+    # PINNED: both the current-day and previous-day branches consume
+    # this frame, and Catalyst has no cross-branch subtree sharing —
+    # unpinned, each branch re-derives the corpus-grain (day, bin)
+    # count, i.e. TWO event scans instead of one. The frame itself is
+    # calendar-bounded (|days|×20 rows), the class pinning is for.
+    dense = pin(
         days.crossJoin(F.broadcast(bins))
         .join(cnt, ["day", "bin"], "left")
         .select(
