@@ -3257,41 +3257,35 @@ def source_boilerplate_report(
     nd = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    tot = l2.groupBy("source").agg(
-        F.sum("occ").cast("long").alias("total_occurrences")
-    )
-    tmpl = (
-        l2.join(F.broadcast(nd), "source")
-        .filter(
-            F.col("df")
-            >= F.greatest(
-                F.lit(2).cast("long"),
-                F.ceil(F.lit(_SBR_FRAC) * F.col("n_docs")).cast("long"),
-            )
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_template_blocks"),
-            F.sum("occ").cast("long").alias("template_occurrences"),
-        )
+    # ONE pass over the (source, blk) frame: the template predicate is
+    # a conditional inside the same aggregation that totals occurrences
+    # — splitting it into separate tot/tmpl consumers would re-derive
+    # the block explode twice (no cross-branch subtree sharing).
+    is_tmpl = F.col("df") >= F.greatest(
+        F.lit(2).cast("long"),
+        F.ceil(F.lit(_SBR_FRAC) * F.col("n_docs")).cast("long"),
     )
     return (
-        nd.join(tot, "source")
-        .join(tmpl, "source", "left")
+        l2.join(F.broadcast(nd), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.sum(F.when(is_tmpl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_template_blocks"),
+            F.sum(F.when(is_tmpl, F.col("occ")).otherwise(0))
+            .cast("long")
+            .alias("template_occurrences"),
+            F.sum("occ").cast("long").alias("total_occurrences"),
+        )
         .select(
             "source",
             "n_docs",
-            F.coalesce(F.col("n_template_blocks"), F.lit(0))
-            .cast("long")
-            .alias("n_template_blocks"),
-            F.coalesce(F.col("template_occurrences"), F.lit(0))
-            .cast("long")
-            .alias("template_occurrences"),
+            "n_template_blocks",
+            "template_occurrences",
             "total_occurrences",
             F.round(
-                F.coalesce(
-                    F.col("template_occurrences"), F.lit(0)
-                ).cast("double")
+                F.col("template_occurrences").cast("double")
                 / F.col("total_occurrences"),
                 6,
             ).alias("template_share"),
