@@ -345,6 +345,88 @@ def streaming_hamming_admission(
     return hamming_screen_batch(batch, corpus)
 
 
+# nDCG position weights on the 1e-6 grid: w6[r] = round(1e6 / log2(r+1))
+# for rank r = 1..10, precomputed in Python so NEITHER engine evaluates a
+# transcendental — DCG sums are exact BIGINTs and order-free. With binary
+# relevance and exactly 10 relevant docs per query, IDCG is the constant
+# Σ w6, so mean nDCG = (Σ_q DCG6_q) / (n_queries · IDCG6): pure integer
+# sums and ONE IEEE division at the end.
+import math as _math
+
+_NDCG_W6 = [
+    int(round(1e6 / _math.log2(r + 1))) for r in range(1, _HAM_K + 1)
+]
+_IDCG6 = sum(_NDCG_W6)
+
+
+@register(
+    "hamming_ndcg_at_10",
+    oracle=topk_scored_cte()
+    + f""", {_HSIG_SQL},
+    gt AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cs DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {_HAM_K}
+    ),
+    a AS (SELECT query_id, neighbor_id, rnk
+          FROM ({_ham_rerank_sql(_HAM_C)})),
+    hits AS (
+        SELECT a.query_id,
+               CAST(SUM([{", ".join(map(str, _NDCG_W6))}][a.rnk])
+                    AS BIGINT) AS dcg6
+        FROM a JOIN gt
+          ON gt.query_id = a.query_id
+         AND gt.neighbor_id = a.neighbor_id
+        GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(dcg6) AS BIGINT) AS total_dcg6,
+           round(CAST(SUM(dcg6) AS DOUBLE)
+                 / (COUNT(*) * {_IDCG6}.0), 6) AS ndcg_at_10
+    FROM hits
+    """,
+)
+def hamming_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean nDCG@10 of the Hamming-rerank serving path against binary
+    relevance from the exact float top-10 — the RANKING-AWARE
+    companion of `hamming_recall_by_depth` (recall counts hits, nDCG
+    also charges for putting them in the wrong order; a rerank that
+    finds all 10 but inverts them scores recall 1.0 and nDCG < 1).
+    Every query's gt set has exactly 10 members, so IDCG is one
+    constant and the mean needs no per-query float division (banner
+    above)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    gt = SIM.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=_HAM_K
+    ).select("query_id", "neighbor_id")
+    cand = hamming_topc(_ham_sigs(spark, sf_dir), _HAM_C)
+    served = _rerank_topk(spark, sf_dir, cand).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rnk")
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W6])
+    hits = (
+        served.join(gt, ["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            F.element_at(w_arr, F.col("rnk")).cast("long").alias("w6"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("w6").cast("long").alias("dcg6"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("dcg6").cast("long").alias("total_dcg6"),
+        F.round(
+            F.sum("dcg6").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(_IDCG6))),
+            6,
+        ).alias("ndcg_at_10"),
+    )
+
+
 def _recall_union_sql() -> str:
     parts = []
     for c in _HAM_DEPTHS:

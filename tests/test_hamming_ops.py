@@ -286,3 +286,25 @@ def test_recall_monotone_in_depth_on_catalog_corpus(spark, sf_dir):
     assert set(rows) == {10, 50, 200}
     assert rows[10] <= rows[50] <= rows[200]
     assert rows[200] > 0.5  # depth 200 of 500 must recover the bulk
+
+
+def test_ndcg_is_one_when_rerank_depth_covers_corpus(spark, tmp_path):
+    """With C=50 >= n-1 every vector is a candidate, so the exact
+    cosine re-rank reproduces the exact top-10 and mean nDCG@10 is
+    exactly 1.0 — the metric's anchor (and the reason it can only
+    drop when stage 1 misses or misplaces a true neighbor)."""
+    from datapipelinedemo_spark.plans.hamming_ops import (
+        hamming_ndcg_at_10,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 64))
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    row = hamming_ndcg_at_10(spark, str(tmp_path)).collect()[0]
+    assert row.n_queries == 1  # vec_id 0
+    assert row.ndcg_at_10 == 1.0
