@@ -120,7 +120,7 @@ def hamming_topc(
     return (
         cand.withColumn("hrnk", F.row_number().over(wt))
         .filter(F.col("hrnk") <= c)
-        .select("query_id", "neighbor_id", "ham")
+        .select("query_id", "neighbor_id", "ham", "hrnk")
     )
 
 
@@ -463,23 +463,58 @@ def hamming_recall_by_depth(
     """recall@10 of the Hamming-rerank serving path against the exact
     full-float top-10, one row per rerank depth C ∈ {10, 50, 200} —
     the measured case for how deep stage 2 must re-rank before the
-    8-byte signature scan stops costing recall. Signatures and the
-    exact ground truth are each computed ONCE and shared across
-    depths (the per-depth work is the top-C cut + the C-row rerank).
-    Like the other recall tables, a measurement query — excluded from
-    the exponent tables by the standing ``pq_recall_at_10``
-    rationale."""
+    8-byte signature scan stops costing recall. The candidate list and
+    the exact-cosine scoring run ONCE at the deepest depth: the
+    depth-C candidate set is by construction the hrnk <= C PREFIX of
+    the depth-200 (ham, neighbor_id) ranking, so shallower depths are
+    filters over the same pinned scored frame — one signature pass and
+    one 200-pair scoring pass serve all three rows (was 3+3 passes,
+    halving the family's most expensive query). Like the other recall
+    tables, a measurement query — excluded from the exponent tables by
+    the standing ``pq_recall_at_10`` rationale."""
+    from datapipelinedemo_spark.pin import pin
+
     sigs = _ham_sigs(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     gt = SIM.cosine_topk_bruteforce(
         emb, queries, "vec_id", "embedding", k=_HAM_K
     ).select("query_id", "neighbor_id")
+    deepest = hamming_topc(sigs, max(_HAM_DEPTHS))
+    qe = F.broadcast(
+        emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = pin(
+        deepest.join(ce, "neighbor_id")
+        .join(qe, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hrnk",
+            (
+                SIM.dot("qv", "cv")
+                / (SIM.norm("qv") * SIM.norm("cv"))
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
     out = None
     for c in _HAM_DEPTHS:
-        a = _rerank_topk(
-            spark, sf_dir, hamming_topc(sigs, c)
-        ).select("query_id", "neighbor_id")
+        a = (
+            scored.filter(F.col("hrnk") <= c)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _HAM_K)
+            .select("query_id", "neighbor_id")
+        )
         r = (
             a.join(
                 gt.withColumn("hit", F.lit(1)),
