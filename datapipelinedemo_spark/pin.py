@@ -28,6 +28,21 @@ deployment:
 Only pin corpus-INDEPENDENT frames (dictionaries, per-type models,
 label frames, centroid tables): pinning a corpus-sized frame trades a
 scan for a full materialization and loses at scale.
+
+ONE documented exception (ADVICE r14): a NARROW FIXED-WIDTH
+corpus-grain frame — e.g. the 16-byte/row (vec_id, sig) Hamming
+signature frame — may be pinned when several branches would otherwise
+re-derive it. The arithmetic: at 10⁹ vectors that frame is ~16 GB
+CLUSTER-WIDE (kilobytes per partition per executor on a 1000-executor
+cluster), smaller than one re-derivation's shuffle, while the corpus
+it derives from is ~100 TB. The executor-loss caveat stands: under
+the default ``local`` strategy a lost executor makes the pinned frame
+unrecomputable mid-job, so long cluster jobs must run such pins with
+``SPARK_GRAFT_PIN=persist`` (lineage kept, recompute-on-loss) or
+serve the frame from a write-once disk index instead
+(``operators.ann_index.hamming_sig_index`` — what the ``_stored``
+serving entries do). Each exception site must carry an inline
+``# narrow-pin:`` marker naming the row width.
 """
 
 from __future__ import annotations

@@ -59,13 +59,15 @@ def _ham_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame twice (histogram + filter-back) and the recall table reuses
     one sigs frame across three depths — without the pin each consumer
     re-signs the corpus (Catalyst has no cross-branch subtree
-    sharing). 16 bytes/vector, the one corpus-grain frame pinning is
-    FOR (pin.py policy: never pin corpus-sized frames — this is the
-    64×-smaller signature artifact, not the corpus)."""
+    sharing). 16 bytes/vector — the documented narrow fixed-width
+    exception in pin.py's policy (ADVICE r14): ~16 GB cluster-wide at
+    10⁹ vectors, cheaper than one re-sign; long cluster jobs run it
+    under SPARK_GRAFT_PIN=persist or serve from the write-once disk
+    index (the ``_stored`` entry) instead."""
     from datapipelinedemo_spark.pin import pin
 
     emb = table(spark, sf_dir, "embeddings")
-    return pin(
+    return pin(  # narrow-pin: 16 bytes/row (vec_id BIGINT, sig BIGINT)
         SIM.with_hyperplane_signs(
             emb, "embedding", _HAM_PLANES, 64
         ).select("vec_id", "sig")
@@ -116,6 +118,13 @@ def hamming_topc(
     cand = pairs.join(F.broadcast(thr), "query_id").filter(
         F.col("ham") <= F.col("ham_star")
     )
+    # Degenerate-corpus bound (VERDICT r14 #7): on a sign-collapsed
+    # corpus (near-identical embeddings) ham* = 0 catches EVERY row,
+    # so this window's input is corpus-sized. Safe anyway: the
+    # row_number<=c filter below triggers Spark's rank-limit pushdown
+    # (WindowGroupLimit, partial+final) — a size-c per-group heap in
+    # one streaming pass, never a full sort of the tie partition.
+    # Pinned by test_degenerate_corpus_tie_set_is_window_group_limited.
     wt = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
     return (
         cand.withColumn("hrnk", F.row_number().over(wt))
@@ -286,17 +295,25 @@ def hamming_screen_batch(
 
     This function IS the stream's per-batch body (the pytest drives it
     under a real readStream foreachBatch); the catalog entry runs it
-    as a batch twin on the certified slice."""
+    as a batch twin on the certified slice.
+
+    Broadcast side: the SIGNED MICRO-BATCH, never the corpus index.
+    The trigger-rate contract bounds the batch (thousands of rows ×
+    16 bytes); the stored signature index is corpus-grain (8-16
+    bytes × N — ~8-16 GB at the 10⁹-vector target, over Spark's
+    broadcast ceiling and every executor's memory). The r14 shape
+    broadcast the corpus side and would have died at exactly the
+    scale this docstring advertises (VERDICT r14 "What's wrong" #2);
+    the swap keeps identical semantics — the min still collapses
+    map-side on the streamed corpus scan."""
     bsig = SIM.with_hyperplane_signs(
         batch, "embedding", _HAM_PLANES, 64, out_col="bsig"
     ).select("vec_id", "bsig")
-    pairs = bsig.join(
-        F.broadcast(
-            corpus_sigs.select(
-                F.col("sig").alias("csig"),
-                F.col("vec_id").alias("cid"),
-            )
-        ),
+    pairs = corpus_sigs.select(
+        F.col("sig").alias("csig"),
+        F.col("vec_id").alias("cid"),
+    ).join(
+        F.broadcast(bsig),
         F.col("vec_id") != F.col("cid"),
     ).select(
         "vec_id",
@@ -380,12 +397,20 @@ _IDCG6 = sum(_NDCG_W6)
           ON gt.query_id = a.query_id
          AND gt.neighbor_id = a.neighbor_id
         GROUP BY 1
+    ),
+    qset AS (
+        SELECT vec_id AS query_id FROM embeddings
+        WHERE vec_id % {TOPK_QUERY_MOD} = 0
+    ),
+    perq AS (
+        SELECT qset.query_id, COALESCE(hits.dcg6, 0) AS dcg6
+        FROM qset LEFT JOIN hits ON hits.query_id = qset.query_id
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(SUM(dcg6) AS BIGINT) AS total_dcg6,
            round(CAST(SUM(dcg6) AS DOUBLE)
                  / (COUNT(*) * {_IDCG6}.0), 6) AS ndcg_at_10
-    FROM hits
+    FROM perq
     """,
 )
 def hamming_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,7 +421,14 @@ def hamming_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds all 10 but inverts them scores recall 1.0 and nDCG < 1).
     Every query's gt set has exactly 10 members, so IDCG is one
     constant and the mean needs no per-query float division (banner
-    above)."""
+    above).
+
+    Denominator: the FULL query set — a query whose served top-10
+    misses all 10 relevant docs contributes dcg6=0 to both the sum
+    and n_queries (left join from the query set, ADVICE r14: the
+    inner-join form dropped all-miss queries from the denominator
+    and inflated the mean; both engines shared the bias so only a
+    convention change could fix it)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     gt = SIM.cosine_topk_bruteforce(
@@ -416,7 +448,13 @@ def hamming_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum("w6").cast("long").alias("dcg6"))
     )
-    return hits.agg(
+    qset = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    perq = qset.join(hits, "query_id", "left").select(
+        F.coalesce(F.col("dcg6"), F.lit(0)).cast("long").alias("dcg6")
+    )
+    return perq.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.sum("dcg6").cast("long").alias("total_dcg6"),
         F.round(

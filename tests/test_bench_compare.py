@@ -130,6 +130,85 @@ def test_prev_full_skips_stale_fixture(tmp_path):
     assert abs(prev["value"] - driver_value) < 1e-6
 
 
+def _boundary_sandbox(tmp_path, local_value_delta=0.0, nn=15):
+    """Simulate the exact post-snapshot round-boundary state that left
+    the suite red in r12/r13/r14 (VERDICT r14 #1), each time via a new
+    mechanism: the driver dropped BENCH_r{NN}.json UNTRACKED (no commit
+    records it yet), no fixtures/bench_rounds/r{NN}.json exists, and
+    BENCH_LOCAL.json sits modified in the working tree."""
+    sandbox = tmp_path / "repo"
+    sandbox.mkdir()
+    subprocess.run(["git", "init", "-q", str(sandbox)], check=True)
+    full = {
+        "metric": "headline_total",
+        "value": 318.521,
+        "unit": "sec",
+        "sf": 0.1,
+        "drift": 1.0,
+        "queries": {f"q{i:03d}": 1.0 for i in range(260)},
+    }
+    driver = {
+        "parsed": {
+            "value": full["value"] + local_value_delta,
+            "queries": {f"q{i:03d}": 1.0 for i in range(21)},
+            "queries_omitted": 239,
+        }
+    }
+    (sandbox / f"BENCH_r{nn}.json").write_text(json.dumps(driver))
+    (sandbox / "BENCH_LOCAL.json").write_text(json.dumps(full))
+    return str(sandbox), full
+
+
+def test_prev_full_round_boundary_untracked_artifact(tmp_path):
+    """Untracked driver artifact + matching working-tree BENCH_LOCAL
+    must resolve the FULL artifact, not the truncated parsed tail
+    (VERDICT r14 next-round #1)."""
+    sandbox, full = _boundary_sandbox(tmp_path)
+    path, prev = bench._prev_full(sandbox)
+    assert prev is not None
+    assert not prev.get("partial"), (
+        f"{path}: fell through to the truncated tail at the round "
+        "boundary despite a totals-matching working-tree BENCH_LOCAL"
+    )
+    assert path == "BENCH_LOCAL.json@worktree"
+    assert len(prev["queries"]) == 260
+    assert abs(prev["value"] - full["value"]) < 1e-6
+
+
+def test_prev_full_round_boundary_mismatched_local(tmp_path):
+    """A working-tree BENCH_LOCAL whose total disagrees with the driver
+    artifact (a newer local bench rerun) must NOT be trusted — the
+    truncated tail, honestly marked partial, is correct then."""
+    sandbox, _ = _boundary_sandbox(tmp_path, local_value_delta=42.0)
+    path, prev = bench._prev_full(sandbox)
+    assert prev is not None
+    assert prev.get("partial") is True
+    assert path.endswith("#parsed")
+
+
+def test_prev_full_three_digit_round(tmp_path):
+    """BENCH_r100.json must outrank BENCH_r99.json — the two-digit glob
+    sorted lexicographically and would skip it (ADVICE r14)."""
+    sandbox, full = _boundary_sandbox(tmp_path, nn=99)
+    newer = dict(full)
+    newer["value"] = 200.0
+    newer["queries"] = {f"q{i:03d}": 0.8 for i in range(260)}
+    driver = {
+        "parsed": {
+            "value": 200.0,
+            "queries": {f"q{i:03d}": 0.8 for i in range(21)},
+            "queries_omitted": 239,
+        }
+    }
+    (tmp_path / "repo" / "BENCH_r100.json").write_text(json.dumps(driver))
+    (tmp_path / "repo" / "BENCH_LOCAL.json").write_text(json.dumps(newer))
+    path, prev = bench._prev_full(sandbox)
+    assert prev is not None
+    assert abs(prev["value"] - 200.0) < 1e-6, (
+        f"{path}: resolved r99, not r100 — round sort is lexicographic"
+    )
+
+
 def test_bench_fixture_sync_tool_idempotent():
     """tools/sync_bench_fixture.py run against the real repo must be a
     no-op when fixtures already match the driver commits (mechanized

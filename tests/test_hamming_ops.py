@@ -308,3 +308,49 @@ def test_ndcg_is_one_when_rerank_depth_covers_corpus(spark, tmp_path):
     row = hamming_ndcg_at_10(spark, str(tmp_path)).collect()[0]
     assert row.n_queries == 1  # vec_id 0
     assert row.ndcg_at_10 == 1.0
+
+
+def test_degenerate_corpus_tie_set_is_window_group_limited(spark):
+    """VERDICT r14 #7 — the sign-collapsed corpus: 300 IDENTICAL
+    vectors make every signature equal, so ham* = 0 and the
+    ``ham <= ham_star`` candidate set is the WHOLE corpus per query.
+    Two pins: (a) semantics stay plain top-C (the C smallest
+    neighbor_ids), and (b) the plan bounds the tie set with
+    WindowGroupLimit (Spark's rank-limit pushdown: a size-C per-group
+    heap in one streaming pass — both partial and final stages), so
+    no task ever SORTS a corpus-sized tie partition. The bound is
+    structural, not data-dependent — it holds at 10⁹ identical
+    signatures exactly as it holds here."""
+    from datapipelinedemo_spark.operators import similarity as SIM
+    from datapipelinedemo_spark.plans.hamming_ops import (
+        _HAM_PLANES,
+        hamming_topc,
+    )
+    from tools.explain_audit import plan_string
+
+    n, c = 300, 5
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast(1.0 as float))"
+        ).alias("embedding"),
+    )
+    sigs = SIM.with_hyperplane_signs(
+        emb, "embedding", _HAM_PLANES, 64
+    ).select("vec_id", "sig")
+    out = hamming_topc(sigs, c, query_mod=100)
+
+    plan = plan_string(out)
+    # partial + final rank-limit stages around the tie-set window
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 100, 200}
+    for qid, lst in by_q.items():
+        assert len(lst) == c
+        assert all(r.ham == 0 for r in lst)
+        want = [i for i in range(n) if i != qid][:c]
+        assert sorted(r.neighbor_id for r in lst) == want

@@ -135,6 +135,134 @@ def single_partition_windows(plan: str) -> list[int]:
     return flagged
 
 
+# ---------------------------------------------------------------------------
+# Broadcast-side discipline (VERDICT r14 #4): nothing corpus-grain may sit
+# on the BUILD side of a broadcast join. The r14 hamming_screen_batch defect
+# (corpus signature index broadcast to every executor — ~8 GB at the
+# operator's own 10⁹-vector target) passed every correctness gate because
+# sf0.1 doesn't feel an 8-byte × N broadcast; only the PLAN knows.
+
+# Big-table scans: anything proportional to corpus size. The dimension
+# tables (region, nation, customer, part, supplier) are broadcast-sized
+# by design — classic star-schema dims.
+CORPUS_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+# Disk-cache artifact tags that are CORPUS-GRAIN (one+ row per corpus
+# row): packed sign signatures, PQ codes, substring grams, minhash
+# signatures, the classifier training base. Bounded artifacts (qcw*
+# weight vectors, centroid tables) are not listed and never flag.
+CORPUS_GRAIN_ARTIFACTS = ("hamsig", "p16b", "p24b", "esg", "h32b", "qcbase")
+
+# A node between the exchange and the corpus scan that bounds the frame
+# to aggregate/limit cardinality makes the broadcast safe.
+_BOUNDING = (
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "GlobalLimit", "LocalLimit", "CollectLimit",
+    "TakeOrderedAndProject", "WindowGroupLimit", "Window",
+)
+
+# Sanctioned filter shapes that bound a corpus scan to a query/batch
+# slice: a POSITIVE modulus-equality on an id column keeps a 1/M
+# fraction (the catalog's stand-in for a bounded query set / trigger-
+# bounded micro-batch). The NEGATED form (`NOT ((id % M) = 0)`) keeps
+# (M-1)/M — still corpus-grain, NOT sanctioned: exactly the r14
+# hamming_screen_batch corpus side, which this distinction catches.
+_ID_COL = r"(?:\w*_?id|doc)"  # row-identity columns: vec_id, doc_id, doc, id
+_SLICE_OK = re.compile(
+    rf"(?<!NOT )\(\({_ID_COL}#\d+L? % \d+\) = \d+\)"  # positive modulus slice
+    rf"|(?<!NOT )\({_ID_COL}#\d+L? = \d+\)"  # id-equality slice (single row)
+    rf"|EqualTo\({_ID_COL},\d+\)"  # same, in PushedFilters form
+)
+
+_NODE_RE = re.compile(r"^(?P<pre>[ :+\-]*)(?P<name>\*?\s*[A-Za-z][\w .]*?)\s\((?P<id>\d+)\)")
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, int, str, int]]:
+    """(line_no, depth, name, node_id) for each tree-section line."""
+    out = []
+    for i, line in enumerate(plan.split("\n\n")[0].splitlines()):
+        m = _NODE_RE.match(line)
+        if m:
+            out.append(
+                (i, len(m.group("pre")), m.group("name").lstrip("* "),
+                 int(m.group("id")))
+            )
+    return out
+
+
+def _node_detail(plan: str, nid: int) -> str:
+    """Detail-section text of one node (until the next '(n) ' header)."""
+    m = re.search(
+        rf"^\({nid}\) [^\n]*\n(?:(?!\(\d+\) )[^\n]*\n?)*", plan, re.M
+    )
+    return m.group(0) if m else ""
+
+
+def _is_corpus_scan(detail: str) -> bool:
+    loc = re.search(r"Location: \w+ \[([^\]]*)", detail)
+    if not loc:
+        return False
+    path = loc.group(1)
+    if any(f"{t}.parquet" in path for t in CORPUS_TABLES):
+        return True
+    return any(f"-{tag}" in path for tag in CORPUS_GRAIN_ARTIFACTS)
+
+
+def corpus_broadcasts(plan: str) -> list[dict]:
+    """Corpus-grain frames on the build side of a broadcast.
+
+    For every ``BroadcastExchange`` subtree: each corpus-grain scan
+    (big testdata table or corpus-grain disk artifact) must have a
+    bounding operator (aggregate / limit / window-limit) OR a
+    sanctioned positive modulus slice filter on the exchange→scan
+    path. Everything else is a frame that grows with the corpus being
+    shipped to every executor — returns one flag dict per violation.
+    """
+    nodes = _tree_nodes(plan)
+    flags: list[dict] = []
+    for idx, (_line, depth, name, nid) in enumerate(nodes):
+        if name != "BroadcastExchange":
+            continue
+        # subtree = following nodes while deeper
+        sub = []
+        for j in range(idx + 1, len(nodes)):
+            if nodes[j][1] <= depth:
+                break
+            sub.append(j)
+        for j in sub:
+            _sl, sdepth, sname, sid = nodes[j]
+            if not sname.startswith("Scan"):
+                continue
+            sdetail = _node_detail(plan, sid)
+            if not _is_corpus_scan(sdetail):
+                continue
+            # ancestor chain scan→exchange (exclusive): walk upward
+            path_ids, cur = [], sdepth
+            for k in range(j - 1, idx, -1):
+                if nodes[k][1] < cur:
+                    path_ids.append(k)
+                    cur = nodes[k][1]
+            if any(
+                nodes[k][2].split()[0] in _BOUNDING for k in path_ids
+            ):
+                continue
+            path_text = sdetail + "".join(
+                _node_detail(plan, nodes[k][3]) for k in path_ids
+            )
+            if _SLICE_OK.search(path_text):
+                continue
+            loc = re.search(r"Location: \w+ \[([^\],]*)", sdetail)
+            flags.append(
+                {
+                    "exchange_id": nid,
+                    "scan_id": sid,
+                    "location": loc.group(1) if loc else "?",
+                    "path": [nodes[k][2] for k in path_ids],
+                }
+            )
+    return flags
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "-v"]
     verbose = "-v" in sys.argv

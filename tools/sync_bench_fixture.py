@@ -38,10 +38,14 @@ def sync(repo: str = REPO) -> list[str]:
     out_dir = os.path.join(repo, "fixtures", "bench_rounds")
     os.makedirs(out_dir, exist_ok=True)
     synced = []
-    for artifact in sorted(
-        glob.glob(os.path.join(repo, "BENCH_r[0-9][0-9].json"))
-    ):
-        nn = int(re.search(r"r(\d+)", os.path.basename(artifact)).group(1))
+    # numeric sort via the extracted round number — a two-digit glob
+    # would silently skip r100+ artifacts (ADVICE r14)
+    artifacts = []
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if m:
+            artifacts.append((int(m.group(1)), p))
+    for nn, artifact in sorted(artifacts):
         with open(artifact) as fh:
             parsed = json.load(fh).get("parsed") or {}
         driver_value = parsed.get("value")
