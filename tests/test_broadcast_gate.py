@@ -42,15 +42,30 @@ BROADCAST_OK: dict[str, str] = {}
 
 @pytest.fixture(scope="module")
 def hinted_plans(spark, sf_dir):
+    """All catalog plans under autoBroadcastJoinThreshold=-1.
+
+    Memo hygiene is load-bearing: a FrameMemo frame persist()-ed while
+    the -1 override is active BAKES sort-merge joins into its cached
+    physical plan (InMemoryRelation compiles at registration) and
+    keeps serving them to every later consumer after the conf is
+    restored — which broke test_explain_audit's broadcast-shape
+    assertions when this module ran first. Clear memos on BOTH sides:
+    before (so the sweep audits fresh plans, not earlier modules'
+    memo scans) and after (so no -1-compiled cached plan outlives the
+    override)."""
+    from datapipelinedemo_spark.memo import clear_all_memos
+
     import __spark_entry__ as e
 
     default = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    clear_all_memos()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         qs = e.queries()
         return {name: plan_string(fn(spark, sf_dir)) for name, fn in qs.items()}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
+        clear_all_memos()
 
 
 def test_no_corpus_grain_broadcast_build_sides(hinted_plans):
