@@ -1118,17 +1118,36 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1e6/32 exactly), so error sums are exact BIGINTs cross-engine.
 
     Plan shape: candidate pairs (LSH-bounded, never all-pairs) join
-    the stored shingle+signature frames twice on doc id, then one
-    in-row zip/intersect per pair and one partial-agg groupBy on the
-    33-value agreement key. Empty-shingle sentinel docs (uni = 0) are
-    excluded — their signatures are the all-MOD sentinel, so their
-    "agreement" measures the sentinel, not the estimator."""
+    the stored shingle frame twice on doc id, then one in-row
+    zip/intersect per pair and one partial-agg groupBy on the
+    33-value agreement key. Signatures are computed ONLY for docs
+    that appear in a candidate pair — a broadcast semi-join on the
+    LSH-bounded doc set BEFORE the 32-hash fold (r15: the old shape
+    folded signatures for the whole corpus, in both join branches;
+    at sf0.1 that was ~2×5s of signing for 555 needed docs of 5000,
+    and at 100 TB a full-corpus signing pass the verify stage never
+    reads). Empty-shingle sentinel docs (uni = 0) are excluded —
+    their signatures are the all-MOD sentinel, so their "agreement"
+    measures the sentinel, not the estimator."""
     sh = _doc_shingles(spark, sf_dir)
-    sig = sh.select(
-        "doc", DD.minhash_signature("__sh", 32).alias("sig")
-    )
-    both = sh.join(sig, "doc")
     cand = _lsh_candidates(spark, sf_dir)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    from datapipelinedemo_spark.pin import pin
+
+    # LSH-bounded frame (|candidate docs|, ~11% of the corpus here),
+    # consumed by BOTH pair-join branches — pin so the 32-hash fold
+    # runs once, not once per branch
+    both = pin(
+        sh.join(F.broadcast(cand_docs), "doc", "left_semi").select(
+            "doc",
+            "__sh",
+            DD.minhash_signature("__sh", 32).alias("sig"),
+        )
+    )
     j = cand.join(
         both.select(
             F.col("doc").alias("doc_a"),
