@@ -3,15 +3,20 @@
 Media travel as opaque ``binary`` columns with a typed metadata
 struct; per-item compute (decode, resize, feature-extract,
 frame-sample) runs in Arrow-batched ``mapInPandas`` so Python touches
-columnar batches, never rows. The actual codecs are STUBBED in this
-container (no PIL/ffmpeg): ``decode=`` selects a deterministic fake
-featureizer, and the real decoder raises ``NotImplementedError`` — the
-Spark-side contract (schema, batching, partitioning) is real and
-tested either way.
+columnar batches, never rows. Format + dimension extraction is REAL
+(``parse_image_header`` byte-walks PNG IHDR / JPEG SOFn / GIF / BMP
+headers — zero codec deps, r16); only full PIXEL decoding remains
+stubbed in this container (no PIL/ffmpeg): ``decode=`` selects a
+deterministic fake featureizer and ``decode_real`` raises
+``NotImplementedError`` for pixel work — the Spark-side contract
+(schema, batching, partitioning) is real and tested either way.
 """
 
 from datapipelinedemo_spark.multimodal.media import (  # noqa: F401
     MEDIA_SCHEMA,
     attach_fake_media,
+    attach_synthetic_image_headers,
     extract_features,
+    image_dimensions,
+    parse_image_header,
 )

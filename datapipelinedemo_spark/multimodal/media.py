@@ -10,6 +10,7 @@ Python — the per-batch loop below is the only Python in the path.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -72,11 +73,66 @@ def _decode_stub(content: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:8]]
 
 
+# JPEG frame-header (SOFn) markers that carry dimensions; C4/C8/CC are
+# DHT/JPG/DAC, not frames.
+_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def parse_image_header(
+    b: bytes,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """``(format, width, height, bit_depth)`` parsed from raw image
+    bytes by pure byte-walking — zero codec dependencies (r16, closes
+    the ``decode_real`` seam for dimensions/format: PNG IHDR, JPEG
+    SOFn marker scan, GIF logical screen descriptor, BMP DIB header
+    are all plain struct fields). Unknown/garbage bytes return
+    ``(None, None, None, None)``; a recognized container whose
+    dimension field is truncated returns the format with null dims."""
+    if (
+        len(b) >= 25
+        and b[:8] == b"\x89PNG\r\n\x1a\n"
+        and b[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h, b[24])
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 2 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            # standalone markers carry no length field
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
+            if marker in _SOF_MARKERS:
+                if i + 9 <= len(b):
+                    prec = b[i + 4]
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return ("jpeg", w, h, prec)
+                break
+            i += 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+        return ("jpeg", None, None, None)
+    if len(b) >= 11 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h, ((b[10] & 0x70) >> 4) + 1)
+    if len(b) >= 30 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h), struct.unpack("<H", b[28:30])[0])
+    return (None, None, None, None)
+
+
 def decode_real(content: bytes, kind: str):
-    """The real decoder seam. Image/audio libs are absent here by
-    design (see TASK constraints): plumbing is tested with the stub."""
+    """The PIXEL-decode seam. Format + dimensions no longer need it —
+    ``parse_image_header`` reads them dependency-free — so this seam
+    now covers only full pixel/sample decoding, which genuinely
+    requires PIL/ffmpeg (absent in this container by design)."""
     raise NotImplementedError(
-        "real media decoding requires PIL/ffmpeg, not present in this container"
+        "pixel decoding requires PIL/ffmpeg, not present in this container;"
+        " format/dimension extraction is real — see parse_image_header"
     )
 
 
@@ -108,6 +164,105 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 
     pruned = media.select("media_id", "kind", "content")
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
+
+
+DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+    ]
+)
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """(media_id, fmt, width, height, bit_depth) via
+    ``parse_image_header`` over Arrow batches — the real
+    dimension/format extractor (no stub, no codec libs). Same scale
+    shape as ``extract_features``: prune to (id, content) BEFORE the
+    Python stage so no other column rides through Arrow, and never
+    shuffle the binary column."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (mid, *parse_image_header(bytes(content)))
+                for mid, content in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "width", "height", "bit_depth"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, DIMS_SCHEMA)
+
+
+def _png_bytes(w: int, h: int, depth: int = 8) -> bytes:
+    """Minimal valid PNG prefix: magic + IHDR (13-byte payload)."""
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + bytes([depth, 2, 0, 0, 0])
+        + b"\x00\x00\x00\x00"  # CRC placeholder (parser doesn't verify)
+    )
+
+
+def _jpeg_bytes(w: int, h: int, prec: int = 8) -> bytes:
+    """Minimal JPEG: SOI + JFIF APP0 + SOF0 (3 components) + EOI —
+    exercises the marker walk (the SOF is NOT the first segment)."""
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 17)
+        + bytes([prec]) + struct.pack(">HH", h, w)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+
+
+def attach_synthetic_image_headers(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, content) with REAL byte-valid PNG/JPEG headers whose
+    planted dimensions are pure functions of the id — the container
+    has no image files, so the fixture is synthesized, but the bytes
+    follow the actual container layouts and the parser must walk them
+    for real (an oracle recomputes the planted dims arithmetically).
+    Even ids → PNG, odd → JPEG; width = id % 640 + 1,
+    height = id % 480 + 1, 8-bit."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _png_bytes(i % 640 + 1, i % 480 + 1)
+                        if i % 2 == 0
+                        else _jpeg_bytes(i % 640 + 1, i % 480 + 1)
+                        for i in ids
+                    ],
+                }
+            )
+
+    pruned = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return pruned.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
 
 
 FRAME_SCHEMA = T.StructType(

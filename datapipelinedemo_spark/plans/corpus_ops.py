@@ -593,7 +593,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .transform(pin)
+        .transform(pin)  # narrow-pin: 16 B/row (user_id, min ts)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -604,7 +604,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .transform(pin)
+        .transform(pin)  # narrow-pin: 16 B/row (user_id, min ts)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -981,8 +981,12 @@ def clean_corpus_after_decontamination(
 ) -> DataFrame:
     """The decontamination flags applied: contaminated docs anti-joined
     out of the training split, clean per-source volumes reported — the
-    composition a corpus build actually ships. The flag set is tiny
-    (broadcast anti-join); the corpus side stays narrow.
+    composition a corpus build actually ships. The flag set is a
+    corpus-FRACTION (however small the rate, it grows with the
+    corpus), so no broadcast hint: a plain shuffle anti-join that AQE
+    demotes to broadcast only when the flag set is measured small at
+    runtime (r16 — the r15 ``F.broadcast(bad)`` hint was the exact
+    distinct-on-id shape the tightened gate now flags).
     """
     docs = table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
@@ -991,7 +995,7 @@ def clean_corpus_after_decontamination(
         "doc_id"
     )
     return (
-        train.join(F.broadcast(bad), "doc_id", "left_anti")
+        train.join(bad, "doc_id", "left_anti")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs_clean"),
@@ -1506,7 +1510,7 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin it once: Catalyst has no cross-branch subtree sharing, and
     # without this each of the three consumers re-derives the corpus
     # scan + count shuffle (measured: 10 scans → 2, the occ minimum).
-    bc = bc.transform(pin)
+    bc = bc.transform(pin)  # pin-bounded: vocab^2 bigram-type grain
     ctx = bc.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c1"))
     uc = bc.groupBy("w2").agg(F.sum("c_xy").cast("long").alias("cu"))
     n = uc.agg(F.sum("cu").alias("total"))

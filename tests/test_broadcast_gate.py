@@ -129,6 +129,31 @@ def test_gate_catches_the_r14_admission_shape(spark, sf_dir, tmp_path, monkeypat
     assert any("hamsig" in f["location"] for f in flags)
 
 
+def test_distinct_on_id_is_not_bounding(spark, sf_dir):
+    """VERDICT r15 #2: a ``.distinct()`` on a row-identity column is
+    an aggregate that reduces NOTHING — output cardinality stays
+    corpus-grain, so it must NOT sanction the broadcast (the shape
+    that let r15's ``minhash_estimate_error`` broadcast an ~11%-of-
+    corpus candidate-doc set through the gate). A genuinely reducing
+    aggregate (grouped on a bounded key) still bounds."""
+    from pyspark.sql import functions as F
+
+    from datapipelinedemo_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("doc")).distinct()
+    wide = docs.select(F.col("doc_id").alias("doc"), "text")
+
+    leak = wide.join(F.broadcast(ids), "doc", "left_semi")
+    flags = corpus_broadcasts(plan_string(leak))
+    assert flags, "distinct()-on-id broadcast slipped the gate"
+    assert any("documents" in f["location"] for f in flags)
+
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ok = docs.join(F.broadcast(by_lang), "lang")
+    assert corpus_broadcasts(plan_string(ok)) == []
+
+
 def test_negated_modulus_slice_is_not_sanctioned():
     """`NOT ((id % M) = 0)` keeps (M-1)/M of the corpus — the textual
     distinction that separates the r14 corpus side from the sanctioned

@@ -104,10 +104,88 @@ def test_multimodal_features_deterministic(spark, sf_dir):
 
 
 def test_multimodal_real_decoder_is_stubbed():
+    """Only PIXEL decoding remains the environment seam (r16):
+    format/dimension extraction is real — see the header tests."""
     from datapipelinedemo_spark.multimodal.media import decode_real
 
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
+
+
+def test_parse_image_header_crafted_bytes():
+    """Byte-level fixtures for every container the parser claims:
+    dimensions planted in real header layouts must come back exactly;
+    garbage and truncation degrade safely."""
+    import struct
+
+    from datapipelinedemo_spark.multimodal.media import (
+        _jpeg_bytes,
+        _png_bytes,
+        parse_image_header,
+    )
+
+    assert parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480, 8)
+    assert parse_image_header(_png_bytes(1, 1, depth=16)) == ("png", 1, 1, 16)
+    # JPEG with the JFIF APP0 before SOF0 — the marker walk must skip it
+    assert parse_image_header(_jpeg_bytes(1920, 1080)) == (
+        "jpeg", 1920, 1080, 8,
+    )
+    # progressive JPEG (SOF2) with a DHT (C4 — NOT a frame marker) first
+    prog = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc2" + struct.pack(">H", 17)
+        + b"\x08" + struct.pack(">HH", 600, 800)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert parse_image_header(prog) == ("jpeg", 800, 600, 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+    assert parse_image_header(gif) == ("gif", 320, 200, 8)
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + struct.pack("<ii", 1024, -768)  # top-down BMPs store -height
+        + b"\x01\x00" + struct.pack("<H", 24) + b"\x00" * 8
+    )
+    assert parse_image_header(bmp) == ("bmp", 1024, 768, 24)
+
+    assert parse_image_header(b"") == (None, None, None, None)
+    assert parse_image_header(b"plain text bytes") == (
+        None, None, None, None,
+    )
+    # PNG magic but truncated before IHDR payload
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (
+        None, None, None, None,
+    )
+    # JPEG magic but no SOF before the bytes run out
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") == (
+        "jpeg", None, None, None,
+    )
+
+
+def test_image_dimensions_operator_roundtrip(spark):
+    """The mapInPandas plumbing end-to-end: synthesized headers in,
+    planted dimensions out, nulls for undecodable rows."""
+    from datapipelinedemo_spark.multimodal import (
+        attach_synthetic_image_headers,
+        image_dimensions,
+    )
+
+    base = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    media = attach_synthetic_image_headers(base, "doc_id")
+    got = {
+        r["media_id"]: (r["fmt"], r["width"], r["height"], r["bit_depth"])
+        for r in image_dimensions(media).collect()
+    }
+    assert len(got) == 10
+    for i in range(10):
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        assert got[i] == (fmt, i % 640 + 1, i % 480 + 1, 8)
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"not an image"))], "media_id long, content binary"
+    )
+    row = image_dimensions(junk).collect()[0]
+    assert (row["fmt"], row["width"]) == (None, None)
 
 
 def test_stream_static_join(spark, sf_dir, events_dir):

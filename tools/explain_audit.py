@@ -161,6 +161,8 @@ _BOUNDING = (
     "TakeOrderedAndProject", "WindowGroupLimit", "Window",
 )
 
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
 # Sanctioned filter shapes that bound a corpus scan to a query/batch
 # slice: a POSITIVE modulus-equality on an id column keeps a 1/M
 # fraction (the catalog's stand-in for a bounded query set / trigger-
@@ -173,6 +175,33 @@ _SLICE_OK = re.compile(
     rf"|(?<!NOT )\({_ID_COL}#\d+L? = \d+\)"  # id-equality slice (single row)
     rf"|EqualTo\({_ID_COL},\d+\)"  # same, in PushedFilters form
 )
+
+# Grouping keys that ARE a row-identity column: an aggregate (e.g.
+# ``.distinct()``) keyed on doc/vec ids reduces NOTHING — output
+# cardinality stays corpus-grain, so it must not count as bounding
+# (VERDICT r15 #2: ``cand_docs.distinct()`` sanctioned a
+# corpus-fraction broadcast through exactly this loophole). Matches
+# the column token immediately before ``#`` so ``doc#12L`` and
+# ``vec_id#3L`` flag while ``doc_count#9L`` and band/bucket keys
+# don't.
+_ID_KEY = re.compile(rf"(?:^|[\s\[,(]){_ID_COL}#\d+")
+
+
+def _is_bounding(plan: str, name: str, nid: int) -> bool:
+    """True if node (name, nid) bounds corpus-grain cardinality.
+
+    Limits / window-limits always bound. Aggregates bound ONLY when no
+    grouping key is a row-identity column — a distinct/groupBy on ids
+    keeps one row per corpus row."""
+    base = name.split()[0]
+    if base not in _BOUNDING:
+        return False
+    if base in _AGG_NODES:
+        m = re.search(r"Keys \[\d+\]: \[([^\n]*)", _node_detail(plan, nid))
+        if m and _ID_KEY.search(m.group(1)):
+            return False
+    return True
+
 
 _NODE_RE = re.compile(r"^(?P<pre>[ :+\-]*)(?P<name>\*?\s*[A-Za-z][\w .]*?)\s\((?P<id>\d+)\)")
 
@@ -243,7 +272,8 @@ def corpus_broadcasts(plan: str) -> list[dict]:
                     path_ids.append(k)
                     cur = nodes[k][1]
             if any(
-                nodes[k][2].split()[0] in _BOUNDING for k in path_ids
+                _is_bounding(plan, nodes[k][2], nodes[k][3])
+                for k in path_ids
             ):
                 continue
             path_text = sdetail + "".join(
