@@ -53,7 +53,7 @@ def connected_components_star(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .transform(pin)
+        .transform(pin)  # narrow-pin: 16 B/row (u, v) — iterative lineage cut
     )
 
     def _large_star(df: DataFrame) -> DataFrame:
@@ -72,7 +72,7 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        return out.transform(pin)
+        return out.transform(pin)  # narrow-pin: 16 B/row (u, v) — iterative lineage cut
 
     def _small_star(df: DataFrame) -> DataFrame:
         # orient larger→smaller; per node u over its SMALLER neighbors
@@ -92,7 +92,7 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        return out.transform(pin)
+        return out.transform(pin)  # narrow-pin: 16 B/row (u, v) — iterative lineage cut
 
     for _ in range(max_rounds):
         after_large = _large_star(e)
@@ -146,11 +146,11 @@ def connected_components(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        .transform(pin)
+        .transform(pin)  # narrow-pin: 16 B/row (a, b) — iterative lineage cut
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).transform(pin)
+    ).transform(pin)  # narrow-pin: 16 B/row (id, comp) — iterative lineage cut
 
     converged = False
     for _ in range(max_rounds):
@@ -162,7 +162,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .transform(pin)
+            .transform(pin)  # narrow-pin: 16 B/row (id, comp) — iterative lineage cut
         )
         # converged when no node's label changed (one tiny driver scalar)
         changed = (

@@ -43,13 +43,64 @@ serve the frame from a write-once disk index instead
 (``operators.ann_index.hamming_sig_index`` — what the ``_stored``
 serving entries do). Each exception site must carry an inline
 ``# narrow-pin:`` marker naming the row width.
+
+MARKER DISCIPLINE (VERDICT r15 #1 / Next #4 — machine-gated): every
+``pin()`` call site must carry one of two inline markers classifying
+the pinned frame, on the call line or within the six lines above it:
+
+- ``# pin-bounded: <reason>`` — cardinality does NOT grow with the
+  corpus (calendar grids, per-source/per-type scalars, vocabulary
+  grain, cohort hit sets). The normal case.
+- ``# narrow-pin: <width>`` — corpus-grain but NARROW FIXED-WIDTH
+  (the documented exception above). Such frames must contain NO
+  array/map/struct/binary columns — ``pin()`` enforces this at
+  runtime by reading the caller's marker (the r15
+  ``minhash_estimate_error`` defect pinned a frame carrying the
+  ``__sh`` shingle ARRAY under no marker at all; width checks on
+  fixed-width schemas cannot hide an unbounded column). Short
+  bounded-length strings are acceptable when the width note says so.
+
+``tools/pin_audit.py`` walks every call site statically (pytest runs
+it), so a missing marker fails CI even on sites no test executes.
 """
 
 from __future__ import annotations
 
+import linecache
 import os
+import traceback
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Column types whose per-row width is unbounded — forbidden in a
+# narrow-pin frame (StructType included: it can nest any of these).
+_WIDE_TYPES = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+
+
+def _caller_marker() -> tuple[str, str] | None:
+    """(kind, site) of the nearest marker at the calling site.
+
+    Walks the stack to the first frame outside this module and
+    pyspark (``.transform(pin)`` interposes DataFrame.transform),
+    then scans that line and the six above it for a marker. Best
+    effort — ``tools/pin_audit.py`` is the completeness gate; this
+    lookup only powers the runtime narrow-pin width check."""
+    here = os.path.abspath(__file__)
+    for fr in reversed(traceback.extract_stack()[:-2]):
+        fn = fr.filename
+        if fn == here or f"{os.sep}pyspark{os.sep}" in fn:
+            continue
+        for ln in range(fr.lineno, max(fr.lineno - 7, 0), -1):
+            line = linecache.getline(fn, ln)
+            if ln < fr.lineno and ("pin(" in line or "transform(pin" in line):
+                break  # marker region of the nearer call above
+            if "narrow-pin:" in line:
+                return ("narrow", f"{fn}:{fr.lineno}")
+            if "pin-bounded:" in line:
+                return ("bounded", f"{fn}:{fr.lineno}")
+        return None
+    return None
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -59,6 +110,21 @@ def pin(df: DataFrame) -> DataFrame:
 
         model = counts.groupBy(...).agg(...).transform(pin)
     """
+    mark = _caller_marker()
+    if mark and mark[0] == "narrow":
+        wide = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, _WIDE_TYPES)
+        ]
+        if wide:
+            raise ValueError(
+                f"narrow-pin at {mark[1]} carries unbounded-width "
+                f"column(s) {wide}: a corpus-grain pin is sanctioned "
+                "only for narrow fixed-width frames (pin.py policy); "
+                "project them out or re-join them from their source "
+                "frame per consumer"
+            )
     strategy = os.environ.get("SPARK_GRAFT_PIN", "local")
     if strategy == "persist":
         return df.persist()

@@ -529,7 +529,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dls.agg(
         F.sum("dl").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("nd"),
-    ).transform(pin)
+    ).transform(pin)  # pin-bounded: 1-row corpus totals
     # dl rides along the term scan so the scorer needs no second
     # per-doc-length corpus pass
     tc = docs.select(
@@ -546,7 +546,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("dl").alias("dl"),
         )
-        .transform(pin)
+        .transform(pin)  # narrow-pin: ~40 B/row (doc_id, short term, tf, dl) — docs matching the fixed BM25 term set
     )
     dft = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("dft")
@@ -887,7 +887,7 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the final pass — without pins each re-derives a corpus scan
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
-    ).transform(pin)
+    ).transform(pin)  # pin-bounded: |event types| rows
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "value",
@@ -896,7 +896,7 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
-    ).transform(pin)
+    ).transform(pin)  # pin-bounded: |event types| rows
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -1031,7 +1031,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dls.agg(
         F.sum("dl").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("nd"),
-    ).transform(pin)
+    ).transform(pin)  # pin-bounded: 1-row corpus totals
     tc = docs.select(
         "doc_id",
         F.size(tokenize("text")).cast("long").alias("dl"),
@@ -1044,7 +1044,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("dl").alias("dl"),
         )
-        .transform(pin)
+        .transform(pin)  # narrow-pin: ~40 B/row (doc_id, short term, tf, dl) — docs matching the fixed BM25 term set
     )
     dft = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("dft")
@@ -1477,7 +1477,7 @@ def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # present is ≤ |types|·256 rows — pin it so the three consumers of
     # regs (single, ra, rb) don't each re-derive the corpus scan +
     # register shuffle (Catalyst has no cross-branch subtree sharing)
-    present = present.transform(pin)
+    present = present.transform(pin)  # pin-bounded: <= |types|*256 rows
     types = present.select("event_type").distinct()
     grid = types.crossJoin(spark.range(256).select(F.col("id").alias("j")))
     regs = grid.join(present, ["event_type", "j"], "left").select(
@@ -1521,7 +1521,7 @@ def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact-overlap audit column (test-scale only at this
     # fidelity); pinned so the self-join's two sides share one
     # distinct pass
-    du = ev.select("event_type", "user_id").distinct().transform(pin)
+    du = ev.select("event_type", "user_id").distinct().transform(pin)  # narrow-pin: ~24 B/row (short type, user_id)
     da = du.select(
         F.col("event_type").alias("type_a"), "user_id"
     )
@@ -1652,7 +1652,7 @@ def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpinned, each branch re-derives the corpus-grain (day, bin)
     # count, i.e. TWO event scans instead of one. The frame itself is
     # calendar-bounded (|days|×20 rows), the class pinning is for.
-    dense = pin(
+    dense = pin(  # pin-bounded: calendar |days| x 20-bin grid
         days.crossJoin(F.broadcast(bins))
         .join(cnt, ["day", "bin"], "left")
         .select(

@@ -667,7 +667,7 @@ def training_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive lineage)
     from datapipelinedemo_spark.pin import pin
 
-    per = pin(
+    per = pin(  # pin-bounded: |sources| rows
         surv.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("ntok").cast("long").alias("n_tokens"),
@@ -1389,7 +1389,7 @@ def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bloom, "doc_id", "left")
         .filter(F.col("__contam").isNull())
     )
-    per = pin(
+    per = pin(  # pin-bounded: |sources| rows
         surv.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("ntok").cast("long").alias("n_tokens"),

@@ -529,7 +529,7 @@ def hamming_recall_by_depth(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
     )
-    scored = pin(
+    scored = pin(  # narrow-pin: 28 B/row (ids, hrnk, cs) — %MOD query slice x depth-200
         deepest.join(ce, "neighbor_id")
         .join(qe, "query_id")
         .select(

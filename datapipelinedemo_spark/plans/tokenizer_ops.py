@@ -999,7 +999,7 @@ def vocab_coverage_by_min_count(
     # but its lineage is the full corpus tokenize — the prefix helper's
     # quantile scan, bucket aggregate, final pass and the totals agg
     # would each re-derive it (pin.py rationale)
-    ch = pin(
+    ch = pin(  # pin-bounded: |distinct word frequencies| rows
         words.groupBy("wcnt")
         .agg(F.count(F.lit(1)).cast("long").alias("nw"))
         .withColumn("tok", (F.col("wcnt") * F.col("nw")).cast("long"))
@@ -1139,7 +1139,7 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelinedemo_spark.pin import pin
 
     docs = table(spark, sf_dir, "documents")
-    words = pin(
+    words = pin(  # pin-bounded: vocabulary grain (Heaps-sublinear)
         docs.select(F.explode(tokenize("text")).alias("word"))
         .filter(F.length("word") <= MAX_WORD_CHARS)
         .groupBy("word")
@@ -1239,7 +1239,7 @@ def _uv_base(spark, sf_dir, multi_budget: int | None = None):
 
     budget = UV_VOCAB if multi_budget is None else multi_budget
     docs = table(spark, sf_dir, "documents")
-    words = pin(
+    words = pin(  # pin-bounded: vocabulary grain (Heaps-sublinear)
         docs.select(F.explode(tokenize("text")).alias("word"))
         .filter(F.length("word") <= MAX_WORD_CHARS)
         .groupBy("word")
@@ -1252,7 +1252,7 @@ def _uv_base(spark, sf_dir, multi_budget: int | None = None):
         f" named_struct('pos', s, 'len', l,"
         f" 'piece', substring(word, s, l)))))"
     )
-    allspans = pin(
+    allspans = pin(  # pin-bounded: vocabulary x <=MAX_WORD_CHARS*WP_MAX_PIECE spans
         words.select("word", "wcnt", F.explode(F.expr(sub_expr)).alias("sp"))
         .select("word", "wcnt", "sp.pos", "sp.len", "sp.piece")
     )
@@ -2673,7 +2673,7 @@ def wordpiece_unk_vs_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelinedemo_spark.pin import pin
 
     docs = table(spark, sf_dir, "documents")
-    words = pin(
+    words = pin(  # pin-bounded: vocabulary grain (Heaps-sublinear)
         docs.select(F.explode(tokenize("text")).alias("word"))
         .filter(F.length("word") <= MAX_WORD_CHARS)
         .groupBy("word")

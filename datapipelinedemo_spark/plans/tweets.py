@@ -84,7 +84,7 @@ def enrich(
     # layout + row order, so pin it by materializing the frame once
     # (lineage truncation: retries and both join branches reread the
     # same blocks instead of regenerating ids). Lazy: first action pays.
-    df = df.transform(pin)
+    df = df.transform(pin)  # pin-bounded: tweets demo-fixture grain; materialization REQUIRED for monotonically_increasing_id stability (correctness, not perf)
     df = extract_phrases(df, "Text", patterns, "__rid", out_col="All_phrases")
     # CheckEmpty != 1 (demo.py:157's intended semantics): drop sentinel rows
     df = df.filter(F.col("All_phrases") != F.array(F.lit("empty")))

@@ -794,7 +794,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__hit", F.lit(1))
         # cohort-sized: pin so the three broadcast consumers share one
         # derivation instead of re-scanning events each
-        .transform(pin)
+        .transform(pin)  # pin-bounded: deletion-cohort hit set
     )
 
     def leg(name: str, flagged) -> DataFrame:
@@ -824,7 +824,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         od_f.filter(F.col("__hit").isNotNull())
         .select("o_orderkey")
         .withColumn("__hit", F.lit(1))
-        .transform(pin)  # hit set is cohort-sized
+        .transform(pin)  # pin-bounded: deletion-cohort hit set
     )
     li_f = li.join(
         F.broadcast(od_hit_keys),
