@@ -114,10 +114,12 @@ def _prev_full(repo: str) -> tuple[str | None, dict | None]:
 
     # Numeric sort on the extracted round number, not lexicographic on
     # a two-digit glob — a future r100+ artifact must not be silently
-    # skipped (ADVICE r14).
+    # skipped (ADVICE r14). Anchored fullmatch so a stray
+    # BENCH_r15_backup.json / BENCH_r15.json.orig can't shadow or tie
+    # with the real newest artifact (ADVICE r15).
     cands = []
     for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
-        m = re.search(r"r(\d+)", os.path.basename(p))
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
         if m:
             cands.append((int(m.group(1)), p))
     if not cands:
@@ -351,14 +353,26 @@ def main() -> None:
         }
 
     pre_rerun_flagged = _flags(_ratios())
+    # Every rerun attempt is RECORDED, not just min()-folded: r15's
+    # final artifact left the streaming query's pre/post ratio
+    # bit-identical (2.036 = 2.036), which read as "rerun skipped" —
+    # in fact the reruns executed but never beat the first min on a
+    # busy box. rerun_attempts makes that self-adjudicating: an
+    # unchanged ratio beside two recorded attempt times is a noisy
+    # box, an unchanged ratio beside [] or an 'error' entry is a bug.
+    rerun_attempts: dict[str, list] = {}
     for name in pre_rerun_flagged:
+        rerun_attempts[name] = []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).collect()
-                times[name] = min(times[name], round(time.time() - t0, 3))
-            except Exception:
+                t = round(time.time() - t0, 3)
+                rerun_attempts[name].append(t)
+                times[name] = min(times[name], t)
+            except Exception as ex:
+                rerun_attempts[name].append(f"error: {ex}"[:120])
                 break
     normalized_vs_prev = _ratios()
     flagged = _flags(normalized_vs_prev)
@@ -393,6 +407,9 @@ def main() -> None:
         # vs after (what survived — real regressions to investigate)
         "flagged_pre_rerun": pre_rerun_flagged,
         "flagged_over_1p5x": flagged,
+        # per-flagged-query rerun evidence (see comment at the rerun
+        # loop): times of each isolated attempt, error text if one threw
+        "rerun_attempts": rerun_attempts,
     }
     # The driver records a bounded 2000-char TAIL of stdout; with 150+
     # queries the full payload is ~3x that, so a single full line gets

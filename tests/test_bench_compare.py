@@ -252,3 +252,46 @@ def test_calib_ref_tolerates_malformed_entry(tmp_path, monkeypatch):
     )
     ref, key = bench._calib_ref()
     assert ref is None and key == host_key
+
+
+def test_prev_full_ignores_stray_backup_artifacts(tmp_path):
+    """ADVICE r15: BENCH_r15_backup.json / BENCH_r15.json.orig must not
+    match the artifact pattern — only the anchored BENCH_r<N>.json."""
+    sandbox = tmp_path / "repo"
+    sandbox.mkdir()
+    real = {"parsed": {"value": 1.0}}
+    (sandbox / "BENCH_r07.json").write_text(json.dumps(real))
+    # a stray copy with a HIGHER embedded round number would shadow the
+    # real newest artifact under the unanchored r(\d+) search
+    (sandbox / "BENCH_r99_backup.json").write_text(
+        json.dumps({"parsed": {"value": 9.9}})
+    )
+    (sandbox / "BENCH_r99.json.orig").write_text(
+        json.dumps({"parsed": {"value": 8.8}})
+    )
+    local = {"value": 1.0, "queries": {"q": 1.0}, "sf": 0.1}
+    (sandbox / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    path, full = bench._prev_full(str(sandbox))
+    assert full is not None and full["value"] == 1.0, (
+        f"stray backup artifact shadowed the real newest: {path}"
+    )
+
+
+def test_flagged_rerun_reexecutes_and_records(spark, sf_dir):
+    """VERDICT r15 #3: the r15 artifact's bit-identical pre/post ratio
+    for the streaming query read as 'rerun skipped or reused'. Two
+    pins: (a) the streaming query IS re-executable in one session —
+    repeated collect()s return identical results (so a rerun is a real
+    measurement, not a cached replay); (b) bench.py now records every
+    rerun attempt in the artifact (`rerun_attempts`), so an unchanged
+    min carries its own evidence."""
+    import __spark_entry__ as e
+
+    q = e.queries()["streaming_stateful_user_totals"]
+    rows1 = sorted(map(tuple, q(spark, sf_dir).collect()))
+    rows2 = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert rows1 == rows2 and len(rows1) > 0
+
+    src = open(os.path.join(os.path.dirname(bench.__file__), "bench.py")).read()
+    assert '"rerun_attempts": rerun_attempts' in src
+    assert "rerun_attempts[name].append" in src

@@ -34,9 +34,10 @@ WINDOW = 50
 def latest_green(repo: str) -> dict[str, int]:
     out: dict[str, int] = {}
     # numeric extraction, not a two-digit glob — r100+ artifacts must
-    # not be silently skipped (the ADVICE r14 class, fixed everywhere)
+    # not be silently skipped (the ADVICE r14 class, fixed everywhere);
+    # anchored fullmatch per ADVICE r15 (no *_backup.json shadowing)
     for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        m = re.search(r"r(\d+)", os.path.basename(p))
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p))
         if not m:
             continue
         n = int(m.group(1))

@@ -53,7 +53,10 @@ def _timed(fn, reps: int = 2) -> float:
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
-    return round(min(ts), 3)
+    # floor at 1 ms: a sub-millisecond run rounded to 0.0 would blow
+    # up the log-ratio exponent after the expensive runs completed
+    # (ADVICE r15)
+    return max(round(min(ts), 3), 1e-3)
 
 
 def main() -> None:

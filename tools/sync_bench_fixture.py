@@ -39,10 +39,11 @@ def sync(repo: str = REPO) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     synced = []
     # numeric sort via the extracted round number — a two-digit glob
-    # would silently skip r100+ artifacts (ADVICE r14)
+    # would silently skip r100+ artifacts (ADVICE r14); anchored so
+    # stray BENCH_r15_backup.json-style files don't match (ADVICE r15)
     artifacts = []
     for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
-        m = re.search(r"r(\d+)", os.path.basename(p))
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
         if m:
             artifacts.append((int(m.group(1)), p))
     for nn, artifact in sorted(artifacts):
