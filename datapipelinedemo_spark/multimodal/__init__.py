@@ -16,7 +16,10 @@ from datapipelinedemo_spark.multimodal.media import (  # noqa: F401
     MEDIA_SCHEMA,
     attach_fake_media,
     attach_synthetic_image_headers,
+    attach_synthetic_media_containers,
     extract_features,
     image_dimensions,
+    media_container_info,
     parse_image_header,
+    parse_media_container,
 )

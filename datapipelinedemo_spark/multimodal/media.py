@@ -125,6 +125,73 @@ def parse_image_header(
     return (None, None, None, None)
 
 
+def parse_media_container(
+    b: bytes,
+) -> tuple[
+    str | None, int | None, int | None, int | None, int | None, str | None
+]:
+    """``(container, sample_rate, channels, bits_per_sample,
+    duration_ms, major_brand)`` from raw audio/video bytes — the same
+    zero-dependency byte-walking as ``parse_image_header``, for the
+    containers whose metadata lives in plain struct fields:
+
+    - WAV (RIFF): the ``fmt `` chunk carries format/channels/rate/bits
+      and the ``data`` chunk size gives exact duration.
+    - MP4 (ISO BMFF): top-level box walk; ``ftyp`` gives the major
+      brand, ``moov``>``mvhd`` gives timescale + duration (v0 u32 and
+      v1 u64 layouts both handled).
+
+    Unknown bytes → all-None. Audio-only fields are None for video
+    containers and vice versa."""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        rate = ch = bits = dur = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(b):
+                _fmt, ch, rate = struct.unpack("<HHI", b[i + 8 : i + 16])
+                bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+            elif cid == b"data" and rate and ch and bits:
+                n_samples = csz // (ch * bits // 8)
+                dur = n_samples * 1000 // rate
+            i += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
+        return ("wav", rate, ch, bits, dur, None)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        brand = b[8:12].decode("ascii", "replace")
+        dur_ms = None
+        i = 0
+        while i + 8 <= len(b):
+            size = struct.unpack(">I", b[i : i + 4])[0]
+            btype = b[i + 4 : i + 8]
+            if size < 8:
+                break
+            if btype == b"moov":
+                j = i + 8
+                end = min(i + size, len(b))
+                while j + 8 <= end:
+                    csize = struct.unpack(">I", b[j : j + 4])[0]
+                    if csize < 8:
+                        break
+                    if b[j + 4 : j + 8] == b"mvhd":
+                        ver = b[j + 8]
+                        if ver == 1 and j + 40 <= end:
+                            ts = struct.unpack(">I", b[j + 28 : j + 32])[0]
+                            dur = struct.unpack(">Q", b[j + 32 : j + 40])[0]
+                        elif ver == 0 and j + 28 <= end:
+                            ts = struct.unpack(">I", b[j + 20 : j + 24])[0]
+                            dur = struct.unpack(">I", b[j + 24 : j + 28])[0]
+                        else:
+                            break
+                        if ts:
+                            dur_ms = dur * 1000 // ts
+                        break
+                    j += csize
+            i += size
+        return ("mp4", None, None, None, dur_ms, brand)
+    return (None, None, None, None, None, None)
+
+
 def decode_real(content: bytes, kind: str):
     """The PIXEL-decode seam. Format + dimensions no longer need it —
     ``parse_image_header`` reads them dependency-free — so this seam
@@ -248,6 +315,119 @@ def attach_synthetic_image_headers(df: DataFrame, id_col: str) -> DataFrame:
                         _png_bytes(i % 640 + 1, i % 480 + 1)
                         if i % 2 == 0
                         else _jpeg_bytes(i % 640 + 1, i % 480 + 1)
+                        for i in ids
+                    ],
+                }
+            )
+
+    pruned = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return pruned.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+CONTAINER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bits_per_sample", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("major_brand", T.StringType()),
+    ]
+)
+
+
+def media_container_info(media: DataFrame) -> DataFrame:
+    """(media_id, container, sample_rate, channels, bits_per_sample,
+    duration_ms, major_brand) via ``parse_media_container`` over Arrow
+    batches — audio/video twin of ``image_dimensions``, same pruning
+    discipline."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (mid, *parse_media_container(bytes(content)))
+                for mid, content in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "sample_rate", "channels",
+                    "bits_per_sample", "duration_ms", "major_brand",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, CONTAINER_SCHEMA
+    )
+
+
+def _wav_bytes(rate: int, ch: int, bits: int, n_samples: int) -> bytes:
+    """Header-complete WAV: RIFF + fmt + data chunk header (the data
+    bytes themselves are zeros — header parsing never reads them)."""
+    data_size = n_samples * ch * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack(
+            "<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+        + b"data" + struct.pack("<I", data_size)
+        + b"\x00" * min(data_size, 64)  # truncated payload is fine
+    )
+
+
+def _mp4_bytes(timescale: int, duration: int, brand: bytes = b"isom") -> bytes:
+    """Minimal MP4: ftyp + moov(mvhd v0) — the box walk must descend."""
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd"
+        + b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80
+    )
+    return (
+        struct.pack(">I", 20) + b"ftyp" + brand + struct.pack(">I", 0)
+        + b"iso2"
+        + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    )
+
+
+def attach_synthetic_media_containers(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, content) with byte-valid WAV/MP4 containers whose
+    planted parameters are pure functions of the id (even → WAV:
+    rate 8000·(id%6+1), channels id%4//2+1, 16-bit, id%1000+1 samples;
+    odd → MP4: timescale 1000, duration id%100000+1 ms, brand isom) —
+    same fixture convention as ``attach_synthetic_image_headers``."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _wav_bytes(
+                            8000 * (i % 6 + 1),
+                            i % 4 // 2 + 1,
+                            16,
+                            i % 1000 + 1,
+                        )
+                        if i % 2 == 0
+                        else _mp4_bytes(1000, i % 100000 + 1)
                         for i in ids
                     ],
                 }

@@ -2296,6 +2296,46 @@ def image_header_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dimensions(media)
 
 
+@register(
+    "media_container_info",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(8000 * (doc_id % 6 + 1) AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 4 // 2 + 1 AS BIGINT) END AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(16 AS BIGINT) END
+               AS bits_per_sample,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((doc_id % 1000 + 1) * 1000
+                          // (8000 * (doc_id % 6 + 1)) AS BIGINT)
+                ELSE CAST(doc_id % 100000 + 1 AS BIGINT) END AS duration_ms,
+           CASE WHEN doc_id % 2 = 1 THEN 'isom' END AS major_brand
+    FROM documents
+    """,
+)
+def media_container_info_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video twin of ``image_header_dimensions``: WAV (RIFF
+    chunk walk — format/channels/rate/bits from ``fmt ``, exact
+    duration from the ``data`` chunk size) and MP4 (ISO BMFF box walk
+    — major brand from ``ftyp``, timescale + duration from
+    ``moov``>``mvhd``) parsed by ``multimodal.parse_media_container``
+    in Arrow-batched ``mapInPandas``, zero codec deps. The fixture
+    synthesizes byte-valid containers with parameters planted as pure
+    functions of doc_id; the oracle recomputes them arithmetically
+    (integer division both engines), so the value hash only matches if
+    the chunk/box walks truly recovered the planted fields."""
+    from datapipelinedemo_spark.multimodal import (
+        attach_synthetic_media_containers,
+        media_container_info,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_synthetic_media_containers(docs, "doc_id")
+    return media_container_info(media)
+
+
 # --------------------------------------------------------------------------
 # Training-data chunking: overlapping token windows per document
 # --------------------------------------------------------------------------

@@ -162,6 +162,83 @@ def test_parse_image_header_crafted_bytes():
     )
 
 
+def test_parse_media_container_crafted_bytes():
+    """WAV RIFF chunk walk and MP4 box walk on byte fixtures: planted
+    fields come back exactly; v1 mvhd, odd-sized RIFF chunks, and
+    garbage all handled."""
+    import struct
+
+    from datapipelinedemo_spark.multimodal.media import (
+        _mp4_bytes,
+        _wav_bytes,
+        parse_media_container,
+    )
+
+    assert parse_media_container(_wav_bytes(44100, 2, 16, 44100)) == (
+        "wav", 44100, 2, 16, 1000, None,
+    )
+    # odd-sized extra chunk before fmt: the walk must pad to word align
+    odd = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + _wav_bytes(8000, 1, 16, 800)[12:]
+    )
+    assert parse_media_container(odd) == ("wav", 8000, 1, 16, 100, None)
+
+    assert parse_media_container(_mp4_bytes(1000, 5321)) == (
+        "mp4", None, None, None, 5321, "isom",
+    )
+    # mvhd version 1 (64-bit duration), timescale 90000
+    mvhd1 = (
+        struct.pack(">I", 120) + b"mvhd" + b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000) + struct.pack(">Q", 90000 * 7)
+        + b"\x00" * 80
+    )
+    v1 = (
+        struct.pack(">I", 16) + b"ftyp" + b"mp42" + struct.pack(">I", 0)
+        + struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    )
+    assert parse_media_container(v1) == (
+        "mp4", None, None, None, 7000, "mp42",
+    )
+
+    assert parse_media_container(b"") == (
+        None, None, None, None, None, None,
+    )
+    assert parse_media_container(b"RIFFxxxxAVI LIST") == (
+        None, None, None, None, None, None,
+    )
+
+
+def test_media_container_operator_roundtrip(spark):
+    from datapipelinedemo_spark.multimodal import (
+        attach_synthetic_media_containers,
+        media_container_info,
+    )
+
+    base = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    got = {
+        r["media_id"]: r.asDict()
+        for r in media_container_info(
+            attach_synthetic_media_containers(base, "doc_id")
+        ).collect()
+    }
+    assert len(got) == 8
+    for i in range(0, 8, 2):
+        rate = 8000 * (i % 6 + 1)
+        assert got[i]["container"] == "wav"
+        assert got[i]["sample_rate"] == rate
+        assert got[i]["channels"] == i % 4 // 2 + 1
+        assert got[i]["duration_ms"] == (i % 1000 + 1) * 1000 // rate
+        assert got[i]["major_brand"] is None
+    for i in range(1, 8, 2):
+        assert got[i]["container"] == "mp4"
+        assert got[i]["duration_ms"] == i % 100000 + 1
+        assert got[i]["major_brand"] == "isom"
+        assert got[i]["sample_rate"] is None
+
+
 def test_image_dimensions_operator_roundtrip(spark):
     """The mapInPandas plumbing end-to-end: synthesized headers in,
     planted dimensions out, nulls for undecodable rows."""
