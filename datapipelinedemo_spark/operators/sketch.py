@@ -37,18 +37,40 @@ def _bucket(col: Column, i: Column | int, w: int) -> Column:
 
 
 def cms_build(
-    df: DataFrame, key_col: str, d: int = 4, w: int = 1024
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sketch table ``(i, bucket, cnt)`` over the rows' key column
-    (pre-explode multi-valued keys upstream)."""
+    (pre-explode multi-valued keys upstream).
+
+    ``weight_col`` (r16): build from PRE-AGGREGATED counts — each row
+    contributes ``weight_col`` occurrences instead of 1. A CMS cell is
+    Σ count(key) over keys hashing into it, so building from a
+    (key, count) frame is bit-identical to building from the raw
+    stream while exploding d rows per DISTINCT key (vocabulary-sized)
+    instead of d rows per occurrence (stream-sized) — guide §2.3
+    "aggregate before you shuffle". Consumers that already compute
+    exact counts pass them in and drop a full corpus pass."""
     hashes = F.transform(
         F.sequence(F.lit(0), F.lit(d - 1)),
         lambda i: _bucket(F.col(key_col), i, w),
     )
+    if weight_col is None:
+        return (
+            df.select(F.posexplode(hashes).alias("i", "bucket"))
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     return (
-        df.select(F.posexplode(hashes).alias("i", "bucket"))
+        df.select(
+            F.col(weight_col).alias("__w"),
+            F.posexplode(hashes).alias("i", "bucket"),
+        )
         .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").cast("long").alias("cnt"))
     )
 
 

@@ -1128,17 +1128,24 @@ def fixed_window_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_window_repack_offsets(spark, sf_dir)
 
 
-def _repack_cut(flat: DataFrame) -> DataFrame:
-    """(gidx, tok) token stream → 50-token windows with order-exact
-    hashes — shared by both repack variants; the only corpus-scale
-    shuffle either of them pays."""
-    grouped = flat.groupBy(
-        (F.col("gidx") - F.pmod("gidx", F.lit(50))).alias("w0")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+def _repack_cut_fragments(frags: DataFrame) -> DataFrame:
+    """(w0, g0, cnt, frag) per-document window FRAGMENTS → 50-token
+    windows with order-exact hashes. r16: the shuffle key and payload
+    changed grain — the old form exploded every token into a
+    (gidx, tok) struct and shuffled the whole token stream row-per-
+    token into the window groupBy; a window is at most 50 tokens, so
+    each document contributes ≤ ⌈n/50⌉+1 pre-joined STRING fragments
+    instead of n struct rows (~50× fewer shuffle rows, same bytes of
+    text, one in-row array_join each). Window text = fragments joined
+    in g0 (global-offset) order — identical to the per-token join, so
+    hashes are bit-equal (pytest pins the twin equality)."""
+    grouped = frags.groupBy("w0").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
         F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(gidx, tok))),"
-                   " s -> s.tok)"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(g0, frag))),"
+                " s -> s.frag)"
+            ),
             " ",
         ).alias("joined"),
     )
@@ -1176,12 +1183,32 @@ def fixed_window_repack_offsets(
         "doc_id",
         F.concat(tokenize("text"), F.array(F.lit("<eos>"))).alias("t"),
     ).withColumn("n", F.size("t"))
-    flat = (
+    # per-doc window FRAGMENTS instead of per-token rows (see
+    # _repack_cut_fragments): a doc spanning global offsets
+    # [off, off+n) intersects windows ⌊off/50⌋..⌊(off+n-1)/50⌋; emit
+    # each intersection as one pre-joined string slice
+    frags = (
         bucketed_prefix_sum(sized, "doc_id", "n", out_col="off")
-        .select(F.posexplode("t").alias("i", "tok"), F.col("off"))
-        .select((F.col("off") + F.col("i")).alias("gidx"), "tok")
+        .select(
+            F.explode(
+                F.expr(
+                    """transform(
+                  sequence(off div 50, (off + n - 1) div 50),
+                  w -> named_struct(
+                    'w0', w * 50L,
+                    'g0', greatest(w * 50L, off),
+                    'cnt', least((w + 1) * 50L, off + n)
+                           - greatest(w * 50L, off),
+                    'frag', array_join(slice(t,
+                       cast(greatest(w * 50L, off) - off + 1 as int),
+                       cast(least((w + 1) * 50L, off + n)
+                            - greatest(w * 50L, off) as int)), ' ')))"""
+                )
+            ).alias("f")
+        )
+        .select("f.w0", "f.g0", "f.cnt", "f.frag")
     )
-    return _repack_cut(flat)
+    return _repack_cut_fragments(frags)
 
 
 # --------------------------------------------------------------------------
@@ -1262,11 +1289,17 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg groupBy. Tokens come from the shared
     ``tokenized_documents`` memo (tokenize once per session/corpus).
     """
+    from datapipelinedemo_spark.pin import pin
+
     tc = tokenized_documents(spark, sf_dir).select(
         "doc_id", F.explode("t").alias("term")
     )
-    vocab = tc.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # r16: two consumers (1-row total, NLL table) re-ran the vocab
+    # shuffle
+    vocab = pin(  # pin-bounded: vocabulary grain (term, c)
+        tc.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
     )
     n = vocab.agg(F.sum("c").alias("total"))
     nll = vocab.crossJoin(F.broadcast(n)).select(

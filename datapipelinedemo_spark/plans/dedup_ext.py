@@ -623,6 +623,7 @@ def training_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     didn't already pay."""
     from datapipelinedemo_spark.functions import text as TX
     from datapipelinedemo_spark.functions.stable import md5_long
+    from datapipelinedemo_spark.pin import pin
     from datapipelinedemo_spark.plans.corpus_ops import (
         bloom_decontamination,
     )
@@ -649,7 +650,12 @@ def training_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") != "tail")
         .select("doc_id")
     )
-    surv = (
+    # r16: surv feeds BOTH the per-source pin below and the final
+    # (source, shard) agg — without its own pin the full survivor
+    # lineage (CC + bloom + CCNet joins, each itself a multi-stage
+    # plan) re-derives once per consumer. Row = two longs + a short
+    # bounded source tag.
+    surv = pin(  # narrow-pin: ~24 B/row (doc_id, ntok, short source tag) — survivor doc grain
         docs.filter(F.col("doc_id") % 50 != 0)
         .select(
             "doc_id",
@@ -660,6 +666,7 @@ def training_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kept_buckets, "doc_id")
         .join(bloom, "doc_id", "left")
         .filter(F.col("__contam").isNull())
+        .select("doc_id", "source", "ntok")
     )
     # pin the |sources|-row frame: alloc and mix each consume it, and
     # each would otherwise re-derive the FULL survivor lineage (CC +
@@ -1377,7 +1384,9 @@ def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("predicted_head") == 1)
         .select("doc_id")
     )
-    surv = (
+    # r16: surv feeds both the per-source pin and the final agg — same
+    # double-lineage fix as v3
+    surv = pin(  # narrow-pin: ~24 B/row (doc_id, ntok, short source tag) — survivor doc grain
         docs.filter(F.col("doc_id") % 50 != 0)
         .select(
             "doc_id",
@@ -1388,6 +1397,7 @@ def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kept, "doc_id")
         .join(bloom, "doc_id", "left")
         .filter(F.col("__contam").isNull())
+        .select("doc_id", "source", "ntok")
     )
     per = pin(  # pin-bounded: |sources| rows
         surv.groupBy("source").agg(

@@ -124,11 +124,76 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Gopher-style repetition signals: most-frequent-word fraction, top
-# bigram fraction, duplicated-trigram fraction. Plan shape is the 100 TB
-# one — explode n-grams once, then two partial-agg shuffles
-# ((doc_id, n, gram) counts → per-doc conditional rollup); no in-row
-# O(tokens²) counting.
+# bigram fraction, duplicated-trigram fraction. Every signal is a
+# per-document statistic, so the plan is ZERO-shuffle (r16): sort each
+# doc's gram array in-row and fold run lengths — O(L log L) per doc in
+# the JVM, no explode, no (doc_id, n, gram) exchange. The previous
+# shape (explode all 1/2/3-grams, two partial-agg shuffles) moved ~3x
+# the corpus text through two exchanges to compute doc-local counts;
+# guide §2.4 "remove shuffles outright" applies because the grouping
+# key (doc_id) is the grain the scan already delivers. No in-row
+# O(tokens²) counting either — run-length over a sorted array.
 # --------------------------------------------------------------------------
+
+
+def _run_stats(grams: str):
+    """(mx, dup) over a gram array column named ``grams``: length of
+    the longest equal-run and the total size of runs longer than 1 in
+    the SORTED array — i.e. max per-gram count and Σ count·[count>1],
+    exactly what the exploded groupBy computed, one row-local pass."""
+    return F.expr(
+        f"""aggregate(
+          array_sort({grams}),
+          named_struct('prev', cast(null as string), 'run', 0L,
+                       'mx', 0L, 'dup', 0L),
+          (a, x) -> if(a.prev is not null and x = a.prev,
+            named_struct('prev', x, 'run', a.run + 1L, 'mx', a.mx,
+                         'dup', a.dup),
+            named_struct('prev', x, 'run', 1L,
+                         'mx', greatest(a.mx, a.run),
+                         'dup', a.dup + if(a.run > 1L, a.run, 0L))),
+          a -> named_struct('mx', greatest(a.mx, a.run),
+                            'dup', a.dup + if(a.run > 1L, a.run, 0L)))"""
+    )
+
+
+def rep_signal_columns() -> list:
+    """The repetition-signal projection over a frame carrying token
+    array ``t`` — shared by ``doc_repetition_stats`` and the fused
+    Gopher corpus report (quality_ops), which needs these columns in
+    the SAME single scan as the quality battery."""
+    frac = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den, 6
+    )
+    return [
+        F.when(F.size("t") > 0, F.size("t").cast("long")).alias(
+            "n_words"
+        ),
+        F.when(
+            F.size("t") > 0, frac(F.col("__r1.mx"), F.size("t"))
+        ).alias("max_word_frac"),
+        F.when(
+            F.size("__g2") > 0, frac(F.col("__r2.mx"), F.size("__g2"))
+        ).alias("top_bigram_frac"),
+        F.when(
+            F.size("__g3") > 0, frac(F.col("__r3.dup"), F.size("__g3"))
+        ).alias("dup_trigram_frac"),
+    ]
+
+
+def rep_signal_base(toks: DataFrame) -> DataFrame:
+    """Attach gram arrays + run stats (``__g2/__g3/__r1/__r2/__r3``)
+    to a (…, t) frame — the intermediate ``rep_signal_columns`` reads."""
+    return toks.select(
+        "*",
+        TX.ngrams(F.col("t"), 2).alias("__g2"),
+        TX.ngrams(F.col("t"), 3).alias("__g3"),
+    ).select(
+        "*",
+        _run_stats("t").alias("__r1"),
+        _run_stats("__g2").alias("__r2"),
+        _run_stats("__g3").alias("__r3"),
+    )
 @register(
     "doc_repetition_stats",
     oracle=f"""
@@ -165,46 +230,14 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filters (the Gopher rules adapted to
     unstructured token soup): a doc dominated by one word / bigram, or
     whose trigrams mostly repeat, is boilerplate. Short docs (< n
-    tokens) get null for that n's signal — same as the oracle."""
+    tokens) get null for that n's signal — same as the oracle.
+
+    r16: zero-shuffle in-row form (module banner above) — one scan,
+    per-doc sorted-run-length folds; hash-identical to the exploded
+    twin (max count = longest equal-run, duplicated mass = Σ runs>1)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.tokenize("text").alias("t"))
-    # all three gram sizes from ONE scan + ONE explode (a union of
-    # per-n frames would re-scan and re-tokenize three times)
-    # NB: the tag lambda must take exactly ONE arg — a second arg
-    # (even a bound default) makes pyspark pass the array INDEX to it
-    def _tag(n):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    tagged = F.concat(
-        *[
-            F.transform(TX.ngrams(F.col("t"), n), _tag(n))
-            for n in (1, 2, 3)
-        ]
-    )
-    grams = toks.select(
-        "doc_id", F.explode(tagged).alias("x")
-    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.gram").alias("gram"))
-    per_gram = grams.groupBy("doc_id", "n", "gram").count()
-    per_n = per_gram.groupBy("doc_id", "n").agg(
-        F.max("count").alias("mx"),
-        F.sum("count").alias("tot"),
-        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
-            "dup"
-        ),
-    )
-    frac = lambda num: F.round(num.cast("double") / F.col("tot"), 6)  # noqa: E731
-    return per_n.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("n_words"),
-        F.max(F.when(F.col("n") == 1, frac(F.col("mx")))).alias(
-            "max_word_frac"
-        ),
-        F.max(F.when(F.col("n") == 2, frac(F.col("mx")))).alias(
-            "top_bigram_frac"
-        ),
-        F.max(F.when(F.col("n") == 3, frac(F.col("dup")))).alias(
-            "dup_trigram_frac"
-        ),
-    )
+    return rep_signal_base(toks).select("doc_id", *rep_signal_columns())
 
 
 # --------------------------------------------------------------------------
@@ -402,13 +435,21 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_estimate,
     )
 
+    from datapipelinedemo_spark.pin import pin
+
     docs = table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(TX.tokenize("text")).alias("token"))
-    exact = tokens.groupBy("token").agg(
-        F.count(F.lit(1)).alias("exact_cnt")
+    exact = pin(  # pin-bounded: vocabulary grain (token, exact_cnt)
+        tokens.groupBy("token").agg(
+            F.count(F.lit(1)).alias("exact_cnt")
+        )
     )
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
-    sketch = cms_build(tokens, "token", d=4, w=1024)
+    # r16: the sketch is built FROM the exact counts (weighted cells
+    # are bit-identical — see cms_build), so the corpus is tokenized
+    # and exploded ONCE (the pinned vocab frame feeds both the top-20
+    # cut and the sketch); the sketch explode is vocabulary-sized
+    sketch = cms_build(exact, "token", d=4, w=1024, weight_col="exact_cnt")
     est = cms_estimate(sketch, top.select("token"), "token", d=4, w=1024)
     return top.join(est, "token").select("token", "exact_cnt", "cms_est")
 
@@ -474,17 +515,27 @@ def cms_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_estimate,
     )
 
+    from datapipelinedemo_spark.pin import pin
+
     docs = table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(TX.tokenize("text")).alias("token"))
-    exact = tokens.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    exact = pin(  # pin-bounded: vocabulary grain (token, exact_cnt)
+        tokens.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("exact_cnt")
+        )
     )
-    sketch = cms_build(tokens, "token", d=4, w=1024)
+    # r16: ONE corpus pass. The sketch is built from the exact counts
+    # (weighted cells — bit-identical, see cms_build), the estimate
+    # probes the same pinned vocab frame, and the stream length is
+    # Σ exact_cnt — the previous shape re-tokenized the corpus three
+    # times (sketch, exact, n_stream) and shuffled 4 rows per
+    # OCCURRENCE instead of 4 per distinct token (guide §2.3).
+    sketch = cms_build(exact, "token", d=4, w=1024, weight_col="exact_cnt")
     est = cms_estimate(sketch, exact.select("token"), "token", d=4, w=1024)
     err = exact.join(est, "token").select(
         "exact_cnt", (F.col("cms_est") - F.col("exact_cnt")).alias("over")
     )
-    ns = tokens.agg(F.count(F.lit(1)).cast("long").alias("n_stream"))
+    ns = exact.agg(F.sum("exact_cnt").cast("long").alias("n_stream"))
     bound = F.expr("exp(1.0) / 1024") * F.col("n_stream")
     return (
         err.crossJoin(F.broadcast(ns))
@@ -2390,29 +2441,36 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA (s0 = x0; s = 0.9*s + 0.1*x) per user over ts order — a
-    genuinely sequential fold, so this is the sanctioned Python seam:
-    grouped applyInPandas, Arrow batches, sort inside the group."""
-    import pandas as pd
-
+    genuinely sequential fold. r16: the fold runs as an IN-ROW
+    ``aggregate`` over each user's collect_list-ed, array_sort-ed
+    event structs instead of grouped ``applyInPandas`` — the SAME
+    IEEE double sequence ((0.9*s) + (0.1*x), identical operation
+    order), but zero JVM↔Python boundary (guide §4.1: built-ins over
+    pandas UDFs; the old plan shipped every event row through Arrow
+    to produce one row per user). ``bround`` is Python ``round``'s
+    half-even twin. One shuffle (the groupBy), then row-local work;
+    per-user state bounded by events-per-user exactly as before."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        s = None
-        for x in pdf["value"]:
-            s = float(x) if s is None else 0.9 * s + 0.1 * float(x)
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "ewma": [round(s, 6)],
-                "n_events": [len(pdf)],
-            }
-        )
-
-    out_schema = "user_id long, ewma double, n_events long"
-    return ev.groupBy("user_id").applyInPandas(ewma, out_schema)
+    # struct field order (ts, event_id, value): array_sort's struct
+    # comparison = ORDER BY ts, event_id (event_id unique per event)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__seq"),
+    )
+    fold = F.expr(
+        "aggregate(slice(__seq, 2, size(__seq) - 1),"
+        " cast(__seq[0].value as double),"
+        " (a, x) -> 0.9D * a + 0.1D * cast(x.value as double))"
+    )
+    return agg.select(
+        "user_id",
+        F.bround(fold, 6).alias("ewma"),
+        "n_events",
+    )
 
 
 # --------------------------------------------------------------------------

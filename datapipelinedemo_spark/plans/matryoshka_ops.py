@@ -153,7 +153,13 @@ def prefix_recall_by_dim(
     MRL-structure fixture test (VERDICT r13 next-round #6) so the
     operator's win channel is demonstrated on structured data, not
     just its plumbing on the isotropic corpus."""
-    gt = prefix_topk(emb, gt_dim).select("query_id", "neighbor_id")
+    from datapipelinedemo_spark.pin import pin
+
+    # r16: one hit-join per prefix length re-derived the full-d
+    # brute-force ground truth — pin the cut once (guide §2.4)
+    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
+        prefix_topk(emb, gt_dim).select("query_id", "neighbor_id")
+    )
     out = None
     for dp in dims:
         a = prefix_topk(emb, dp).select("query_id", "neighbor_id")

@@ -1401,6 +1401,7 @@ def _probe_frame(
     coarse_cents: dict,
     nprobe: int,
     strategy: str | None = None,
+    with_rank: bool = False,
 ) -> DataFrame:
     """(query_id, cluster): each query's ``nprobe`` nearest inverted
     lists, with the ``_km_assign_frame`` strategy switch — in-row
@@ -1426,35 +1427,50 @@ def _probe_frame(
                 f" array({lits}), (a, b) -> (a - b) * (a - b)), 0L,"
                 f" (acc, x) -> acc + x), 'c', {cid}L)"
             )
-        return queries.select(
+        out = queries.select(
             F.col("vec_id").alias("query_id"),
-            F.explode(
+            F.posexplode(
                 F.expr(
                     f"slice(array_sort("
                     f"array({', '.join(cand_structs)})), 1, {nprobe})"
                 )
-            ).alias("p"),
-        ).select("query_id", F.col("p.c").alias("cluster"))
-    assert strategy == "broadcast", strategy
-    from pyspark.sql import Window
+            ).alias("__pos", "p"),
+        ).select(
+            "query_id",
+            F.col("p.c").alias("cluster"),
+            (F.col("__pos") + 1).cast("int").alias("probe_rn"),
+        )
+    else:
+        assert strategy == "broadcast", strategy
+        from pyspark.sql import Window
 
-    cdf = spark.createDataFrame(
-        [(cid, list(coarse_cents[cid])) for cid in sorted(coarse_cents)],
-        "cluster long, cv array<bigint>",
-    )
-    d = F.expr(
-        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
-    wnd = Window.partitionBy("query_id").orderBy("d", "cluster")
-    return (
-        queries.select(F.col("vec_id").alias("query_id"), "qv")
-        .crossJoin(F.broadcast(cdf))
-        .select("query_id", "cluster", d.alias("d"))
-        .withColumn("rn", F.row_number().over(wnd))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "cluster")
-    )
+        cdf = spark.createDataFrame(
+            [
+                (cid, list(coarse_cents[cid]))
+                for cid in sorted(coarse_cents)
+            ],
+            "cluster long, cv array<bigint>",
+        )
+        d = F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        )
+        wnd = Window.partitionBy("query_id").orderBy("d", "cluster")
+        out = (
+            queries.select(F.col("vec_id").alias("query_id"), "qv")
+            .crossJoin(F.broadcast(cdf))
+            .select("query_id", "cluster", d.alias("d"))
+            .withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= nprobe)
+            .select(
+                "query_id",
+                "cluster",
+                F.col("rn").cast("int").alias("probe_rn"),
+            )
+        )
+    if with_rank:
+        return out
+    return out.select("query_id", "cluster")
 
 
 def _ivfpq_adc(
@@ -1463,6 +1479,7 @@ def _ivfpq_adc(
     nprobe: int | None = None,
     nlist: int = _K,
     corpus_pred=None,
+    with_probe_rank: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, adc_sq_dist): the pre-cut IVF-PQ ADC
     frame — probe selection, candidate generation from the probed
@@ -1494,7 +1511,9 @@ def _ivfpq_adc(
     queries = _pq_quantized(spark, sf_dir).filter(
         F.col("vec_id") % TOPK_QUERY_MOD == 0
     )
-    probe = _probe_frame(spark, queries, coarse_cents, nprobe)
+    probe = _probe_frame(
+        spark, queries, coarse_cents, nprobe, with_rank=with_probe_rank
+    )
 
     lut = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -1508,6 +1527,33 @@ def _ivfpq_adc(
         F.col("l.pd").alias("pd"),
     )
 
+    if with_probe_rank:
+        # carry the admitting list's probe rank through the ADC agg:
+        # every vector belongs to exactly ONE coarse list, so each
+        # (query, neighbor) candidate has exactly one probe_rn — the
+        # nprobe=p candidate set is precisely probe_rn <= p of the
+        # deepest sweep's set. Sweep consumers compute ADC ONCE at
+        # max(nprobe) and filter per point instead of re-running the
+        # probe/candidate/LUT chain per point (r16; guide §1.2 "don't
+        # compute things you throw away" / §2.4).
+        cand = (
+            lists.join(F.broadcast(probe), "cluster")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "probe_rn",
+            )
+        )
+        return (
+            cand.join(codes, cand.neighbor_id == codes.vec_id)
+            .join(F.broadcast(lut), ["query_id", "m", "code"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum("pd").cast("long").alias("adc_sq_dist"),
+                F.min("probe_rn").alias("probe_rn"),
+            )
+        )
     cand = (
         lists.join(F.broadcast(probe), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1644,6 +1690,8 @@ def ivfpq_recall_by_nprobe(
 
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 
+    from datapipelinedemo_spark.pin import pin
+
     q = _pq_quantized(spark, sf_dir)
     queries = q.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
@@ -1664,44 +1712,65 @@ def ivfpq_recall_by_nprobe(
         )
     )
     wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    gt = (
+    # r16: gt feeds 1 + 2×|sweep| consumers; Catalyst re-derives the
+    # full brute-force GT scan per branch — pin the top-10 cut once
+    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
         gtd.withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
     )
+    # the whole sweep reads ONE ADC frame computed at the deepest
+    # nprobe (candidate sets are nested; probe_rn <= p recovers each
+    # point exactly — see _ivfpq_adc), pinned so the three points and
+    # their six aggregates share one materialization. pin (not a bare
+    # persist): a persist() here registers the frame's logical plan in
+    # the CacheManager for the whole session, and later plan builds of
+    # the same lineage get the baked InMemoryRelation substituted in —
+    # which leaks this call's conf-shaped physical plan into other
+    # harnesses' sweeps (the broadcast gate caught exactly that).
+    adc_all = pin(  # narrow-pin: 28 B/row (ids, dist, probe_rn) — eval frame, %MOD query slice × nprobe/nlist of corpus
+        _ivfpq_adc(
+            spark, sf_dir, nprobe=max(_NPROBE_SWEEP), with_probe_rank=True
+        )
+    )
+    # exact rerank distances recomputed IN-ROW on the tiny pool (≤
+    # _RERANK_N rows/query) by re-joining the quantized vectors — the
+    # old plan re-joined the full |queries|×|corpus| gtd per sweep point
+    qv_q = queries
+    qv_c = corpus
     nq = gt.agg(
         F.countDistinct("query_id").cast("long").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("gt_pairs"),
     )
     out = None
     for p in _NPROBE_SWEEP:
-        adc = _ivfpq_adc(spark, sf_dir, nprobe=p)
-        top = (
-            adc.withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        "adc_sq_dist", "neighbor_id"
-                    )
-                ),
-            )
-            .filter(F.col("rnk") <= 10)
-            .select("query_id", "neighbor_id")
+        adc = adc_all.filter(F.col("probe_rn") <= p)
+        ranked = adc.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "adc_sq_dist", "neighbor_id"
+                )
+            ),
         )
-        pool = (
-            adc.withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        "adc_sq_dist", "neighbor_id"
-                    )
-                ),
-            )
-            .filter(F.col("rnk") <= _RERANK_N)
-            .select("query_id", "neighbor_id")
+        top = ranked.filter(F.col("rnk") <= 10).select(
+            "query_id", "neighbor_id"
+        )
+        pool = ranked.filter(F.col("rnk") <= _RERANK_N).select(
+            "query_id", "neighbor_id"
         )
         rrtop = (
-            pool.join(gtd, ["query_id", "neighbor_id"])
+            pool.join(F.broadcast(qv_q), "query_id")
+            .join(qv_c, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.expr(
+                    "aggregate(zip_with(qq, qc,"
+                    " (a, b) -> (a - b) * (a - b)),"
+                    " 0L, (acc, x) -> acc + x)"
+                ).alias("d"),
+            )
             .withColumn(
                 "rnk",
                 F.row_number().over(
@@ -2016,7 +2085,10 @@ def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    gt = (
+    from datapipelinedemo_spark.pin import pin
+
+    # r16: three consumers (nq, hp, hi) re-derived the brute-force GT
+    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
         gtd.withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
@@ -3112,7 +3184,10 @@ def ivfpq_recall_residual_vs_raw(
         )
     )
     wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    gt = (
+    from datapipelinedemo_spark.pin import pin
+
+    # r16: three consumers (nq, hr, hs) re-derived the brute-force GT
+    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
         gtd.withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
@@ -3333,11 +3408,15 @@ def ivfpq_filtered_recall_vs_postfilter(
 
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 
+    from datapipelinedemo_spark.pin import pin
+
     pred = _ann_filter_col()
     wnd = Window.partitionBy("query_id").orderBy(
         "adc_sq_dist", "neighbor_id"
     )
-    topf = (
+    # r16: each strategy's top-10 feeds two aggregates (returned,
+    # hits) — pin so the full ADC chain materializes once per strategy
+    topf = pin(  # narrow-pin: 16 B/row (two ids) — query slice × 10
         _ivfpq_adc(spark, sf_dir, corpus_pred=pred)
         .withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
@@ -3346,7 +3425,7 @@ def ivfpq_filtered_recall_vs_postfilter(
     labels = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), "label"
     )
-    postf = (
+    postf = pin(  # narrow-pin: 16 B/row (two ids) — query slice × 10
         _ivfpq_adc(spark, sf_dir)
         .withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
@@ -3378,7 +3457,8 @@ def ivfpq_filtered_recall_vs_postfilter(
         )
     )
     gwnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    gt = (
+    # r16: gt feeds nq + one hits-join per strategy — pin the cut
+    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
         gtd.withColumn("rnk", F.row_number().over(gwnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
@@ -3911,8 +3991,12 @@ def ivfpq_filtered_recall_by_nprobe(
             ).alias("d"),
         )
     )
+    from datapipelinedemo_spark.pin import pin
+
     gwnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    gt = (
+    # r16: pin the GT cut (1 + |sweep| consumers re-derived the full
+    # filtered brute-force scan per branch)
+    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
         gtd.withColumn("rnk", F.row_number().over(gwnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
@@ -3921,10 +4005,23 @@ def ivfpq_filtered_recall_by_nprobe(
         F.countDistinct("query_id").cast("long").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("gt_pairs"),
     )
+    # ONE filtered ADC at the deepest sweep point; probe_rn <= p
+    # recovers each point exactly (see _ivfpq_adc). pin, not a bare
+    # persist — see ivfpq_recall_by_nprobe's note on CacheManager
+    # plan-matching leaking baked plans into later sweeps.
+    adc_all = pin(  # narrow-pin: 28 B/row (ids, dist, probe_rn) — eval frame, filtered %MOD query slice × nprobe/nlist of corpus
+        _ivfpq_adc(
+            spark,
+            sf_dir,
+            nprobe=4,
+            corpus_pred=pred,
+            with_probe_rank=True,
+        )
+    )
     out = None
     for p in (2, 4):
         top = (
-            _ivfpq_adc(spark, sf_dir, nprobe=p, corpus_pred=pred)
+            adc_all.filter(F.col("probe_rn") <= p)
             .withColumn("rnk", F.row_number().over(wnd))
             .filter(F.col("rnk") <= 10)
             .select("query_id", "neighbor_id")

@@ -108,13 +108,21 @@ def gq_battery(docs: DataFrame) -> DataFrame:
     batch scan and on a Structured Streaming source in append mode
     (``streaming_quality_admission`` / its pytest stream drive)."""
     toks = TX.tokenize("text")
-    t = docs.select("doc_id", "lang", toks.alias("t"))
+    return gq_battery_from_toks(
+        docs.select("doc_id", "lang", toks.alias("t"))
+    )
+
+
+def gq_battery_from_toks(t: DataFrame) -> DataFrame:
+    """``gq_battery`` over an already-tokenized (doc_id, lang, t)
+    frame — split out (r16) so the fused Gopher corpus report can run
+    the battery AND the repetition signals off ONE tokenize, in one
+    scan."""
     frac = lambda hits: F.when(  # noqa: E731
         F.size("t") == 0, F.lit(0.0)
     ).otherwise(hits.cast("double") / F.size("t"))
     q = t.select(
-        "doc_id",
-        "lang",
+        "*",
         F.size("t").cast("long").alias("n_words"),
         F.when(F.size("t") == 0, F.lit(0.0))
         .otherwise(TX.mean_token_length(F.col("t")))
@@ -280,12 +288,35 @@ def gopher_repetition_flags(
 def gopher_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline report row: per-language doc/word survival under
     the FULL Gopher battery (quality ∧ repetition) — what a filtering
-    run publishes before anyone trains on the output. One doc-grain
-    join of the two flag frames + a per-language partial agg."""
-    q = _gq_signal_frame(spark, sf_dir).select(
-        "doc_id",
+    run publishes before anyone trains on the output.
+
+    r16: both flag families are in-row per-document signals (the
+    repetition stats lost their explode/shuffle form this round), so
+    the doc-grain join of two frames that each re-scanned documents is
+    gone — ONE scan computes battery + repetition flags side by side,
+    then a per-language partial agg. Plan: scan → project → one
+    exchange (was 10)."""
+    from datapipelinedemo_spark.functions.text import tokenize
+    from datapipelinedemo_spark.plans.llm_ops import (
+        rep_signal_base,
+        rep_signal_columns,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", tokenize("text").alias("t")
+    )
+    base = gq_battery_from_toks(rep_signal_base(toks))
+    # rep_signal_columns()[0] is rep's n_words (null on empty docs) —
+    # the battery's n_words (0 on empty docs, what the oracle's
+    # kept_words sums) is already in ``base``; keep only the fracs
+    withrep = base.select("*", *rep_signal_columns()[1:])
+    gate = lambda c, thr: F.coalesce(  # noqa: E731
+        (c <= thr).cast("int"), F.lit(1)
+    ).cast("long")
+    j = withrep.select(
         "lang",
-        "n_words",
+        F.col("n_words"),
         (
             F.col("ok_words")
             * F.col("ok_word_len")
@@ -293,11 +324,12 @@ def gopher_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("ok_alpha")
             * F.col("ok_stopwords")
         ).alias("q_kept"),
+        (
+            gate(F.col("max_word_frac"), _GR_MAX_WORD_FRAC)
+            * gate(F.col("top_bigram_frac"), _GR_MAX_BIGRAM_FRAC)
+            * gate(F.col("dup_trigram_frac"), _GR_MAX_DUPTRI_FRAC)
+        ).alias("rep_kept"),
     )
-    rep = gopher_repetition_flags(spark, sf_dir).select(
-        "doc_id", F.col("kept").alias("rep_kept")
-    )
-    j = q.join(rep, "doc_id")
     kept = (F.col("q_kept") * F.col("rep_kept")) == 1
     return j.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_total"),

@@ -450,10 +450,16 @@ def _ccnet_doc_nll_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``unigram_perplexity_scores`` plan)."""
     from datapipelinedemo_spark.functions.text import tokenize
 
+    from datapipelinedemo_spark.pin import pin
+
     docs = table(spark, sf_dir, "documents")
     tc = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
-    vocab = tc.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # r16: two consumers (1-row total, NLL table) re-ran the vocab
+    # shuffle + its corpus tokenize per rebuild
+    vocab = pin(  # pin-bounded: vocabulary grain (term, c)
+        tc.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
     )
     n = vocab.agg(F.sum("c").alias("total"))
     nll = vocab.crossJoin(F.broadcast(n)).select(
@@ -1164,10 +1170,16 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenized_documents,
     )
 
+    from datapipelinedemo_spark.pin import pin
+
     tokf = tokenized_documents(spark, sf_dir)
     tc = tokf.select("doc_id", F.explode("t").alias("term"))
-    vocab = tc.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # r16: two consumers (the 1-row total and the NLL table) re-ran
+    # the vocab shuffle
+    vocab = pin(  # pin-bounded: vocabulary grain (term, c)
+        tc.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
     )
     n = vocab.agg(F.sum("c").alias("total"))
     unll = vocab.crossJoin(F.broadcast(n)).select(
@@ -1214,6 +1226,11 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("excess6"),
     )
+    # r16: ew feeds the 1-row normalizer AND the final select — uncached,
+    # each branch re-derived the full unigram+bigram per-doc chains.
+    # persist (not pin/localCheckpoint): keeps lineage, so the shared
+    # tokenized_documents InMemoryTableScan stays visible in the plan
+    # (tests pin that) and executor loss recomputes instead of failing.
     ew = dom.select(
         "source",
         "n_docs",
@@ -1225,7 +1242,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("e6"),
-    )
+    ).persist()
     tot = ew.agg(
         F.sum("e6").cast("long").alias("se"),
         F.count(F.lit(1)).cast("long").alias("k"),

@@ -516,10 +516,16 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datapipelinedemo_spark.operators.pairs import pair_combinations
 
+    from datapipelinedemo_spark.pin import pin
+
     li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # r16: three consumers (baskets, n_baskets, item supports) each
+    # re-ran the distinct's shuffle over the full lineitem scan
+    b = pin(  # narrow-pin: 16 B/row (two bigint keys) — distinct (order, part) grain
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+    )
     baskets = b.groupBy("ok").agg(
         F.array_sort(F.collect_list("pk")).alias("items")
     )
