@@ -133,23 +133,20 @@ class FrameMemo:
         full = (session_key(spark), *key)
         hit = self._entries.get(full)
         if hit is not None:
-            frame = hit[1]
-            # Re-pin on hit (r16): an external ``clearCache()`` (the
-            # bench's standalone protocol, audit harnesses) drops the
-            # persist MARKER along with the data, so a memo hit whose
-            # build() had persisted it would otherwise serve an
-            # uncached plan forever after — and multi-consumer plans
-            # re-derive its full lineage once per consumer branch.
-            # Restore the marker iff the build had set one; the data
-            # itself recomputes lazily inside whatever job reads it
-            # next (nothing is served across cache clears — only the
-            # caching INTENT survives).
-            if hit[2] and _storage_level_none(frame):
-                try:
-                    frame.persist()
-                except Exception:
-                    pass
-            return frame
+            # NOTE (r16, measured): do NOT re-persist() a hit whose
+            # cache was externally cleared. It looks like a free win
+            # (the bench's standalone clearCache strips the persist
+            # marker, so memo consumers re-derive lineage per branch),
+            # but a freshly re-registered, not-yet-materialized
+            # InMemoryRelation that appears N times in one AQE plan
+            # materializes N CONCURRENT TableCacheQueryStages — each
+            # computing the full child plan, nested multiplicatively
+            # when memo frames reference each other (tokenized_documents
+            # under _ccnet_doc_nll). Measured at sf0.1:
+            # ccnet_buckets_by_threshold 3.5 s uncached → 15-38 s
+            # re-pinned; training_corpus_pipeline_v3 5.5 s → 19-40 s.
+            # Uncached branch recompute is the cheaper failure mode.
+            return hit[1]
         frame = build()
         self._entries[full] = (
             spark,

@@ -665,46 +665,40 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries at most |alphabet| rows per document, not the
     raw characters.
     """
+    # r16 note: an in-row sorted-run-length rewrite (the
+    # doc_repetition_stats treatment) was tried and REVERTED here —
+    # per-CHARACTER interpreted HOF folds cost more than this explode
+    # (2.2 s → 4.9 s): the (doc_id, ch) groupBy partial-aggregates
+    # map-side to ≤|alphabet| rows per doc, so the exchange is tiny,
+    # while the fold pays ~1 µs × every character. The repetition
+    # stats won because their exploded form shuffled full GRAM STRINGS
+    # (~3× the corpus text); single chars don't.
     docs = table(spark, sf_dir, "documents")
     x = docs.filter(F.length("text") >= 1).select(
         "doc_id", F.lower("text").alias("s")
     )
-    # r16: per-document statistic → ZERO-shuffle in-row form (the
-    # doc_repetition_stats rewrite, guide §2.4): sort the char array
-    # and fold run lengths; each run of length nc contributes
-    # nc · ⌊ln(nc)·1e6 + 0.5⌋ — the IDENTICAL integers the exploded
-    # (doc_id, ch) groupBy summed, so hashes are bit-equal. The old
-    # plan exploded one row per CHARACTER through two Exchanges.
-    run_close = (
-        "if(a.run > 0L, a.s6 + a.run * cast(floor("
-        "ln(cast(a.run as double)) * 1000000.0 + 0.5) as bigint),"
-        " a.s6)"
-    )
-    fold = F.expr(
-        f"""aggregate(
-          array_sort(transform(sequence(1, length(s)),
-                               i -> substring(s, i, 1))),
-          named_struct('prev', cast(null as string), 'run', 0L,
-                       's6', 0L, 'nd', 0L),
-          (a, x) -> if(a.prev is not null and x = a.prev,
-            named_struct('prev', x, 'run', a.run + 1L,
-                         's6', a.s6, 'nd', a.nd),
-            named_struct('prev', x, 'run', 1L,
-                         's6', {run_close},
-                         'nd', a.nd + if(a.run > 0L, 1L, 0L))),
-          a -> named_struct(
-            's6', {run_close},
-            'nd', a.nd + if(a.run > 0L, 1L, 0L)))"""
-    )
-    agg = x.select(
+    ch = x.select(
         "doc_id",
-        F.length("s").cast("long").alias("dl"),
-        fold.alias("__f"),
-    ).select(
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
+        "s",
+    ).select("doc_id", F.expr("substring(s, i, 1)").alias("ch"))
+    cnt = ch.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    t = cnt.select(
         "doc_id",
-        "dl",
-        F.col("__f.s6").alias("s6"),
-        F.col("__f.nd").alias("n_distinct_chars"),
+        "nc",
+        (
+            F.col("nc")
+            * F.floor(
+                F.log(F.col("nc").cast("double")) * 1000000.0 + 0.5
+            ).cast("long")
+        ).alias("t6"),
+    )
+    agg = t.groupBy("doc_id").agg(
+        F.sum("nc").cast("long").alias("dl"),
+        F.sum("t6").cast("long").alias("s6"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
     )
     return agg.select(
         "doc_id",

@@ -1289,17 +1289,14 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg groupBy. Tokens come from the shared
     ``tokenized_documents`` memo (tokenize once per session/corpus).
     """
-    from datapipelinedemo_spark.pin import pin
-
     tc = tokenized_documents(spark, sf_dir).select(
         "doc_id", F.explode("t").alias("term")
     )
-    # r16: two consumers (1-row total, NLL table) re-ran the vocab
-    # shuffle
-    vocab = pin(  # pin-bounded: vocabulary grain (term, c)
-        tc.groupBy("term").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
-        )
+    # r16 note: pinning vocab (2 consumers) was tried and REVERTED —
+    # the vocab shuffle re-run is cheaper than a checkpoint barrier at
+    # bench scale (0.67 s → 1.27 s pinned).
+    vocab = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
     n = vocab.agg(F.sum("c").alias("total"))
     nll = vocab.crossJoin(F.broadcast(n)).select(

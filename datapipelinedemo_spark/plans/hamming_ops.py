@@ -515,13 +515,13 @@ def hamming_recall_by_depth(
     sigs = _ham_sigs(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
-    # r16: one depth row per _HAM_DEPTHS joins gt — pin the exact
-    # brute-force cut once instead of re-scanning it per depth
-    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
-        SIM.cosine_topk_bruteforce(
-            emb, queries, "vec_id", "embedding", k=_HAM_K
-        ).select("query_id", "neighbor_id")
-    )
+    # r16 note: pinning this gt cut (one hit-join per depth) was tried
+    # and REVERTED — materialization cost ≈ the %MOD-bounded duplicate
+    # subtree at bench scale; the existing `scored` pin below is the
+    # one that pays off (its lineage includes the corpus-side joins).
+    gt = SIM.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=_HAM_K
+    ).select("query_id", "neighbor_id")
     deepest = hamming_topc(sigs, max(_HAM_DEPTHS))
     qe = F.broadcast(
         emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(

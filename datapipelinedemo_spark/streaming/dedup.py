@@ -132,9 +132,19 @@ def neardup_batch_pairs(
         bucketed_candidate_pairs,
         incremental_lsh_candidates,
     )
+    from datapipelinedemo_spark.pin import pin
 
-    new_banded = banded_minhash(
-        batch, id_col, text_col, num_hashes, bands, k, hash=hash
+    # r16: pin the signed batch — the MinHash signing fold (md5 per
+    # shingle × 32-hash fold) is the micro-batch's dominant compute,
+    # and its consumers (the capped pair expansion's head/rep/overflow
+    # window branches, plus the stream's index append) each re-derive
+    # it otherwise: the batch entry's plan showed the signing chain
+    # executing 3× (no ReusedExchange — the WindowGroupLimit branch
+    # de-canonicalizes the exchanges). Batch-sized by construction.
+    new_banded = pin(  # narrow-pin: ~60 B/row (doc, band, short band-key string) — micro-batch × bands grain
+        banded_minhash(
+            batch, id_col, text_col, num_hashes, bands, k, hash=hash
+        )
     )
     if corpus is not None:
         pairs = incremental_lsh_candidates(new_banded, corpus, bucket_cap)
