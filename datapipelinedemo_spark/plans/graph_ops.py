@@ -88,15 +88,21 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     # group on the integer keys (small fixed-width shuffle payload,
-    # map-side combine on ints); the string node labels are formatted
-    # AFTER aggregation — per distinct edge, not per lineitem row
+    # map-side combine on ints). r16: node ids stay ONE BIGINT through
+    # every iteration — customer custkey·2, supplier suppkey·2+1 (the
+    # key spaces are disjoint by parity, exactly like the 'c:'/'s:'
+    # prefixes) — so the K iterations' joins and partial aggs hash and
+    # shuffle 8-byte longs instead of formatted strings (guide §2.3
+    # "narrower types"); the string labels are formatted ONCE at the
+    # final projection, per node. Same graph, same weights, same
+    # integer arithmetic → identical output rows.
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("u"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("v"),
+            (F.col("o_custkey") * 2).cast("long").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("v"),
             "w",
         )
     )
@@ -140,6 +146,13 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select(
-        F.col("u").alias("node"),
+        F.when(
+            F.col("u") % 2 == 0,
+            F.concat(F.lit("c:"), F.expr("u div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), F.expr("u div 2").cast("string"))
+        )
+        .alias("node"),
         (F.col("r").cast("double") / _SCALE).alias("pagerank"),
     )
