@@ -140,7 +140,13 @@ def _prev_full(repo: str) -> tuple[str | None, dict | None]:
     except (OSError, ValueError):
         pass
 
-    # 1) materialized full artifact for that round (validated)
+    # 1) materialized full artifact for that round (validated). A
+    # fixture may carry an explicit `accept_value_mismatch` note when
+    # NO full artifact matching the driver total exists — the r16
+    # seam: the driver's post-snapshot 8-core scaling run overwrote
+    # BENCH_LOCAL.json before the boundary commit, so the only full
+    # 32-core per-query baseline is the builder's final run. The note
+    # must say why; an unexplained mismatch is still skipped as stale.
     full_path = os.path.join(
         repo, "fixtures", "bench_rounds", f"r{nn}.json"
     )
@@ -150,12 +156,17 @@ def _prev_full(repo: str) -> tuple[str | None, dict | None]:
         if (
             driver_value is None
             or abs(fixture.get("value", 0.0) - driver_value) < 1e-6
+            or fixture.get("accept_value_mismatch")
         ):
             return f"bench_rounds/r{nn}.json", fixture
     except (OSError, ValueError):
         pass
 
-    # 2) BENCH_LOCAL.json from git at the round-boundary commit
+    # 2) BENCH_LOCAL.json from git at the round-boundary commit —
+    # validated against the driver total like the fixture branch: the
+    # r16 seam above proved "the driver commits them together" does
+    # not guarantee the committed copy is the SAME RUN (a later
+    # scaling run can overwrite BENCH_LOCAL.json pre-commit).
     try:
         commit = subprocess.run(
             ["git", "-C", repo, "log", "-n1", "--format=%H", "--",
@@ -168,10 +179,14 @@ def _prev_full(repo: str) -> tuple[str | None, dict | None]:
                 capture_output=True, text=True, timeout=30,
             )
             if blob.returncode == 0:
-                return (
-                    f"git:{commit[:9]}:BENCH_LOCAL.json",
-                    json.loads(blob.stdout),
-                )
+                committed = json.loads(blob.stdout)
+                if driver_value is None or abs(
+                    committed.get("value", 0.0) - driver_value
+                ) < 1e-6:
+                    return (
+                        f"git:{commit[:9]}:BENCH_LOCAL.json",
+                        committed,
+                    )
     except (OSError, ValueError, subprocess.SubprocessError):
         pass
 
@@ -207,6 +222,67 @@ def _prev_full(repo: str) -> tuple[str | None, dict | None]:
     except (OSError, ValueError):
         pass
     return None, None
+
+
+def _flag_regressions(
+    ratios: dict[str, float],
+    times: dict[str, float],
+    prev_queries: dict[str, float],
+) -> dict[str, float]:
+    """Queries regressed in BOTH views — normalized ratio >1.5 AND raw
+    ratio >1.5 (VERDICT r16 #2). The calibration probe is known to
+    over/understate real box speed under load (the r15 verdict measured
+    it claiming 1.843 while untouched queries ran ~1.0x raw), so
+    probe-only normalization manufactures phantom flags whenever the
+    probe disagrees with the true box factor — r16's ~80-entry flag
+    storm on ZERO raw regressions, plus 2 wasted isolation reruns per
+    phantom. A real regression moves raw seconds too. Sub-0.5s queries
+    additionally regress by whole ratios on scheduler jitter alone, so
+    the flag requires real seconds on one side."""
+    out = {}
+    for n, r in ratios.items():
+        t_now, t_prev = times.get(n, 0), prev_queries.get(n, 0)
+        if (
+            r > 1.5
+            and max(t_now, t_prev) >= 0.5
+            and t_prev > 0
+            and t_now / t_prev > 1.5
+        ):
+            out[n] = r
+    return out
+
+
+def _pack_summary(
+    summary: dict,
+    times: dict[str, float],
+    pre_rerun_flagged: dict[str, float],
+    flagged: dict[str, float],
+    budget: int = 1800,
+) -> dict:
+    """VERDICT r16 #1: queries pack FIRST — in r16 the two uncapped
+    flag dicts (~80 entries each) consumed the whole line budget before
+    a single per-query timing packed, leaving the driver's comparator
+    and scaling analysis blind for the round. The slowest queries carry
+    the signal; flags get the remaining budget, capped at 10 entries
+    each (largest ratios first). Full dicts live in BENCH_LOCAL.json.
+    """
+    q_budget = budget - 500  # reserve the tail of the line for flags
+    for name in sorted(times, key=lambda n: -times[n]):
+        summary["queries"][name] = times[name]
+        if len(json.dumps(summary)) > q_budget:
+            del summary["queries"][name]
+            break
+    for key, d in (
+        ("flagged_pre_rerun", pre_rerun_flagged),
+        ("flagged_over_1p5x", flagged),
+    ):
+        for name, r in sorted(d.items(), key=lambda kv: -kv[1])[:10]:
+            summary[key][name] = r
+            if len(json.dumps(summary)) > budget - 30:
+                del summary[key][name]
+                break
+    summary["queries_omitted"] = len(times) - len(summary["queries"])
+    return summary
 
 
 def _calibration_probe(spark) -> float:
@@ -343,14 +419,7 @@ def main() -> None:
         return out
 
     def _flags(ratios: dict[str, float]) -> dict[str, float]:
-        # sub-0.5s queries regress by whole ratios on scheduler jitter
-        # alone; the flag is for rows where real seconds moved
-        return {
-            n: r
-            for n, r in ratios.items()
-            if r > 1.5
-            and max(times.get(n, 0), prev_queries.get(n, 0)) >= 0.5
-        }
+        return _flag_regressions(ratios, times, prev_queries)
 
     pre_rerun_flagged = _flags(_ratios())
     # Every rerun attempt is RECORDED, not just min()-folded: r15's
@@ -439,20 +508,16 @@ def main() -> None:
         "drift": drift,
         "prev": prev_path,
         "n_ratios": len(normalized_vs_prev),
-        "flagged_pre_rerun": pre_rerun_flagged,
-        "flagged_over_1p5x": flagged,
+        # counts always present; the (capped) dicts are appended AFTER
+        # the queries pack — full dicts live in BENCH_LOCAL.json
+        "n_flagged_pre_rerun": len(pre_rerun_flagged),
+        "n_flagged_over_1p5x": len(flagged),
+        "flagged_pre_rerun": {},
+        "flagged_over_1p5x": {},
         "full": "BENCH_LOCAL.json",
         "queries": {},
     }
-    # pack the slowest queries into the remaining line budget (slowest
-    # carry the signal; the full dict is one line up / in the artifact)
-    budget = 1800
-    for name in sorted(times, key=lambda n: -times[n]):
-        summary["queries"][name] = times[name]
-        if len(json.dumps(summary)) > budget:
-            del summary["queries"][name]
-            break
-    summary["queries_omitted"] = len(times) - len(summary["queries"])
+    _pack_summary(summary, times, pre_rerun_flagged, flagged)
     print(json.dumps(summary))
 
 

@@ -65,17 +65,6 @@ def _stopped(spark: SparkSession) -> bool:
         return True
 
 
-def _storage_level_none(frame: DataFrame) -> bool:
-    """True when the frame carries no cache marker (StorageLevel NONE
-    — either never persisted, or dropped by a global clearCache)."""
-    try:
-        return not frame.storageLevel.useMemory and not (
-            frame.storageLevel.useDisk
-        )
-    except Exception:
-        return True
-
-
 # Every FrameMemo registers here so plan-auditing harnesses can reset
 # memo state wholesale (clear_all_memos below): a frame persist()-ed
 # while a session conf override is active (e.g. the broadcast gate's
@@ -106,10 +95,8 @@ class FrameMemo:
     """
 
     def __init__(self) -> None:
-        # key -> (session, frame, was_persisted_at_build)
-        self._entries: dict[
-            tuple, tuple[SparkSession, DataFrame, bool]
-        ] = {}
+        # key -> (session, frame)
+        self._entries: dict[tuple, tuple[SparkSession, DataFrame]] = {}
         _ALL_MEMOS.append(self)
 
     def clear(self) -> int:
@@ -148,11 +135,7 @@ class FrameMemo:
             # Uncached branch recompute is the cheaper failure mode.
             return hit[1]
         frame = build()
-        self._entries[full] = (
-            spark,
-            frame,
-            not _storage_level_none(frame),
-        )
+        self._entries[full] = (spark, frame)
         return frame
 
     def _evict_dead(self) -> None:

@@ -103,13 +103,7 @@ def _caller_marker() -> tuple[str, str] | None:
     return None
 
 
-def pin(df: DataFrame) -> DataFrame:
-    """Cut lineage on a small multi-consumer frame; see module docstring.
-
-    Drop-in via ``DataFrame.transform``::
-
-        model = counts.groupBy(...).agg(...).transform(pin)
-    """
+def _narrow_width_check(df: DataFrame) -> None:
     mark = _caller_marker()
     if mark and mark[0] == "narrow":
         wide = [
@@ -125,9 +119,37 @@ def pin(df: DataFrame) -> DataFrame:
                 "project them out or re-join them from their source "
                 "frame per consumer"
             )
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Cut lineage on a small multi-consumer frame; see module docstring.
+
+    Drop-in via ``DataFrame.transform``::
+
+        model = counts.groupBy(...).agg(...).transform(pin)
+    """
+    _narrow_width_check(df)
     strategy = os.environ.get("SPARK_GRAFT_PIN", "local")
     if strategy == "persist":
         return df.persist()
     if strategy == "checkpoint":
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
+
+
+def pin_persist(df: DataFrame) -> DataFrame:
+    """``pin`` that always uses ``persist()`` (MEMORY_AND_DISK), for the
+    rare site where lineage must stay VISIBLE in the plan — e.g. a test
+    pins a shared memo frame's InMemoryTableScan in a consumer's
+    top-level plan, which a localCheckpoint would truncate out of view.
+
+    Same marker discipline and narrow-width enforcement as ``pin``
+    (``tools/pin_audit.py`` walks these sites too). Caveat carried by
+    every persist: the frame's logical plan registers in the session
+    CacheManager, so LATER builds of an equal lineage get the baked
+    InMemoryRelation substituted in — conf-override harnesses must
+    clear memo/cache state around overrides (memo.clear_all_memos /
+    clearCache), and the entry stays resident until session end unless
+    the caller unpersists."""
+    _narrow_width_check(df)
+    return df.persist()

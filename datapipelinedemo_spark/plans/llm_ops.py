@@ -234,9 +234,17 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r16: zero-shuffle in-row form (module banner above) — one scan,
     per-doc sorted-run-length folds; hash-identical to the exploded
-    twin (max count = longest equal-run, duplicated mass = Σ runs>1)."""
+    twin (max count = longest equal-run, duplicated mass = Σ runs>1).
+
+    r17 (ADVICE r16): a doc whose tokenization is EMPTY emits no row —
+    the oracle's unnest produces no gram rows for it, so its final
+    GROUP BY has no group, where the in-row form would emit an all-null
+    row. The bench corpus has no such doc (hashes unchanged); the
+    filter pins the edge for corpora that do."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokenize("text").alias("t"))
+    toks = docs.select("doc_id", TX.tokenize("text").alias("t")).filter(
+        F.size("t") > 0
+    )
     return rep_signal_base(toks).select("doc_id", *rep_signal_columns())
 
 

@@ -3410,6 +3410,8 @@ def ivfpq_filtered_recall_vs_postfilter(
 
     from datapipelinedemo_spark.plans.llm_ops import TOPK_QUERY_MOD
 
+    from datapipelinedemo_spark.pin import pin
+
     pred = _ann_filter_col()
     wnd = Window.partitionBy("query_id").orderBy(
         "adc_sq_dist", "neighbor_id"
@@ -3417,20 +3419,46 @@ def ivfpq_filtered_recall_vs_postfilter(
     # r16 note: pinning each strategy's top-10 (two aggregate
     # consumers each) was tried and REVERTED — the materialization
     # barrier cost more than the duplicate subtree at bench scale.
+    # r17 (VERDICT r16 next #5): the two strategies ran the FULL
+    # probe→candidate→LUT ADC chain TWICE (filtered + unfiltered), and
+    # each strategy's top-10 feeds two aggregate consumers — four
+    # derivations of the chain. But the filtered candidate set is
+    # exactly the unfiltered set restricted to admissible neighbors
+    # (corpus_pred only semijoins the list assignments; the per-pair
+    # LUT distance is filter-independent), so ADC is computed ONCE
+    # unfiltered with an in-row admissibility flag attached per
+    # neighbor and pinned: prefilter = filter-then-rank, postfilter =
+    # rank-then-filter, both over the same materialized frame.
+    adm = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(pred)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(1).alias("adm"),
+        )
+    )
+    # narrow-pin: 28 B/row (query_id, neighbor_id, adc_sq_dist, adm)
+    adc = pin(
+        _ivfpq_adc(spark, sf_dir)
+        .join(adm, "neighbor_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_sq_dist",
+            F.coalesce("adm", F.lit(0)).alias("adm"),
+        )
+    )
     topf = (
-        _ivfpq_adc(spark, sf_dir, corpus_pred=pred)
+        adc.filter(F.col("adm") == 1)
         .withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id")
     )
-    labels = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("neighbor_id"), "label"
-    )
     postf = (
-        _ivfpq_adc(spark, sf_dir)
-        .withColumn("rnk", F.row_number().over(wnd))
+        adc.withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= 10)
-        .join(labels.filter(pred).select("neighbor_id"), "neighbor_id")
+        .filter(F.col("adm") == 1)
         .select("query_id", "neighbor_id")
     )
 

@@ -303,9 +303,14 @@ def gopher_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
+    # ADVICE r16: the oracle's `gq JOIN rep` is an INNER join and rep
+    # (the doc_repetition_stats subquery) emits no row for a doc whose
+    # tokenization is empty — such docs must not count in docs_total /
+    # keep_rate. The fused single-scan form mirrors that with the same
+    # size filter doc_repetition_stats applies (no-op on this corpus).
     toks = docs.select(
         "doc_id", "lang", tokenize("text").alias("t")
-    )
+    ).filter(F.size("t") > 0)
     base = gq_battery_from_toks(rep_signal_base(toks))
     # rep_signal_columns()[0] is rep's n_words (null on empty docs) —
     # the battery's n_words (0 on empty docs, what the oracle's

@@ -528,7 +528,19 @@ def ccnet_buckets_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    dnll_lang = _ccnet_doc_nll(spark, sf_dir)  # memo-persisted
+    from datapipelinedemo_spark.pin import pin
+
+    # r17 (VERDICT r16 next #4): the scored frame feeds THREE branches
+    # here (histogram, boundary ties, final assignment); the memo's
+    # session persist is stripped by the bench's standalone clearCache,
+    # so each branch re-derived the full explode+vocab-join lineage —
+    # 278 Exchanges, ~3.5 s standalone. An in-query pin makes the first
+    # consumer pay the scoring pass once IN-BAND and the other two read
+    # the materialized partitions. (Re-persisting the memo hit itself
+    # was measured catastrophic in r16 — see memo.py NOTE; this pin is
+    # per-invocation, not cross-run state.)
+    # narrow-pin: ~30 B/row (lang tag, doc_id, mnll6) — 3 consumers
+    dnll_lang = pin(_ccnet_doc_nll(spark, sf_dir))
 
     hist = dnll_lang.groupBy("lang", "mnll6").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -1170,7 +1182,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenized_documents,
     )
 
-    from datapipelinedemo_spark.pin import pin
+    from datapipelinedemo_spark.pin import pin, pin_persist
 
     tokf = tokenized_documents(spark, sf_dir)
     tc = tokf.select("doc_id", F.explode("t").alias("term"))
@@ -1228,9 +1240,10 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r16: ew feeds the 1-row normalizer AND the final select — uncached,
     # each branch re-derived the full unigram+bigram per-doc chains.
-    # persist (not pin/localCheckpoint): keeps lineage, so the shared
+    # pin_persist, not pin/localCheckpoint: keeps lineage, so the shared
     # tokenized_documents InMemoryTableScan stays visible in the plan
     # (tests pin that) and executor loss recomputes instead of failing.
+    # Session-lived by design (see pin.pin_persist CacheManager caveat).
     ew = dom.select(
         "source",
         "n_docs",
@@ -1242,7 +1255,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("e6"),
-    ).persist()
+    ).transform(pin_persist)  # pin-bounded: |sources|-row domain table
     tot = ew.agg(
         F.sum("e6").cast("long").alias("se"),
         F.count(F.lit(1)).cast("long").alias("k"),

@@ -141,6 +141,12 @@ def neardup_batch_pairs(
     # it otherwise: the batch entry's plan showed the signing chain
     # executing 3× (no ReusedExchange — the WindowGroupLimit branch
     # de-canonicalizes the exchanges). Batch-sized by construction.
+    # Release (ADVICE r16): the localCheckpoint RDD has no public
+    # release API; its blocks are freed by the ContextCleaner once the
+    # frame goes unreachable — which happens at the end of every
+    # micro-batch (_ingest drops the only references when it returns),
+    # so a long-running stream holds at most the in-flight batch's
+    # blocks between GC cycles, bounded by the micro-batch size.
     new_banded = pin(  # narrow-pin: ~60 B/row (doc, band, short band-key string) — micro-batch × bands grain
         banded_minhash(
             batch, id_col, text_col, num_hashes, bands, k, hash=hash

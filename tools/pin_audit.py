@@ -33,11 +33,14 @@ _PKG = os.path.join(
     "datapipelinedemo_spark",
 )
 
-# A pin() invocation: a bare `pin(` call (not the def, not an
+# A pin()/pin_persist() invocation: a bare call (not the def, not an
 # attribute like foo.pin, not another identifier's suffix) or the
-# `.transform(pin)` form.
-_CALL = re.compile(r"(?<![\w.])pin\(|\.transform\(\s*pin\s*[,)]")
-_DEF = re.compile(r"^\s*def pin\(")
+# `.transform(pin)` / `.transform(pin_persist)` form.
+_CALL = re.compile(
+    r"(?<![\w.])pin(?:_persist)?\("
+    r"|\.transform\(\s*pin(?:_persist)?\s*[,)]"
+)
+_DEF = re.compile(r"^\s*def pin(?:_persist)?\(")
 _MARK = re.compile(r"#\s*(narrow-pin|pin-bounded):\s*(.*)")
 
 
